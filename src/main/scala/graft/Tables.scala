@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the engine's table surface.
+  *
+  * The reference stages every dataset as CSV files on local disk between
+  * stages (reference: src/integrator.py:17, src/canvas.py:59); here each
+  * table is a columnar Parquet scan and all intermediate state stays inside
+  * one lazy Catalyst lineage. At 100 TB these would be partitioned
+  * directories (e.g. term-partitioned mirrors for dynamic partition
+  * pruning); the loader API is directory-based so that swap is free.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan (SURVEY §2.1 S8). Column pruning + predicate pushdown
+    * reach the scan automatically because nothing materializes in between.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** CSV scan with an explicit schema (SURVEY §2.1 S4): schema is inferred
+    * at the edge in the reference (src/canvas.py:63) but contracted here —
+    * no `inferSchema` on production paths (it costs a full extra pass).
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** CSV sink (SURVEY §2.1 K1; reference src/canvas.py:59). Single-file
+    * output is only for small update files handed to a downstream REST
+    * sink; large outputs keep their partitioning.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+}
