@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Util._
+
+/** Aggregation / window / sort / set-op / JSON surface
+  * (SURVEY §2.4 A4-A5, §2.5, §2.6, §2.7, §2.2 F5-F7/F10).
+  */
+object Analytics {
+
+  def queries: Map[String, Q] = Map(
+
+    // A4: argmax — latest event per user (reference's "latest report" scan
+    // tests/test_connect.py:70-79 is row_number over ended_at desc in
+    // disguise). One shuffle on the grouping key.
+    "latest_event_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), tsUs(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // O1/O3: global top-k -> Spark plans TakeOrderedAndProject (partial
+    // top-k per partition, no full sort — the shape that survives 100 TB).
+    "topk_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // O3 per-group top-k via ranking window.
+    "topk_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // §2.5 ranking windows: rank / dense_rank / ntile.
+    "window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.5 analytic windows: lag/lead session stitching over events.
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("ts_us", tsUs(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // §2.5 frame spec: running total per customer (exact decimal frame sum).
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(d2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.7 set ops over the two diff streams the reference keeps as
+    // separate files (faculty/student users, src/canvas.py:109-110).
+    "set_union" -> ((s, dir) => {
+      val high = orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val fin = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      high.unionByName(fin).distinct().orderBy(col("o_custkey"))
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val high = orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val fin = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      high.exceptAll(fin).orderBy(col("o_custkey"))
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val high = orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val fin = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      high.intersect(fin).orderBy(col("o_custkey"))
+    }),
+
+    // A5: distinct aggregation (two-phase distinct under the hood).
+    "count_distinct_segment" -> ((s, dir) => {
+      customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A5: HLL sketch — no DuckDB oracle (approx values differ by impl);
+    // driver records the weaker rows-only check.
+    "approx_distinct_parts" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5 rollup: subtotals + grand total.
+    "rollup_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // A5 cube: all grouping-set combinations.
+    "cube_lineitem" -> ((s, dir) => {
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // F10: JSON field extraction from the events props payload.
+    "json_extract_events" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // F5/F6/F7: timestamp format / parse / path-safe char replace.
+    "ts_roundtrip" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"), tsUs(col("ts")).as("ts_us"),
+          tsUs(to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+            .as("ts_sec_us"),
+          translate(date_format(col("ts"), "yyyy-MM-dd HH:mm"), ":", "_")
+            .as("run_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // O3 + J8: TPC-H Q3 shape — filtered 3-way join, top-10 by revenue.
+    "q3_shipping_topk" -> ((s, dir) => {
+      val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = orders(s, dir)
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = lineitem(s, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        .select(col("l_orderkey"), tsUs(col("o_orderdate")).as("o_orderdate_us"),
+          col("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "latest_event_argmax" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "topk_orders_per_cust" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "count_distinct_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_year, o_orderpriority)
+        |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "cube_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "json_extract_events" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+        |    '%Y-%m-%d %H:%M:%S')) AS ts_sec_us,
+        |  replace(strftime(ts, '%Y-%m-%d %H:%M'), ':', '_') AS run_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q3_shipping_topk" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{CleanSpec, Diff}
+import graft.functions.Terms
+import Util._
+
+/** Reference-surface queries: clean/conform, diff/sync, term algebra, FK
+  * join chains (SURVEY §2.2, §2.3, §2.4 A3).
+  */
+object Core {
+
+  def queries: Map[String, Q] = Map(
+
+    // A5 hash agg with partial aggregation; TPC-H Q1 shape over lineitem.
+    "q1_pricing_summary" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum(d2(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1-P4, P7-P9 (CleanSpec = reference src/canvas.py:62-104 reified).
+    "clean_conform" -> ((s, dir) => {
+      val spec = CleanSpec(
+        keep = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        rename = Map("c_custkey" -> "id_num", "c_name" -> "login_id"),
+        filters = Seq(col("c_acctbal").isNotNull, col("c_acctbal") > 0,
+          col("c_name").rlike("^Customer#[0-9]+$")),
+        recodes = Map("c_mktsegment" ->
+          CleanSpec.boolToSentinel(col("c_mktsegment") === "BUILDING")),
+        literals = Seq(
+          "yr_cde" -> lit("25"), "trm_cde" -> lit("1S"),
+          "load_date" -> to_date(lit("2026-01-01"))))
+      spec(customer(s, dir)).orderBy(col("id_num"))
+    }),
+
+    // J2-J5: anti-join "missing rows" (MissingCourses et al.).
+    "missing_orders" -> ((s, dir) => {
+      val truth = orders(s, dir)
+      val mirror = orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+      Diff.missingRows(truth, mirror, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J6: symmetric diff with status derivation (DailyEnrollment).
+    "daily_enrollment_diff" -> ((s, dir) => {
+      val truth = lineitem(s, dir).filter(col("l_quantity") <= 45)
+      val mirror = lineitem(s, dir).filter(col("l_discount") < 0.09)
+      Diff.changedRows(truth, mirror, Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A3: per-entity change statistics over a diff.
+    "change_stats" -> ((s, dir) => {
+      val truth = lineitem(s, dir).filter(col("l_quantity") <= 45)
+      val mirror = lineitem(s, dir).filter(col("l_discount") < 0.09)
+      val diff = Diff.changedRows(truth, mirror, Seq("l_orderkey", "l_linenumber"))
+      Diff.changeStats(diff, "Enrollment").orderBy(col("entity"), col("status"))
+    }),
+
+    // F1-F4: term decompose / pack / increment over a derived term dim.
+    "term_increment" -> ((s, dir) => {
+      orders(s, dir)
+        .select(
+          date_format(col("o_orderdate"), "yy").as("yr_cde"),
+          when(month(col("o_orderdate")) <= 6, "1S").otherwise("2S").as("trm_cde"))
+        .distinct()
+        .withColumn("term", Terms.packTerm(col("yr_cde"), col("trm_cde")))
+        .withColumn("next_term", Terms.nextTerm(col("yr_cde"), col("trm_cde")))
+        .orderBy(col("yr_cde"), col("trm_cde"))
+    }),
+
+    // J1 + J8: broadcast dim lookup and FK inner-join chain; revenue per
+    // region/nation. Dim side (region ⋈ nation) is broadcast; the big
+    // fact join shuffles once on the FK.
+    "q5_region_revenue" -> ((s, dir) => {
+      val geo = nation(s, dir).join(region(s, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      val cust = Diff.dimLookup(customer(s, dir), geo, "c_nationkey", "n_nationkey",
+        "inner")
+      val fact = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      fact.groupBy(col("r_name"), col("n_name"))
+        .agg(
+          revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J8 left_semi: customers with at least one finalized order.
+    "semi_join_customers" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "clean_conform" ->
+      """SELECT c_custkey AS id_num, c_name AS login_id,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN -1 ELSE 0 END AS c_mktsegment,
+        |  c_acctbal,
+        |  '25' AS yr_cde, '1S' AS trm_cde, DATE '2026-01-01' AS load_date
+        |FROM customer
+        |WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+        |  AND regexp_matches(c_name, '^Customer#[0-9]+$')
+        |ORDER BY id_num""".stripMargin,
+
+    "missing_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders m
+        |  WHERE m.o_orderkey % 10 <> 0 AND m.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "daily_enrollment_diff" ->
+      """WITH truth AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity <= 45),
+        |     mirror AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount < 0.09)
+        |SELECT t.l_orderkey, t.l_linenumber, 'active' AS status FROM truth t
+        |WHERE NOT EXISTS (SELECT 1 FROM mirror m
+        |  WHERE m.l_orderkey = t.l_orderkey AND m.l_linenumber = t.l_linenumber)
+        |UNION ALL
+        |SELECT m.l_orderkey, m.l_linenumber, 'deleted' AS status FROM mirror m
+        |WHERE NOT EXISTS (SELECT 1 FROM truth t
+        |  WHERE t.l_orderkey = m.l_orderkey AND t.l_linenumber = m.l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "change_stats" ->
+      """WITH truth AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity <= 45),
+        |     mirror AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount < 0.09),
+        |     diff AS (
+        |  SELECT 'active' AS status FROM truth t
+        |  WHERE NOT EXISTS (SELECT 1 FROM mirror m
+        |    WHERE m.l_orderkey = t.l_orderkey AND m.l_linenumber = t.l_linenumber)
+        |  UNION ALL
+        |  SELECT 'deleted' AS status FROM mirror m
+        |  WHERE NOT EXISTS (SELECT 1 FROM truth t
+        |    WHERE t.l_orderkey = m.l_orderkey AND t.l_linenumber = m.l_linenumber))
+        |SELECT 'Enrollment' AS entity, status, COUNT(*) AS n
+        |FROM diff GROUP BY status ORDER BY entity, status""".stripMargin,
+
+    "term_increment" ->
+      """WITH terms AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%y') AS yr_cde,
+        |    CASE WHEN month(o_orderdate) <= 6 THEN '1S' ELSE '2S' END AS trm_cde
+        |  FROM orders)
+        |SELECT yr_cde, trm_cde, yr_cde || trm_cde AS term,
+        |  CASE WHEN trm_cde = '2S'
+        |    THEN lpad(CAST(CAST(yr_cde AS INT) + 1 AS VARCHAR), 2, '0') || '1S'
+        |    ELSE yr_cde || '2S' END AS next_term
+        |FROM terms ORDER BY yr_cde, trm_cde""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "semi_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
