@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import graft.operators.Dedup
+import Util._
+
+/** Text-analysis + deduplication queries over the documents table
+  * (SURVEY §2.9 [EXT]). The DuckDB oracles mirror the exact same md5/ascii
+  * arithmetic, so even the LSH pipelines hash-match.
+  *
+  * Pair-producing queries cap the corpus at doc_id < 1500 — the pair join
+  * is the demo surface; the operators themselves (graft.operators.Dedup)
+  * take any DataFrame and scale by blocking keys, not by caps.
+  */
+object TextDedup {
+
+  private val CAP = 1500
+
+  // Stopword sets for the language-ID heuristic (en/es/de/fr).
+  private val EN = Seq("the", "a", "and", "of", "is")
+  private val ES = Seq("el", "la", "de", "los", "y")
+  private val DE = Seq("der", "die", "das", "und", "ist")
+  private val FR = Seq("le", "les", "et", "est", "dans")
+
+  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  // ---- shared DuckDB snippets (mirror TextFns/Dedup expressions) -------
+
+  /** toks + distinct 3-gram shingle set, mirroring TextFns.shingleSet. */
+  private val docsSql =
+    s"""docs AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks)-1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE []::VARCHAR[] END) AS sh
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+       |        FROM documents WHERE doc_id < $CAP)
+       |)""".stripMargin
+
+  private val shingledSql =
+    s"""shingled AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)"""
+
+  /** Jaccard-verify SQL over candidate pairs (a,b): mirrors
+    * Dedup.verifyJaccard.
+    */
+  private def verifySql(threshold: Double) =
+    s"""SELECT c.a, c.b,
+       |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+       |  CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |    AS jaccard
+       |FROM cand c
+       |JOIN shingled da ON da.doc_id = c.a
+       |JOIN shingled db ON db.doc_id = c.b
+       |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+       |      CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |      >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  /** hex-digit value of digit b (1-based) of md5 hex m — mirrors
+    * TextFns.hexVal(substring(m, b, 1)).
+    */
+  private def hexValSql(m: String, b: Int) =
+    s"(CASE WHEN ascii(substr($m, $b, 1)) >= 97 THEN ascii(substr($m, $b, 1)) - 87 ELSE ascii(substr($m, $b, 1)) - 48 END)"
+
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, Q] = Map(
+
+    // F13/fingerprinting: md5 of whitespace-normalized lowercased text.
+    "text_fingerprint" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: hash-groupBy on the fingerprint.
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(documents(s, dir))
+        .orderBy(col("fp"))
+    }),
+
+    // MinHash (8 sigs) + LSH banding (4 bands x 2 rows) + exact verify.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(documents(s, dir).filter(col("doc_id") < CAP),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Exact n-gram Jaccard pairs via inverted-index self-join.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(documents(s, dir).filter(col("doc_id") < CAP),
+        n = 3, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // 16-bit SimHash signatures, deduped on signature equality.
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashDedup(documents(s, dir).filter(col("doc_id") < CAP), n = 3)
+        .orderBy(col("simhash"))
+    }),
+
+    // Language-ID heuristic -> confusion matrix against the lang column.
+    "lang_id_confusion" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      val Seq(en, es, de, fr) = Seq(EN, ES, DE, FR).map(TextFns.stopHits(toks, _))
+      documents(s, dir)
+        .withColumn("predicted",
+          when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de")
+            .otherwise("fr"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Quality scoring: stopword ratio, punctuation ratio, length prior.
+    "quality_score" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      documents(s, dir)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("stop_hits", TextFns.stopHits(toks, EN))
+        .withColumn("punct_len",
+          (length(col("text")) -
+            length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+            .cast("long"))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+        .withColumn("punct_ratio",
+          col("punct_len").cast("double") / length(col("text")).cast("double"))
+        .withColumn("score",
+          lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("punct_ratio"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: totals, distincts, chars per document.
+    "token_stats" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Term frequency: global top-20 tokens.
+    "term_freq_top20" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    })
+  )
+
+  def oracles: Map[String, String] = {
+
+    // MinHash sigs + bands SQL (mirrors Dedup.withMinhashSigs/minhashLshPairs).
+    val k = 8
+    val bands = 4
+    val sigCols = (0 until k)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i#' || s))) AS sig$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    val minhashSql =
+      s"""WITH $docsSql,
+         |$shingledSql,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM shingled),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         |   AND x.doc_id < y.doc_id)
+         |${verifySql(0.5)}""".stripMargin
+
+    val ngramSql =
+      s"""WITH $docsSql,
+         |$shingledSql,
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |${verifySql(0.5)}""".stripMargin
+
+    // SimHash SQL (mirrors Dedup.withSimhash, nBits=16).
+    val bitTerms = (0 until 16).map { b =>
+      s"CASE WHEN list_sum(list_transform(shm, m -> ${hexValSql("m", b + 1)} % 2 * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" +\n      ")
+    val simhashSql =
+      s"""WITH $docsSql,
+         |$shingledSql,
+         |hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm FROM shingled),
+         |sh2 AS (SELECT doc_id,
+         |      $bitTerms AS simhash
+         |  FROM hashed)
+         |SELECT simhash, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+         |FROM sh2 GROUP BY simhash ORDER BY simhash""".stripMargin
+
+    val langScores = Seq("en_s" -> EN, "es_s" -> ES, "de_s" -> DE, "fr_s" -> FR)
+      .map { case (name, words) =>
+        s"list_sum(list_transform(toks, t -> CASE WHEN t IN (${sqlIn(words)}) THEN 1 ELSE 0 END)) AS $name"
+      }.mkString(",\n    ")
+
+    Map(
+      "text_fingerprint" ->
+        """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          |  CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          |  min(doc_id) AS rep_doc_id, count(*) AS n_dups
+          |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+      "dedup_minhash_lsh" -> minhashSql,
+      "dedup_ngram_jaccard" -> ngramSql,
+      "dedup_simhash" -> simhashSql,
+
+      "lang_id_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT lang,
+           |    $langScores
+           |  FROM (SELECT lang, regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents)),
+           |pred AS (
+           |  SELECT lang,
+           |    CASE WHEN en_s >= es_s AND en_s >= de_s AND en_s >= fr_s THEN 'en'
+           |         WHEN es_s >= de_s AND es_s >= fr_s THEN 'es'
+           |         WHEN de_s >= fr_s THEN 'de'
+           |         ELSE 'fr' END AS predicted
+           |  FROM scored)
+           |SELECT lang, predicted, count(*) AS n
+           |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+      "quality_score" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS toks
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    list_sum(list_transform(toks, t -> CASE WHEN t IN (${sqlIn(EN)}) THEN 1 ELSE 0 END)) AS stop_hits,
+           |    CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
+           |    length(text) AS n_chars
+           |  FROM base)
+           |SELECT doc_id, n_tokens,
+           |  CAST(stop_hits AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS stop_ratio,
+           |  CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           |  0.5 * (CAST(stop_hits AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE))
+           |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
+           |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "token_stats" ->
+        """SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
+      "term_freq_top20" ->
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+          |      FROM documents)
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+    )
+  }
+}

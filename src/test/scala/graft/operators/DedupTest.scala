@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two near-identical docs (one word changed), one unrelated.
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (2L, "completely different words about spark shuffles and partition pruning")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized text") {
+    val withDup = docs.union(Seq((3L, "The  quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val out = Dedup.exactDedup(withDup)
+    assert(out.count() == 3)
+    val dupRow = out.filter(col("n_dups") === 2).select("rep_doc_id").as[Long].collect()
+    assert(dupRow.toSeq == Seq(0L))
+  }
+
+  test("ngramJaccardPairs finds exactly the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    // 12 shingles each; the changed word breaks 3 -> 9 shared, union 15
+    assert(math.abs(pairs.head._3 - 0.6) < 1e-12)
+  }
+
+  test("minhashLshPairs candidates+verify find the near-dup, nothing else") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, bands = 4, rowsPerBand = 2,
+      threshold = 0.5).as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+  }
+
+  test("simhashDedup: identical docs share a signature") {
+    val twin = docs.union(Seq((3L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text"))
+    val out = Dedup.simhashDedup(twin, n = 3)
+    val grouped = out.filter(col("n_docs") === 2)
+    assert(grouped.count() == 1)
+    assert(grouped.select("rep_doc_id").as[Long].head() == 0L)
+  }
+
+  test("embeddingNearDup finds the planted high-cosine pair within block") {
+    val embs = Seq(
+      (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),
+      (1L, Seq.tabulate(8)(i => 0.1001f * (i + 1)), 1), // ~parallel to 0
+      (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f), 1),
+      (3L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 2)     // same dir, other block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(embs, col("label"), 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(out.head._3 > 0.999)
+  }
+}
