@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Util._
+
+/** Batch-mode equivalents of the streaming window operators
+  * (SURVEY §2.8 [EXT]): the same window()/session_window() expressions run
+  * in batch over the events table, which makes them DuckDB-oracle-able.
+  * The streaming forms (watermarks, state) live in
+  * [[graft.streaming.StreamingOps]] and are covered by MemoryStream tests.
+  */
+object WindowsQ {
+
+  private val US_5M = 300000000L   // 5 minutes in micros
+  private val US_30M = 1800000000L // 30 minutes in micros
+
+  def queries: Map[String, Q] = Map(
+
+    // Tumbling 5-minute windows per event type.
+    "window_tumbling" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(tsUs(col("window.start")).as("w_start_us"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
+
+    // Sliding 10-minute windows every 5 minutes (each event in 2 windows).
+    "window_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(tsUs(col("window.start")).as("w_start_us"), col("event_type"),
+          col("n"))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
+
+    // Session windows: >= 30-minute silence starts a new session.
+    "window_session" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), tsUs(col("session_window.start")).as("s_start_us"),
+          tsUs(col("session_window.end")).as("s_end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("s_start_us"))
+    }),
+
+    // Lag-based sessionization (gaps-and-islands by hand): session count +
+    // mean session length per user. Complements window_session by
+    // exercising the analytic-window formulation.
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("ts_us", tsUs(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") >= US_30M, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "window_tumbling" ->
+      s"""SELECT epoch_us(ts) - epoch_us(ts) % $US_5M AS w_start_us,
+         |  event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY w_start_us, event_type
+         |ORDER BY w_start_us, event_type""".stripMargin,
+
+    "window_sliding" ->
+      s"""WITH assigned AS (
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $US_5M AS w_start_us, event_type
+         |  FROM events
+         |  UNION ALL
+         |  SELECT epoch_us(ts) - epoch_us(ts) % $US_5M - $US_5M AS w_start_us, event_type
+         |  FROM events)
+         |SELECT w_start_us, event_type, COUNT(*) AS n
+         |FROM assigned GROUP BY w_start_us, event_type
+         |ORDER BY w_start_us, event_type""".stripMargin,
+
+    "window_session" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) >= $US_30M
+         |         OR lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |islands AS (
+         |  SELECT user_id, ts_us,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts_us) AS s_start_us,
+         |  MAX(ts_us) + $US_30M AS s_end_us, COUNT(*) AS n_events
+         |FROM islands GROUP BY user_id, sess_id
+         |ORDER BY user_id, s_start_us""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) >= $US_30M
+         |         OR lag(epoch_us(ts)) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events)
+         |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operator set (SURVEY §2.8).
+  *
+  * The reference's streaming stand-ins are poll-until-complete loops and a
+  * recurring daily batch (reference: src/canvas.py:38-40,128-129,
+  * main.py:1-9); these upgrade to real incremental computation:
+  *  - watermarked tumbling/sliding/session window aggregation over events
+  *  - stateful dedup within the watermark
+  *  - the enrollment-status state machine (J6's active/deleted transitions
+  *    as a stream) via flatMapGroupsWithState
+  *  - idempotent foreachBatch overwrite preserving the reference's
+  *    truncate-reload mirror semantics (src/jenzabar.py:46-47)
+  *
+  * All transforms take/return untriggered streaming Datasets, so tests
+  * drive them with MemoryStream and production wires them to any source.
+  * Scale: state size is bounded by the watermark horizon; keys partition
+  * the state store, so a 1000-executor cluster shards state by key hash.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregate: events -> (window, event_type,
+    * n, total). Late rows beyond the watermark are dropped, which bounds
+    * the state store at scale.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+                     width: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window variant (each event lands in size/slide windows). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+                    width: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: activity bursts per user separated by >= gap. */
+  def sessionCounts(events: DataFrame, watermark: String = "30 minutes",
+                    gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Stateful dedup on event_id within the watermark horizon — the
+    * streaming form of exact dedup (bounded state, unlike dropDuplicates).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One enrollment-status transition (the stream form of J6's diff). */
+  final case class StatusEvent(key: String, status: String, ts: java.sql.Timestamp)
+  final case class Transition(key: String, from: String, to: String,
+                              at: java.sql.Timestamp)
+
+  /** State machine over enrollment status events: emits a Transition for
+    * every active<->deleted flip (idempotent on repeats). State per key is
+    * one small string — safe at any key cardinality because the state
+    * store shards by key.
+    */
+  def statusTransitions(events: Dataset[StatusEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[StatusEvent], state: GroupState[String]) =>
+          // Sort the micro-batch slice (iterators are unordered across tasks).
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var cur = state.getOption.getOrElse("none")
+          for (e <- sorted) {
+            if (e.status != cur) {
+              out += Transition(key, cur, e.status, e.ts)
+              cur = e.status
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Idempotent micro-batch sink preserving the reference's
+    * truncate-reload mirror semantics: every batch fully overwrites the
+    * target (same result on replay — exactly-once effective semantics).
+    */
+  def overwriteMirrorEachBatch(stream: DataFrame, path: String) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.write.mode("overwrite").parquet(path)
+    }
+}
