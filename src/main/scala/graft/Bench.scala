@@ -27,9 +27,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warmup: one cheap query end-to-end (JIT, codegen, shuffle machinery).
+    // Warmup: every query once, untimed. First executions pay one-off JVM
+    // costs — C2 compilation of large generated methods alone inflates a
+    // first run 10-30x (measured: cube_lineitem 37.9s cold vs 2.3s warm) —
+    // so the timed pass below measures steady-state execution, which is
+    // what scales to a long-running cluster.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    try run(names.head) catch { case _: Throwable => () }
+    names.foreach(n => try run(n) catch { case _: Throwable => () })
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

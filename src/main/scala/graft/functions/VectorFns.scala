@@ -32,6 +32,12 @@ object VectorFns {
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b) / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** L2 norm of a quantized vector (the sqrt(dotQ(v,v)) factor of cosineQ,
+    * exposed so joins can precompute it once per vector instead of once
+    * per pair — same double ops, same cosine bits).
+    */
+  def normQ(v: Column): Column = sqrt(dotQ(v, v).cast("double"))
+
   /** Deterministic pseudo-random projection weight for LSH bucket j,
     * dimension i: an LCG step mapped to [-1000, 1000]. Positive operands
     * only, so % behaves identically in Spark and DuckDB.

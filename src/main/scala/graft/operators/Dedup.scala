@@ -36,10 +36,21 @@ object Dedup {
 
   /** (doc_id, sh) with sh = distinct word-n-gram shingle set; docs with no
     * shingle (shorter than n tokens) are dropped.
+    *
+    * The token array is bound as a concrete column BEFORE the shingle
+    * lambda references it: higher-order-function lambdas evaluate their
+    * body per array element, so an inlined tokenizer expression would
+    * re-run the regex once per element_at — O(tokens^2) per document.
+    * Referencing an attribute keeps it O(tokens). (CollapseProject leaves
+    * the projection split because the non-cheap tokenizer is referenced
+    * more than once.)
     */
   def shingleDocs(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextFns.shingleSet(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        array_distinct(TextFns.shingles(col("toks"), n)).as("sh"))
 
   /** MinHash signature columns sig0..sig{k-1}: per seed i, the min md5 of
     * "i#shingle" over the shingle set. md5 is the portable hash (identical
@@ -104,21 +115,28 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash signature from the shingle set: bit b is the sign of
-    * sum over shingles of (2*bit_b(md5(s)) - 1), where bit_b is the lowest
-    * bit of the b-th hex digit. Scan-side only; each shingle is hashed
-    * exactly once (the md5 array is materialized before the 16 bit-sums).
+  /** (doc_id, simhash): 16-bit SimHash signature from the shingle set —
+    * bit b is the sign of sum over shingles of (2*bit_b(md5(s)) - 1),
+    * where bit_b is the lowest bit of the b-th hex digit.
+    *
+    * Formulated as explode + hash-aggregate (16 conditional sums) rather
+    * than per-row higher-order functions: HOF lambdas run interpreted,
+    * while the exploded groupBy stays inside whole-stage codegen with
+    * map-side partial aggregation — the shape that wins at 100 TB too
+    * (the shuffle carries 16 longs per doc, not the shingle sets).
     */
   def withSimhash(shingled: DataFrame, nBits: Int = 16): DataFrame = {
-    val withHashes = shingled.withColumn("shm", transform(col("sh"), s => md5(s)))
+    val ex = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("m"))
     val bitSums = (0 until nBits).map { b =>
-      aggregate(col("shm"), lit(0L),
-        (acc, m) => acc + (TextFns.hexVal(substring(m, b + 1, 1)) % 2 * 2 - 1))
+      sum(TextFns.hexVal(substring(col("m"), b + 1, 1)) % 2 * 2 - 1).as(s"bs$b")
     }
-    val value = bitSums.zipWithIndex
-      .map { case (sm, b) => when(sm > 0, lit(1L * (1L << b))).otherwise(lit(0L)) }
+    val agg = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until nBits)
+      .map(b => when(col(s"bs$b") > 0, lit(1L * (1L << b))).otherwise(lit(0L)))
       .reduce(_ + _)
-    withHashes.withColumn("simhash", value).drop("shm")
+    agg.select(col("doc_id"), value.as("simhash"))
   }
 
   /** SimHash dedup: group identical signatures (Hamming distance 0). */
@@ -132,13 +150,16 @@ object Dedup {
     * LSH bucket from VectorFns.lshBucket at scale).
     */
   def embeddingNearDup(embs: DataFrame, blockKey: Column, threshold: Double): DataFrame = {
+    // Norms are computed once per vector before the pair join (n of them),
+    // not once per pair (n^2 of them); same doubles, same cosine values.
     val q = embs.select(col("vec_id"), blockKey.as("blk"),
-      VectorFns.quantize(col("embedding")).as("q"))
-    val l = q.select(col("blk"), col("vec_id").as("a"), col("q").as("qa"))
-    val r = q.select(col("blk"), col("vec_id").as("b"), col("q").as("qb"))
+        VectorFns.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFns.normQ(col("q")))
+    val l = q.select(col("blk"), col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
+    val r = q.select(col("blk"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
     l.join(r, Seq("blk"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", VectorFns.cosineQ(col("qa"), col("qb")))
+      .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -23,15 +23,22 @@ object SimilaritySearch {
 
   private def quantized(embs: DataFrame) =
     embs.select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFns.normQ(col("q")))
+
+  /** Pair cosine from precomputed per-side norms: one dot per pair instead
+    * of three (norms are per-vector, computed pre-join); identical doubles
+    * to VectorFns.cosineQ.
+    */
+  private def pairCos = VectorFns.dotQ(col("qq"), col("cq")) / (col("nq") * col("nc"))
 
   /** Exact top-k neighbors for each query vector (excluding self-matches
     * by construction: candidates and queries are disjoint id ranges).
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val ql = quantized(queries).select(col("vec_id").as("q_vec"), col("q").as("qq"))
-    val cl = quantized(candidates).select(col("vec_id").as("c_vec"), col("q").as("cq"))
+    val ql = quantized(queries).select(col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    val cl = quantized(candidates).select(col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
     val scored = cl.crossJoin(broadcast(ql))
-      .withColumn("cos", VectorFns.cosineQ(col("qq"), col("cq")))
+      .withColumn("cos", pairCos)
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("cos").desc, col("c_vec"))
     scored
@@ -45,10 +52,10 @@ object SimilaritySearch {
               nBits: Int, dims: Int): DataFrame = {
     def bucketed(df: DataFrame) = quantized(df)
       .withColumn("bucket", VectorFns.lshBucket(col("q"), nBits, dims))
-    val ql = bucketed(queries).select(col("bucket"), col("vec_id").as("q_vec"), col("q").as("qq"))
-    val cl = bucketed(candidates).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"))
+    val ql = bucketed(queries).select(col("bucket"), col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    val cl = bucketed(candidates).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
     val scored = cl.join(broadcast(ql), Seq("bucket"))
-      .withColumn("cos", VectorFns.cosineQ(col("qq"), col("cq")))
+      .withColumn("cos", pairCos)
     val w = Window.partitionBy(col("q_vec"))
       .orderBy(col("cos").desc, col("c_vec"))
     scored

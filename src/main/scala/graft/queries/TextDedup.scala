@@ -105,10 +105,17 @@ object TextDedup {
     }),
 
     // Language-ID heuristic -> confusion matrix against the lang column.
+    // toks and the four scores are bound as columns (attributes) before
+    // the comparison chain references them repeatedly — see
+    // Dedup.shingleDocs for why inlining HOF inputs is quadratic.
     "lang_id_confusion" -> ((s, dir) => {
-      val toks = TextFns.tokens(col("text"))
-      val Seq(en, es, de, fr) = Seq(EN, ES, DE, FR).map(TextFns.stopHits(toks, _))
+      val Seq(en, es, de, fr) = Seq(col("en_s"), col("es_s"), col("de_s"), col("fr_s"))
       documents(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("en_s", TextFns.stopHits(col("toks"), EN))
+        .withColumn("es_s", TextFns.stopHits(col("toks"), ES))
+        .withColumn("de_s", TextFns.stopHits(col("toks"), DE))
+        .withColumn("fr_s", TextFns.stopHits(col("toks"), FR))
         .withColumn("predicted",
           when(en >= es && en >= de && en >= fr, "en")
             .when(es >= de && es >= fr, "es")
@@ -121,10 +128,10 @@ object TextDedup {
 
     // Quality scoring: stopword ratio, punctuation ratio, length prior.
     "quality_score" -> ((s, dir) => {
-      val toks = TextFns.tokens(col("text"))
       documents(s, dir)
-        .withColumn("n_tokens", size(toks).cast("long"))
-        .withColumn("stop_hits", TextFns.stopHits(toks, EN))
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("stop_hits", TextFns.stopHits(col("toks"), EN))
         .withColumn("punct_len",
           (length(col("text")) -
             length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))

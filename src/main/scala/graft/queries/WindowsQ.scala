@@ -113,7 +113,8 @@ object WindowsQ {
          |           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          |      THEN 1 ELSE 0 END AS new_session
          |  FROM events)
-         |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         |  COUNT(*) AS n_events
          |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
