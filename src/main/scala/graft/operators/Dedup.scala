@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
@@ -12,16 +13,19 @@ import graft.functions.{TextFns, VectorFns}
   * Scale design (100 TB):
   *  - exact dedup: one hash-shuffle on the 32-char fingerprint, map-side
   *    partial aggregation.
-  *  - MinHash/LSH: signatures are computed scan-side (no shuffle), then
-  *    one shuffle keyed by (band_idx, band_hash); candidate pairs only for
-  *    docs sharing a band bucket, so the O(n^2) pair space never
-  *    materializes. Verification joins on doc_id — broadcastable when the
-  *    candidate set is small, shuffle-join otherwise.
-  *  - SimHash: pure scan-side signature; dedup is a groupBy on the value.
+  *  - text shingling is relational (shingle ROWS, not arrays): tokenize →
+  *    posexplode → window lead → distinct, all whole-stage codegen;
+  *    signatures are hash-aggregates over those rows.
+  *  - MinHash/LSH: one shuffle on doc_id for signatures, one keyed by
+  *    (band_idx, band_hash); candidate pairs only for docs sharing a band
+  *    bucket, so the O(n^2) pair space never materializes. Verification
+  *    touches candidate pairs only.
+  *  - SimHash: 16 conditional sums in one aggregate; dedup is a groupBy
+  *    on the signature value.
   *  - n-gram Jaccard: inverted-index self-join on shingle (shuffle keyed
   *    by shingle) — exact, for modest corpora or as the verify stage.
   *  - embedding near-dup: blocked pair join (label or LSH bucket as the
-  *    blocking key) + exact quantized cosine.
+  *    blocking key) + exact quantized cosine with precomputed norms.
   */
 object Dedup {
 
@@ -34,42 +38,65 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** (doc_id, sh) with sh = distinct word-n-gram shingle set; docs with no
-    * shingle (shorter than n tokens) are dropped.
+  /** (doc_id, s): the distinct word-n-gram shingle set, one row per
+    * shingle — the relational formulation of shingling.
     *
-    * The token array is bound as a concrete column BEFORE the shingle
-    * lambda references it: higher-order-function lambdas evaluate their
-    * body per array element, so an inlined tokenizer expression would
-    * re-run the regex once per element_at — O(tokens^2) per document.
-    * Referencing an attribute keeps it O(tokens). (CollapseProject leaves
-    * the projection split because the non-cheap tokenizer is referenced
-    * more than once.)
+    * posexplode + ranking-window lead + distinct keep every step inside
+    * whole-stage codegen. The array formulation (transform over a token
+    * array) is a trap twice over: higher-order-function lambdas run
+    * interpreted, and when physical projections fuse, a lambda body that
+    * indexes into the token array re-evaluates the inlined tokenizer
+    * regex once per element — O(tokens^2) per document (measured: 160 s
+    * of CPU for 1500 docs). Rows, windows and aggregates never touch
+    * either failure mode, and every downstream consumer (inverted index,
+    * MinHash sigs, SimHash bit-sums, intersection counts) wants rows
+    * anyway. Docs shorter than n tokens yield no full gram and drop out.
     */
-  def shingleDocs(docs: DataFrame, n: Int): DataFrame =
+  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w)): _*)
     docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        array_distinct(TextFns.shingles(col("toks"), n)).as("sh"))
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      // concat_ws skips NULLs, so tail positions would emit short grams:
+      // keep only windows where the last token exists.
+      .select(col("doc_id"), gram.as("s"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("s"))
+      .distinct()
+  }
 
-  /** MinHash signature columns sig0..sig{k-1}: per seed i, the min md5 of
-    * "i#shingle" over the shingle set. md5 is the portable hash (identical
+  /** Per-doc shingle-set sizes (the |A| term of Jaccard). */
+  private def shingleSizes(inv: DataFrame): DataFrame =
+    inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+  /** MinHash signatures sig0..sig{k-1}: per seed i, the min md5 of
+    * "i#shingle" over the doc's shingle set — one hash-aggregate with k
+    * min() columns over the shingle rows (map-side partial min, shuffle
+    * carries k hex strings per doc). md5 is the portable hash (identical
     * hex in DuckDB); min over lexicographic hex is order-insensitive.
     */
-  def withMinhashSigs(shingled: DataFrame, k: Int): DataFrame =
-    (0 until k).foldLeft(shingled) { (d, i) =>
-      d.withColumn(s"sig$i",
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$i#"), s)))))
-    }
+  def minhashSigs(inv: DataFrame, k: Int): DataFrame = {
+    val sigCols = (0 until k)
+      .map(i => min(md5(concat(lit(s"$i#"), col("s")))).as(s"sig$i"))
+    inv.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
 
   /** LSH banding: candidate pairs = docs sharing any band hash, verified
-    * with exact Jaccard over the shingle sets; result pairs with
-    * jaccard >= threshold. bands * rowsPerBand signatures are used.
+    * with exact Jaccard intersection counts over the shingle rows; result
+    * pairs with jaccard >= threshold. bands * rowsPerBand signatures.
+    *
+    * Scale shape: signatures shuffle once on doc_id; banding shuffles
+    * (band_idx, band_hash) — the blocking key that keeps the pair space
+    * sub-quadratic; verification touches only candidate pairs (cand x
+    * |shingles(a)| rows), never the full self-join.
     */
   def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = withMinhashSigs(shingleDocs(docs, n), k)
+    val inv = shingleRows(docs, n)
+    val sigs = minhashSigs(inv, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*))
     }
@@ -81,54 +108,60 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    verifyJaccard(cand, shingleDocs(docs, n), threshold)
+    // |A ∩ B| for candidate pairs only: expand each pair by a's shingles,
+    // keep those that exist in b (semi join), count per pair.
+    val inter = cand
+      .join(inv.select(col("doc_id").as("a"), col("s")), "a")
+      .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"), "left_semi")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, shingleSizes(inv), threshold)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join — the
-    * no-false-negative formulation (and the verify stage of LSH).
+    * no-false-negative formulation.
+    *
+    * Intersection sizes come straight out of the self-join with a
+    * groupBy(a,b).count() (each shingle is distinct per doc, so a pair
+    * appears once per shared shingle): everything stays in codegen'd
+    * joins and hash aggregates, and the shuffle is keyed by shingle —
+    * the quantity that actually bounds the pair space.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val shingled = shingleDocs(docs, n)
-    val inv = shingled.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = inv.select(col("s"), col("doc_id").as("a"))
+    val inv = shingleRows(docs, n)
+    val inter = inv.select(col("s"), col("doc_id").as("a"))
       .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    verifyJaccard(cand, shingled, threshold)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, shingleSizes(inv), threshold)
   }
 
-  /** Join candidate (a,b) pairs back to shingle sets and keep pairs with
-    * exact Jaccard >= threshold. Set sizes are ints, the division is one
-    * double op — deterministic.
+  /** jaccard = |∩| / (|A| + |B| - |∩|) from per-pair intersection counts
+    * and per-doc set sizes; pairs below threshold are dropped. Counts are
+    * exact longs, the division is one double op — deterministic.
     */
-  private def verifyJaccard(cand: DataFrame, shingled: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sa = shingled.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val sb = shingled.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-    cand.join(sa, "a").join(sb, "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-  }
 
-  /** (doc_id, simhash): 16-bit SimHash signature from the shingle set —
+  /** (doc_id, simhash): 16-bit SimHash signature over the shingle rows —
     * bit b is the sign of sum over shingles of (2*bit_b(md5(s)) - 1),
     * where bit_b is the lowest bit of the b-th hex digit.
     *
-    * Formulated as explode + hash-aggregate (16 conditional sums) rather
-    * than per-row higher-order functions: HOF lambdas run interpreted,
-    * while the exploded groupBy stays inside whole-stage codegen with
-    * map-side partial aggregation — the shape that wins at 100 TB too
-    * (the shuffle carries 16 longs per doc, not the shingle sets).
+    * One hash-aggregate with 16 conditional sums: map-side partial
+    * aggregation, whole-stage codegen, and the shuffle carries 16 longs
+    * per doc — the shape that wins at 100 TB too.
     */
-  def withSimhash(shingled: DataFrame, nBits: Int = 16): DataFrame = {
-    val ex = shingled
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("m"))
+  def withSimhash(inv: DataFrame, nBits: Int = 16): DataFrame = {
+    val ex = inv.select(col("doc_id"), md5(col("s")).as("m"))
     val bitSums = (0 until nBits).map { b =>
       sum(TextFns.hexVal(substring(col("m"), b + 1, 1)) % 2 * 2 - 1).as(s"bs$b")
     }
@@ -141,7 +174,7 @@ object Dedup {
 
   /** SimHash dedup: group identical signatures (Hamming distance 0). */
   def simhashDedup(docs: DataFrame, n: Int, nBits: Int = 16): DataFrame =
-    withSimhash(shingleDocs(docs, n), nBits)
+    withSimhash(shingleRows(docs, n), nBits)
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
 
