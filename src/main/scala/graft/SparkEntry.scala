@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Core, SimilarityQ, TextDedup, WindowsQ}
+import graft.queries.{Analytics, Core, Extended, SimilarityQ, TemporalQ, TextDedup, WindowsQ}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with an ANSI-SQL
@@ -20,7 +20,9 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracles),
       (TextDedup.queries, TextDedup.oracles),
       (SimilarityQ.queries, SimilarityQ.oracles),
-      (WindowsQ.queries, WindowsQ.oracles))
+      (WindowsQ.queries, WindowsQ.oracles),
+      (TemporalQ.queries, TemporalQ.oracles),
+      (Extended.queries, Extended.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import Util._
+
+/** Extended analytics surface: pivot, grouping sets, exact percentiles,
+  * edit-distance dedup, rolling-hash fingerprints, BPE-style token
+  * classes (SURVEY §2.4 A5, §2.9 [EXT]).
+  */
+object Extended {
+
+  /** 31^(k) for k in 0..7 — shared literal table for the rolling hash
+    * (kept in exact long arithmetic on both engines).
+    */
+  private val POW31: Seq[Long] = Seq.iterate(1L, 8)(_ * 31L)
+
+  /** hex-digit value of 1-based digit b of md5 hex m (DuckDB side). */
+  private def hexValSql(m: String, b: Int) =
+    s"(CASE WHEN ascii(substr($m, $b, 1)) >= 97 THEN ascii(substr($m, $b, 1)) - 87 ELSE ascii(substr($m, $b, 1)) - 48 END)"
+
+  /** BPE-ish token classes: letter runs, digit runs, single punctuation. */
+  private val BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Map[String, Q] = Map(
+
+    // A5 pivot: orders count by year x status, statuses as columns.
+    "pivot_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_year"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("o_year"))
+    }),
+
+    // A5 grouping sets: two independent one-dimensional rollups plus the
+    // grand total in one pass (the general form behind cube/rollup).
+    "grouping_sets_orders" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(1) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderpriority ASC NULLS FIRST,
+          |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // A5 exact percentiles (linear interpolation) per priority class.
+    "percentile_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Edit-distance dedup: candidate pairs blocked on the name's last 4
+    // digits (the blocking key bounds the pair space), verified with
+    // exact levenshtein <= 2 — catches prefix-digit typos of the same
+    // entity id.
+    "dedup_levenshtein" -> ((s, dir) => {
+      val c = customer(s, dir)
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 15, 4).as("blk"))
+      val l = c.select(col("blk"), col("c_custkey").as("a"), col("c_name").as("name_a"))
+      val r = c.select(col("blk"), col("c_custkey").as("b"), col("c_name").as("name_b"))
+      l.join(r, Seq("blk"))
+        .filter(col("a") < col("b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 2)
+        .select(col("a"), col("b"), col("lev").cast("long").as("lev"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Rolling-hash document fingerprint: position-weighted polynomial
+    // hash over token hashes (weight 31^(pos mod 8)), exact long
+    // arithmetic — an order-sensitive complement to the md5 fingerprint.
+    "rolling_hash_docs" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), md5(col("tok")).as("m"))
+      val tv = (TextFns.hexVal(substring(col("m"), 1, 1)) * 4096 +
+        TextFns.hexVal(substring(col("m"), 2, 1)) * 256 +
+        TextFns.hexVal(substring(col("m"), 3, 1)) * 16 +
+        TextFns.hexVal(substring(col("m"), 4, 1))).cast("long")
+      val w = POW31.zipWithIndex.tail
+        .foldLeft(when(col("pos") % 8 === 0, lit(POW31.head))) {
+          case (acc, (p, k)) => acc.when(col("pos") % 8 === k, lit(p))
+        }
+      tok
+        .select(col("doc_id"), (tv * w).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term")).as("rolling_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
+    // digit runs, punctuation singletons.
+    "bpe_token_stats" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit(BPE_RE), lit(0)).as("bt"))
+        .select(col("doc_id"),
+          size(col("bt")).cast("long").as("n_bpe"),
+          size(array_distinct(col("bt"))).cast("long").as("n_distinct_bpe"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+
+    val powCaseSql = POW31.zipWithIndex
+      .map { case (p, k) => s"WHEN $k THEN CAST($p AS BIGINT)" }
+      .mkString("CASE pos % 8 ", " ", " END")
+
+    Map(
+      "pivot_orders" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+          |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+      "grouping_sets_orders" ->
+        """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderpriority ASC NULLS FIRST,
+          |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+      "percentile_orders" ->
+        """SELECT o_orderpriority,
+          |  quantile_cont(o_totalprice, 0.25) AS p25,
+          |  quantile_cont(o_totalprice, 0.5) AS p50,
+          |  quantile_cont(o_totalprice, 0.75) AS p75
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+
+      "dedup_levenshtein" ->
+        """SELECT x.c_custkey AS a, y.c_custkey AS b,
+          |  CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS lev
+          |FROM customer x JOIN customer y
+          |  ON substr(x.c_name, 15, 4) = substr(y.c_name, 15, 4)
+          | AND x.c_custkey < y.c_custkey
+          |WHERE levenshtein(x.c_name, y.c_name) <= 2
+          |ORDER BY a, b""".stripMargin,
+
+      "rolling_hash_docs" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    generate_subscripts(toks, 1) - 1 AS pos,
+           |    md5(unnest(toks)) AS m
+           |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents)),
+           |terms AS (
+           |  SELECT doc_id,
+           |    CAST(${hexValSql("m", 1)} * 4096 + ${hexValSql("m", 2)} * 256 +
+           |         ${hexValSql("m", 3)} * 16 + ${hexValSql("m", 4)} AS BIGINT)
+           |      * ($powCaseSql) AS term
+           |  FROM tok)
+           |SELECT doc_id, CAST(SUM(term) AS BIGINT) AS rolling_hash
+           |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "bpe_token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len(bt) AS BIGINT) AS n_bpe,
+           |  CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe
+           |FROM (SELECT doc_id,
+           |        regexp_extract_all(lower(text), '$BPE_RE') AS bt
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin
+    )
+  }
+}
