@@ -74,4 +74,38 @@ object Multimodal {
     withPayload.withColumn("frame_idx",
       filter(sequence(lit(0), length(col("payload")) - 1),
         i => i % stride === 0))
+
+  /** Per-frame fan-out: one row per sampled frame with the frame's
+    * leading byte (what a real pipeline would hand to the decoder). The
+    * explode keeps fan-out relational — downstream decode batches by
+    * partition, never by driver loop.
+    */
+  def explodeFrames(withPayload: DataFrame, stride: Int): DataFrame = {
+    val hexCol = hex(col("payload"))
+    withPayload
+      .select(col("doc_id"), col("payload"),
+        explode(filter(sequence(lit(0), length(col("payload")) - 1),
+          i => i % stride === 0)).as("frame_idx"))
+      .withColumn("frame_byte",
+        (TextFns.hexVal(lower(substring(hexCol, col("frame_idx") * 2 + 1, lit(1)))) * 16 +
+          TextFns.hexVal(lower(substring(hexCol, col("frame_idx") * 2 + 2, lit(1)))))
+          .cast("long"))
+      .drop("payload")
+  }
+
+  /** Fit (width, height) into a square box, preserving aspect ratio —
+    * integer arithmetic only (exact on both engines), minimum 1 px. The
+    * resize itself is metadata math; a real pixel resample would plug in
+    * at decodeFeatures' partition batches.
+    */
+  def resizeMeta(withMeta: DataFrame, box: Int): DataFrame =
+    withMeta
+      .withColumn("new_w",
+        when(col("width") >= col("height"), lit(box.toLong))
+          .otherwise(greatest(lit(1L),
+            floor(col("width") * box / col("height")).cast("long"))))
+      .withColumn("new_h",
+        when(col("width") >= col("height"),
+          greatest(lit(1L), floor(col("height") * box / col("width")).cast("long")))
+          .otherwise(lit(box.toLong)))
 }

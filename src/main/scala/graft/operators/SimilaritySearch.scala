@@ -47,6 +47,52 @@ object SimilaritySearch {
       .select(col("q_vec"), col("rnk"), col("c_vec"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: candidates are assigned to their nearest
+    * centroid once (the "coarse quantizer"); each query probes only its
+    * `nprobe` nearest centroids' lists, turning a full scan into a
+    * ~nprobe/nlist fraction of it.
+    *
+    * Centroids are caller-supplied (here: a deterministic id-range sample;
+    * a production pipeline would plug in k-means iterates — same dataflow).
+    * Assignment and probing use the same exact quantized cosine as
+    * scoring, ties broken by centroid id, so results are deterministic.
+    *
+    * Scale shape: assignment is a broadcast of the (small) centroid set
+    * against candidates — no shuffle of the big side; the probe join
+    * shuffles on centroid id, the blocking key that bounds the scored
+    * pair space.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cent = quantized(centroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("nc"))
+    def assign(df: DataFrame, keep: Int) = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          VectorFns.dotQ(col("q"), col("cq")) / (col("nrm") * col("nc")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+        .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
+    }
+    val lists = assign(quantized(candidates), 1)
+      .select(col("cid"), col("vec_id").as("c_vec"), col("q").as("cq2"), col("nrm").as("nc2"))
+    val probes = assign(quantized(queries), nprobe)
+      .select(col("cid"), col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    val scored = lists.join(probes, Seq("cid"))
+      .withColumn("cos",
+        VectorFns.dotQ(col("qq"), col("cq2")) / (col("nq") * col("nc2")))
+    val w = Window.partitionBy(col("q_vec"))
+      .orderBy(col("cos").desc, col("c_vec"))
+    scored
+      // a candidate can reach one query via two probed lists only if it
+      // sat in both — impossible with single-assignment (keep=1)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_vec"), col("rnk"), col("c_vec"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: probe only candidates in the query's bucket. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nBits: Int, dims: Int): DataFrame = {

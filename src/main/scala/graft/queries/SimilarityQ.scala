@@ -18,6 +18,9 @@ object SimilarityQ {
   private val N_QUERIES = 8  // vec_id < 8 are the query vectors
   private val NEAR_DUP_CAP = 2000
   private val LSH_BITS = 4
+  private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
+  private val FRAME_STRIDE = 3
+  private val RESIZE_BOX = 64
 
   // ---- shared DuckDB snippets ------------------------------------------
 
@@ -63,6 +66,19 @@ object SimilarityQ {
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
+    // IVF ANN: candidates assigned once to the nearest of 16 centroids
+    // (deterministic id-range sample standing in for k-means iterates);
+    // each query probes its 2 nearest lists — ~1/8 of the full scan.
+    "ann_ivf_top3" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.ivfTopK(
+        e.filter(col("vec_id") < N_QUERIES),
+        e.filter(col("vec_id") >= N_QUERIES + IVF_NLIST),
+        e.filter(col("vec_id") >= N_QUERIES && col("vec_id") < N_QUERIES + IVF_NLIST),
+        k = 3, nprobe = 2)
+        .orderBy(col("q_vec"), col("rnk"))
+    }),
+
     // Embedding near-duplicate pairs, blocked by label (the blocking key
     // is an LSH bucket at scale), exact quantized cosine >= 0.40.
     "embed_near_dup" -> ((s, dir) => {
@@ -79,6 +95,26 @@ object SimilarityQ {
         .withColumn("media_md5", md5(col("text")))
         .select(col("doc_id"), col("media_md5"), col("byte_len"),
           col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-frame fan-out: one row per sampled frame handle + leading byte.
+    "multimodal_framesample" -> ((s, dir) => {
+      Multimodal.explodeFrames(Multimodal.attachPayload(documents(s, dir)),
+          stride = FRAME_STRIDE)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_byte"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Aspect-preserving resize of the fake decoded dimensions into a
+    // 64x64 box — metadata math in exact integer/double arithmetic.
+    "multimodal_resize" -> ((s, dir) => {
+      Multimodal.resizeMeta(
+          Multimodal.extractMeta(Multimodal.attachPayload(documents(s, dir))),
+          box = RESIZE_BOX)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("new_w"), col("new_h"))
         .orderBy(col("doc_id"))
     })
   )
@@ -115,6 +151,70 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    "ann_ivf_top3" ->
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, q AS cq FROM e
+         |         WHERE vec_id >= $N_QUERIES AND vec_id < ${N_QUERIES + IVF_NLIST}),
+         |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= ${N_QUERIES + IVF_NLIST}),
+         |ql AS (SELECT vec_id, q FROM e WHERE vec_id < $N_QUERIES),
+         |cassign AS (
+         |  SELECT vec_id AS c_vec, cid, q AS cq2 FROM (
+         |    SELECT c.vec_id, ct.cid, c.q, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY ${cosSql("c.q", "ct.cq")} DESC, ct.cid) AS crnk
+         |    FROM cand c CROSS JOIN cent ct)
+         |  WHERE crnk = 1),
+         |qassign AS (
+         |  SELECT vec_id AS q_vec, cid, q AS qq FROM (
+         |    SELECT c.vec_id, ct.cid, c.q, row_number() OVER (
+         |      PARTITION BY c.vec_id
+         |      ORDER BY ${cosSql("c.q", "ct.cq")} DESC, ct.cid) AS crnk
+         |    FROM ql c CROSS JOIN cent ct)
+         |  WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT q_vec, c_vec, ${cosSql("qq", "cq2")} AS cos
+         |  FROM cassign JOIN qassign USING (cid)),
+         |ranked AS (
+         |  SELECT q_vec, c_vec, cos, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY cos DESC, c_vec) AS rnk
+         |  FROM scored)
+         |SELECT q_vec, rnk, c_vec, cos FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    "multimodal_framesample" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |f AS (SELECT doc_id, h, unnest(range(0, 16, $FRAME_STRIDE)) AS fi FROM m)
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+         |  CAST((CASE WHEN ascii(substr(h, 2 * fi + 1, 1)) >= 97
+         |        THEN ascii(substr(h, 2 * fi + 1, 1)) - 87
+         |        ELSE ascii(substr(h, 2 * fi + 1, 1)) - 48 END) * 16 +
+         |       (CASE WHEN ascii(substr(h, 2 * fi + 2, 1)) >= 97
+         |        THEN ascii(substr(h, 2 * fi + 2, 1)) - 87
+         |        ELSE ascii(substr(h, 2 * fi + 2, 1)) - 48 END) AS BIGINT)
+         |    AS frame_byte
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_resize" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |hv AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN ascii(substr(h, 1, 1)) - 87 ELSE ascii(substr(h, 1, 1)) - 48 END) AS v1,
+         |    (CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN ascii(substr(h, 2, 1)) - 87 ELSE ascii(substr(h, 2, 1)) - 48 END) AS v2,
+         |    (CASE WHEN ascii(substr(h, 3, 1)) >= 97 THEN ascii(substr(h, 3, 1)) - 87 ELSE ascii(substr(h, 3, 1)) - 48 END) AS v3,
+         |    (CASE WHEN ascii(substr(h, 4, 1)) >= 97 THEN ascii(substr(h, 4, 1)) - 87 ELSE ascii(substr(h, 4, 1)) - 48 END) AS v4
+         |  FROM m),
+         |dims AS (
+         |  SELECT doc_id, CAST(v1 * 16 + v2 + 1 AS BIGINT) AS width,
+         |    CAST(v3 * 16 + v4 + 1 AS BIGINT) AS height
+         |  FROM hv)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN width >= height THEN CAST($RESIZE_BOX AS BIGINT)
+         |    ELSE greatest(1, CAST(floor(width * $RESIZE_BOX / height) AS BIGINT)) END AS new_w,
+         |  CASE WHEN width >= height
+         |    THEN greatest(1, CAST(floor(height * $RESIZE_BOX / width) AS BIGINT))
+         |    ELSE CAST($RESIZE_BOX AS BIGINT) END AS new_h
+         |FROM dims ORDER BY doc_id""".stripMargin,
 
     "embed_near_dup" ->
       s"""WITH e AS (
