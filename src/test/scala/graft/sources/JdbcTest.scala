@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** JDBC edge against embedded Derby (ships with Spark for the Hive
+  * metastore) — the closest offline stand-in for the reference's SQL
+  * Server mirror (reference: src/jenzabar.py:31-47).
+  */
+class JdbcTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val conn = {
+    val dir = java.nio.file.Files.createTempDirectory("derby").toString
+    Jdbc.Conn(s"jdbc:derby:$dir/graftdb;create=true")
+  }
+
+  private val allowed = Set("RPC_RE_CANVAS_USERS")
+
+  test("overwriteMirror + readTable round-trips rows and truncate-reloads") {
+    val users = Seq((1L, "alice", "25", "1S"), (2L, "bob", "25", "1S"))
+      .toDF("id_num", "login_id", "yr_cde", "trm_cde")
+    Jdbc.overwriteMirror(users, conn, "RPC_RE_CANVAS_USERS", allowed)
+    val got = Jdbc.readTable(spark, conn, "RPC_RE_CANVAS_USERS")
+    assert(got.count() == 2)
+    assert(got.columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("id_num", "login_id", "trm_cde", "yr_cde"))
+
+    // truncate-reload: second overwrite replaces, never appends
+    val next = Seq((3L, "carol", "25", "2S")).toDF("id_num", "login_id", "yr_cde", "trm_cde")
+    Jdbc.overwriteMirror(next, conn, "RPC_RE_CANVAS_USERS", allowed)
+    val after = Jdbc.readTable(spark, conn, "RPC_RE_CANVAS_USERS")
+    assert(after.select("ID_NUM").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("readQuery pushes the subquery to the database") {
+    val users = Seq((1L, "alice"), (2L, "bob"), (3L, "carol")).toDF("id_num", "login_id")
+    Jdbc.overwriteMirror(users, conn.copy(), "RPC_RE_CANVAS_USERS", allowed)
+    // Spark writes quoted (case-preserving) column names; Derby uppercases
+    // unquoted identifiers, so the pushed query must quote them.
+    val got = Jdbc.readQuery(spark, conn,
+      """SELECT "id_num" FROM RPC_RE_CANVAS_USERS WHERE "id_num" >= 2""")
+    assert(got.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("append adds rows without truncating") {
+    val base = Seq((10L, "dave")).toDF("id_num", "login_id")
+    Jdbc.overwriteMirror(base, conn, "RPC_RE_CANVAS_USERS", allowed)
+    Jdbc.append(Seq((11L, "erin")).toDF("id_num", "login_id"), conn, "RPC_RE_CANVAS_USERS")
+    val got = Jdbc.readTable(spark, conn, "RPC_RE_CANVAS_USERS")
+    assert(got.select("ID_NUM").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+  }
+
+  test("overwriteMirror refuses tables outside the allow-list") {
+    val df = Seq((1L, "x")).toDF("id_num", "login_id")
+    assertThrows[IllegalArgumentException] {
+      Jdbc.overwriteMirror(df, conn, "SOME_OTHER_TABLE", allowed)
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MemoryStream-driven tests for the Structured Streaming operator set
+  * (SURVEY §2.8): watermarked windows, stateful dedup, the
+  * enrollment-status state machine, and the idempotent mirror sink.
+  */
+class StreamingOpsTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def eventsDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    (mem, mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
+  private def runBatches(q: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                         name: String) = {
+    val sq = q.format("memory").queryName(name).start()
+    sq.processAllAvailable()
+    sq.stop()
+    spark.table(name)
+  }
+
+  test("tumblingCounts aggregates complete windows and drops late rows") {
+    val (mem, df) = eventsDf(Seq(
+      (1L, ts(0), 1L, "view", 1.0),
+      (2L, ts(2), 1L, "view", 2.0),
+      (3L, ts(7), 2L, "click", 3.0)))
+    val out = StreamingOps.tumblingCounts(df, watermark = "10 minutes", width = "5 minutes")
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling").start()
+    sq.processAllAvailable()
+    // advance watermark far past both windows so they close and emit
+    mem.addData((9L, ts(40), 9L, "view", 0.0))
+    sq.processAllAvailable()
+    sq.stop()
+    val rows = spark.table("tumbling")
+      .select("event_type", "n", "total").as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("view", 2L, 3.0)))
+    assert(rows.contains(("click", 1L, 3.0)))
+  }
+
+  test("sessionCounts merges events within the gap into one session") {
+    val (mem, df) = eventsDf(Seq(
+      (1L, ts(0), 1L, "view", 1.0),
+      (2L, ts(10), 1L, "view", 1.0),   // same session (gap < 30m)
+      (3L, ts(55), 1L, "view", 1.0)))  // new session
+    val out = StreamingOps.sessionCounts(df, watermark = "30 minutes", gap = "30 minutes")
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    sq.processAllAvailable()
+    mem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "view", 0.0))
+    sq.processAllAvailable()
+    sq.stop()
+    val rows = spark.table("sessions")
+      .filter($"user_id" === 1L).select("n_events").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L))
+  }
+
+  test("dedupWithinWatermark drops replayed event ids") {
+    val (mem, df) = eventsDf(Seq(
+      (1L, ts(0), 1L, "view", 1.0),
+      (1L, ts(1), 1L, "view", 1.0),  // replay of event 1
+      (2L, ts(2), 1L, "view", 1.0)))
+    val out = StreamingOps.dedupWithinWatermark(df, watermark = "10 minutes")
+    val got = runBatches(out.writeStream.outputMode(OutputMode.Append), "dedup")
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("statusTransitions emits one transition per status flip, idempotent on repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{StatusEvent, Transition}
+    val mem = MemoryStream[StatusEvent]
+    mem.addData(
+      StatusEvent("enr-1", "active", ts(0)),
+      StatusEvent("enr-1", "active", ts(1)),    // repeat: no transition
+      StatusEvent("enr-1", "deleted", ts(2)),
+      StatusEvent("enr-2", "active", ts(3)))
+    val out = StreamingOps.statusTransitions(mem.toDS())
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("transitions").start()
+    sq.processAllAvailable()
+    // second micro-batch continues from persisted state
+    mem.addData(StatusEvent("enr-1", "active", ts(9)))
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("transitions").as[Transition].collect()
+      .map(t => (t.key, t.from, t.to)).toSet
+    assert(got == Set(
+      ("enr-1", "none", "active"),
+      ("enr-1", "active", "deleted"),
+      ("enr-1", "deleted", "active"),
+      ("enr-2", "none", "active")))
+  }
+
+  test("overwriteMirrorEachBatch keeps mirror == latest batch (truncate-reload)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mirror").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("id", "status")
+    val sq = StreamingOps.overwriteMirrorEachBatch(stream, s"$dir/mirror").start()
+    mem.addData((1L, "a"), (2L, "b"))
+    sq.processAllAvailable()
+    assert(spark.read.parquet(s"$dir/mirror").count() == 2)
+    mem.addData((3L, "c"))
+    sq.processAllAvailable()
+    sq.stop()
+    // overwrite semantics: the mirror holds the LAST batch, not the union
+    val last = spark.read.parquet(s"$dir/mirror").select("id").as[Long].collect().toSet
+    assert(last == Set(3L))
+  }
+}
