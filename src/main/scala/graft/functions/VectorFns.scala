@@ -22,9 +22,16 @@ object VectorFns {
   def quantize(vec: Column, scale: Int = 10000): Column =
     transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression (graft.functions.expressions.DotProductQ); the
+    * HOF formulation aggregate(zip_with(a,b,_*_),0,_+_) computes the same
+    * value but interprets its lambdas per element.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.DotProductQ(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Cosine similarity over quantized vectors: exact int dots, one sqrt
     * and one division in double — bit-identical across engines.
