@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives (SURVEY §4 / 100 TB posture): when one key
+  * dominates, a single reducer owns the whole hot key. Salting splits a
+  * hot key across `saltN` reducers; AQE's skew-join handles the join
+  * case at runtime, but *aggregation* skew and forced-shuffle cases
+  * still want explicit salt.
+  *
+  * Determinism: the salt is a hash of stable columns (never rand()), so
+  * replays and oracle comparisons see identical results.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial-aggregate on (key, salt) —
+    * spreading a hot key over saltN reducers — then final-aggregate on
+    * key. Works for any algebraic aggregate (sum/count/min/max): pass
+    * the partial exprs and how to merge them.
+    *
+    * saltCol must be deterministic per row (e.g. pmod(hash(id), n)).
+    */
+  def saltedAgg(df: DataFrame, key: Column, saltCol: Column,
+                partials: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.groupBy(key.as("k"), saltCol.as("_salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("k"))
+      .agg(finals.head, finals.tail: _*)
+
+  /** Salted broadcast-free join for a skewed fact against a small-ish
+    * dim that is still too big to broadcast: fact rows get a
+    * deterministic salt in [0, saltN); the dim side is replicated saltN
+    * times so every (key, salt) bucket finds its match. The shuffle then
+    * spreads each hot key over saltN partitions.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltN: Int): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(col(key)), lit(saltN)).cast("int"))
+    val replicated = dim
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltN - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
