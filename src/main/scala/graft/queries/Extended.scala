@@ -103,6 +103,40 @@ object Extended {
         .orderBy(col("doc_id"))
     }),
 
+    // F6/date bucketing: monthly revenue rollup via date_trunc.
+    "monthly_revenue" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(tsUs(date_trunc("month", col("o_orderdate"))).as("month_us"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month_us"))
+    }),
+
+    // Ordered string aggregation: nations per region as one sorted
+    // comma-joined string (deterministic: sort before join).
+    "string_agg_nations" -> ((s, dir) => {
+      nation(s, dir)
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
+    // TPC-H Q4 shape: orders with at least one lineitem shipped > 60
+    // days after the order date, counted per priority — a correlated
+    // EXISTS as a left-semi join with a cross-side condition.
+    "q4_order_priority" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      orders(s, dir)
+        .join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            tsUs(col("l_shipdate")) > tsUs(col("o_orderdate")) + 60L * 86400000000L,
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
     // digit runs, punctuation singletons.
     "bpe_token_stats" -> ((s, dir) => {
@@ -170,6 +204,27 @@ object Extended {
            |  FROM tok)
            |SELECT doc_id, CAST(SUM(term) AS BIGINT) AS rolling_hash
            |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "monthly_revenue" ->
+        """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders GROUP BY month_us ORDER BY month_us""".stripMargin,
+
+      "string_agg_nations" ->
+        """SELECT r_name,
+          |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+          |  COUNT(*) AS n
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey
+          |    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 60 * 86400000000)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
       "bpe_token_stats" ->
         s"""SELECT doc_id,
