@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.Terms
+
+/** Property-based coverage (SURVEY §5 test plan, item 4): diff algebra,
+  * clean-spec idempotence, term-increment round-trips, dedup fixpoint.
+  * Uses scalacheck generators with a fixed seed and an explicit sample
+  * loop (scalatestplus isn't on the offline classpath); samples stay
+  * small because each property materializes Spark jobs.
+  */
+class PropertyTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic samples from a generator. */
+  private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen(Gen.Parameters.default.withSize(20), Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.oneOf("a", "b", "c")))
+
+  test("diff algebra: missing(truth, mirror) ∪ present(truth, mirror) == truth") {
+    for ((t, m) <- samples(Gen.zip(rowsGen, rowsGen))) {
+      val truth = t.distinct.toDF("id", "v")
+      val mirror = m.distinct.toDF("id", "v")
+      val missing = Diff.missingRows(truth, mirror.select("id"), Seq("id"))
+      val present = truth.join(mirror.select("id").distinct(), Seq("id"), "left_semi")
+      val union = missing.unionByName(present)
+      assert(union.count() == truth.count())
+      assert(union.exceptAll(truth).count() == 0)
+    }
+  }
+
+  test("changedRows: active ⊆ truth, deleted ⊆ mirror, disjoint, adds exact") {
+    for ((t, m) <- samples(Gen.zip(rowsGen, rowsGen))) {
+      val truth = t.map(_._1).distinct.toDF("id")
+      val mirror = m.map(_._1).distinct.toDF("id")
+      val diff = Diff.changedRows(truth, mirror, Seq("id"))
+      val active = diff.filter($"status" === "active").select("id")
+      val deleted = diff.filter($"status" === "deleted").select("id")
+      assert(active.exceptAll(truth).count() == 0)
+      assert(deleted.exceptAll(mirror).count() == 0)
+      assert(active.intersect(deleted).count() == 0)
+      assert(active.count() == truth.exceptAll(mirror).count())
+    }
+  }
+
+  test("CleanSpec is idempotent on its own output") {
+    val spec = CleanSpec(
+      keep = Seq("id", "name"),
+      rename = Map.empty,
+      filters = Seq(col("id") > 0),
+      recodes = Map.empty,
+      literals = Nil)
+    for (rows <- samples(rowsGen)) {
+      val df = rows.toDF("id", "name")
+      val once = spec(df)
+      val twice = spec(once)
+      assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+    }
+  }
+
+  test("term increment round-trips: two increments = next year, same semester") {
+    for ((yr, trm) <- samples(Gen.zip(Gen.choose(10, 88), Gen.oneOf("1S", "2S")), 8)) {
+      val df = Seq((f"$yr%02d", trm)).toDF("yr_cde", "trm_cde")
+        .withColumn("n1", Terms.nextTerm(col("yr_cde"), col("trm_cde")))
+        .withColumn("n1_yr", substring(col("n1"), 1, 2))
+        .withColumn("n1_trm", substring(col("n1"), 3, 2))
+        .withColumn("n2", Terms.nextTerm(col("n1_yr"), col("n1_trm")))
+      val n2 = df.select("n2").as[String].head()
+      assert(n2 == f"${yr + 1}%02d$trm")
+    }
+  }
+
+  test("exact dedup is a fixpoint: deduping representatives changes nothing") {
+    for (rows <- samples(rowsGen).filter(_.nonEmpty)) {
+      val docs = rows.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, s"text $v") }.toDF("doc_id", "text")
+      val first = Dedup.exactDedup(docs)
+      val reps = first.join(docs, first("rep_doc_id") === docs("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val second = Dedup.exactDedup(reps)
+      assert(second.count() == first.count())
+      assert(second.filter($"n_dups" > 1).count() == 0)
+    }
+  }
+}
