@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties SURVEY §4 promises
+  * (pushdown, pruning, broadcast dims, partial top-k) asserted against
+  * the actual physical plans, so a refactor that silently loses one
+  * fails fast. sf0.001 keeps planning cheap; shapes are SF-independent
+  * except where AQE picks join strategies at runtime (asserted on the
+  * initial static plan).
+  */
+class PlanShapeTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("clean_conform pushes filters and prunes columns at the scan") {
+    val p = plan("clean_conform")
+    assert(p.contains("PushedFilters: [IsNotNull(c_name), IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]"), p)
+    // projection pruning: only the 4 kept source columns are read
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"), p)
+  }
+
+  test("q5_region_revenue broadcasts the dimension chain") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("topk_orders plans a partial top-k (TakeOrderedAndProject), not a full sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("missing_orders is an anti join, not a filter over a full outer") {
+    val p = plan("missing_orders")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q1_pricing_summary partially aggregates before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    // map-side partial agg: two HashAggregates around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
+    val p = plan("embed_near_dup")
+    // the custom expression (not the HOF formulation) is in the plan, and
+    // norms are projected per side BEFORE the pair join (codegen fusion
+    // itself is pinned by DotProductQTest on an executed plan)
+    assert(p.contains("graft_dotq"), p)
+    assert(p.contains("SQRT(cast(graft_dotq"), p)
+  }
+}
