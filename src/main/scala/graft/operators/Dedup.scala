@@ -77,10 +77,13 @@ object Dedup {
     * min() columns over the shingle rows (map-side partial min, shuffle
     * carries k hex strings per doc). md5 is the portable hash (identical
     * hex in DuckDB); min over lexicographic hex is order-insensitive.
+    * The shingle-set size rides in the same aggregate (column `sz`), so
+    * the Jaccard-verify stage doesn't re-derive the shingle rows.
     */
   def minhashSigs(inv: DataFrame, k: Int): DataFrame = {
     val sigCols = (0 until k)
-      .map(i => min(md5(concat(lit(s"$i#"), col("s")))).as(s"sig$i"))
+      .map(i => min(md5(concat(lit(s"$i#"), col("s")))).as(s"sig$i")) :+
+      count(lit(1)).as("sz")
     inv.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -115,7 +118,7 @@ object Dedup {
       .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"), "left_semi")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, shingleSizes(inv), threshold)
+    jaccardFromCounts(inter, sigs.select(col("doc_id"), col("sz")), threshold)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join — the

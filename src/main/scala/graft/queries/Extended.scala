@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.TextFns
+import graft.functions.{TextFns, TopKAgg}
 import Util._
 
 /** Extended analytics surface: pivot, grouping sets, exact percentiles,
@@ -137,6 +137,20 @@ object Extended {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Typed bounded top-k Aggregator (functions.udaf) under the oracle
+    // gate: per priority class, top-3 orders by price — the shuffle
+    // carries at most k entries per partition per group.
+    "topk_agg_priority" -> ((s, dir) => {
+      val topk = udaf(TopKAgg.TopK(3), TopKAgg.entryEncoder)
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
     // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
     // digit runs, punctuation singletons.
     "bpe_token_stats" -> ((s, dir) => {
@@ -225,6 +239,14 @@ object Extended {
           |  WHERE l_orderkey = o_orderkey
           |    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 60 * 86400000000)
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "topk_agg_priority" ->
+        """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+          |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |        CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+          |      FROM orders)
+          |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
       "bpe_token_stats" ->
         s"""SELECT doc_id,
