@@ -40,4 +40,27 @@ object Terms {
 
   /** nextTerm over a packed 4-char key. */
   def nextTermPacked(term: Column): Column = nextTerm(yrCde(term), trmCde(term))
+
+  /** The reference's term-resolution flow (reference
+    * src/integrator.py:20-38 + src/canvas.py:19-27) as one composition:
+    * read the current term from the config singleton (S2), optionally
+    * increment it (F4), then resolve the numeric LMS term id against the
+    * term dimension (J1 broadcast lookup). Returns (sis_term_id,
+    * lms_term_id) — one row.
+    *
+    * @param config  one-row config table with yr_cde/trm_cde columns
+    * @param which   "current" or "next"
+    * @param termDim dimension with sis_term_id and id columns
+    */
+  def resolveTerm(config: org.apache.spark.sql.DataFrame, which: String,
+                  termDim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(which == "current" || which == "next", s"bad term selector: $which")
+    val packed =
+      if (which == "next") nextTerm(col("yr_cde"), col("trm_cde"))
+      else packTerm(col("yr_cde"), col("trm_cde"))
+    config.select(packed.as("sis_term_id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        termDim.select(col("sis_term_id"), col("id").as("lms_term_id"))),
+        Seq("sis_term_id"), "left")
+  }
 }

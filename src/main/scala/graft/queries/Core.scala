@@ -69,6 +69,17 @@ object Core {
       Diff.changeStats(diff, "Enrollment").orderBy(col("entity"), col("status"))
     }),
 
+    // J7: CtlLibrary* — the org-unit-scoped anti-join (a missing-rows
+    // diff restricted to one organizational subset; reference
+    // src/jenzabar.py:57-58). "Library" stand-in: BRASS-type parts.
+    "ctl_library_missing" -> ((s, dir) => {
+      val library = part(s, dir).filter(col("p_type").contains("BRASS"))
+      val mirror = library.filter(col("p_partkey") % 7 =!= 0)
+      Diff.missingRows(library, mirror, Seq("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // F1-F4: term decompose / pack / increment over a derived term dim.
     "term_increment" -> ((s, dir) => {
       orders(s, dir)
@@ -164,6 +175,16 @@ object Core {
         |    WHERE t.l_orderkey = m.l_orderkey AND t.l_linenumber = m.l_linenumber))
         |SELECT 'Enrollment' AS entity, status, COUNT(*) AS n
         |FROM diff GROUP BY status ORDER BY entity, status""".stripMargin,
+
+    "ctl_library_missing" ->
+      """SELECT p_partkey, p_name, p_type
+        |FROM part t
+        |WHERE p_type LIKE '%BRASS%'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part m
+        |    WHERE m.p_type LIKE '%BRASS%' AND m.p_partkey % 7 <> 0
+        |      AND m.p_partkey = t.p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
 
     "term_increment" ->
       """WITH terms AS (
