@@ -107,6 +107,35 @@ class StreamingOpsTest extends AnyFunSuite {
       ("enr-2", "none", "active")))
   }
 
+  test("AvailableNow trigger: the recurring daily batch as incremental catch-up") {
+    // the reference reruns the whole pipeline on a daily cron
+    // (main.py:1-9); the streaming upgrade processes exactly the files
+    // that arrived since the last run, then stops.
+    val root = java.nio.file.Files.createTempDirectory("avnow")
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "status").write.parquet(s"$in/batch1")
+    val schema = Seq((0L, "")).toDF("id", "status").schema
+
+    def runOnce(): Unit = {
+      val sq = spark.readStream.schema(schema).parquet(s"$in/*")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      sq.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // "next day": one new file arrives; only it is processed
+    Seq((3L, "c")).toDF("id", "status").write.parquet(s"$in/batch2")
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("overwriteMirrorEachBatch keeps mirror == latest batch (truncate-reload)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("mirror").toString
