@@ -96,6 +96,33 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream join: purchases enriched with the views
+    * that preceded them within `horizon` (the streaming twin of the
+    * batch as-of/interval join surface, graft.operators.TemporalJoin).
+    * Both sides carry watermarks and the join condition bounds the view
+    * timestamp to [purchase - horizon, purchase], so state for both
+    * sides is evictable — the property that keeps a 100 TB/day join's
+    * state store finite.
+    *
+    * Inputs must expose (user_id, ts, event_id); output is one row per
+    * (purchase, qualifying view) pair.
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+                       watermark: String = "10 minutes",
+                       horizon: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id")).withWatermark("p_ts", watermark)
+    val v = views.select(col("user_id"), col("ts").as("v_ts"),
+      col("event_id").as("view_id")).withWatermark("v_ts", watermark)
+    p.join(v,
+      p("user_id") === v("user_id") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(p("user_id"), col("purchase_id"), col("p_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** Idempotent micro-batch sink preserving the reference's
     * truncate-reload mirror semantics: every batch fully overwrites the
     * target (same result on replay — exactly-once effective semantics).

@@ -107,6 +107,27 @@ class StreamingOpsTest extends AnyFunSuite {
       ("enr-2", "none", "active")))
   }
 
+  test("purchaseViewJoin pairs purchases with in-horizon views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val vMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // views at :00 and :50; purchase at :55 -> only the :50 view is in
+    // the 30-minute horizon; user 2's purchase has no views at all
+    vMem.addData((1L, ts(0), 1L, "view", 0.0), (2L, ts(50), 1L, "view", 0.0))
+    pMem.addData((10L, ts(55), 1L, "purchase", 9.0), (11L, ts(58), 2L, "purchase", 1.0))
+    val out = StreamingOps.purchaseViewJoin(df(pMem), df(vMem),
+      watermark = "10 minutes", horizon = "30 minutes")
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pvjoin").start()
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("pvjoin")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 2L)))
+  }
+
   test("AvailableNow trigger: the recurring daily batch as incremental catch-up") {
     // the reference reruns the whole pipeline on a daily cron
     // (main.py:1-9); the streaming upgrade processes exactly the files
