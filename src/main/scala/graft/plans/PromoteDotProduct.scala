@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.functions.expressions.DotProductQ
+
+/** Optimizer rule: rewrite the higher-order-function dot-product pattern
+  *
+  *   aggregate(zip_with(a, b, (x, y) => x * y), 0L, (acc, x) => acc + x)
+  *
+  * over ARRAY<BIGINT> into the codegen'd [[DotProductQ]] kernel — the
+  * HOF form evaluates its lambdas interpreted per element, the kernel is
+  * a primitive loop inside whole-stage codegen (SURVEY §7.4's promotion
+  * path, automated: user code written with public built-ins gets the
+  * native kernel for free).
+  *
+  * Semantics note: the HOF form returns NULL if the arrays have unequal
+  * lengths (zip_with pads with nulls, null products nullify the sum);
+  * the kernel sums the common prefix. The rewrite therefore fires only
+  * for equal-length-by-construction pipelines — graft's quantized
+  * vectors — which is why it's opt-in (extraOptimizations /
+  * spark.sql.extensions), not always-on.
+  */
+object PromoteDotProduct extends Rule[LogicalPlan] {
+
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case _ => false
+  }
+
+  private def longArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b,
+          LambdaFunction(Multiply(mx, my, _),
+            Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
+        Literal(0L, LongType),
+        LambdaFunction(Add(macc, mx2, _),
+          Seq(accv: NamedLambdaVariable, xv2: NamedLambdaVariable), _),
+        LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+      if longArray(a) && longArray(b) &&
+        sameVar(mx, xv) && sameVar(my, yv) &&
+        sameVar(macc, accv) && sameVar(mx2, xv2) && sameVar(fin, fv) =>
+      DotProductQ(a, b)
+  }
+}
+
+/** spark.sql.extensions entry point: injects [[PromoteDotProduct]] into
+  * every session built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => PromoteDotProduct)
+}

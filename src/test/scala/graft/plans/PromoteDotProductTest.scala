@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PromoteDotProductTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  test("rule rewrites the HOF dot-product pattern to the native kernel") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PromoteDotProduct
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("promote").toString
+      Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).select(hofDot.as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_dotq"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.as[Long].head() == 32L)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PromoteDotProduct)
+    }
+  }
+
+  test("rule leaves non-matching aggregates alone (int arrays, different lambda)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PromoteDotProduct
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("promote2").toString
+      Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      // sum (not product) inside zip_with: must NOT be rewritten
+      val q = spark.read.parquet(dir).select(
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dotq"))
+      assert(q.as[Long].head() == 10L)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PromoteDotProduct)
+    }
+  }
+}
