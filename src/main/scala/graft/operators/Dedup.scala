@@ -175,6 +175,47 @@ object Dedup {
     agg.select(col("doc_id"), value.as("simhash"))
   }
 
+  /** Connected components over near-duplicate pairs: every doc in a dup
+    * cluster gets the cluster's minimum doc_id as its representative —
+    * the "cluster then keep one" step that turns pairwise dedup output
+    * into droppable rows.
+    *
+    * Iterative min-label propagation to fixpoint: each round, every node
+    * takes the min label among itself and its neighbors; rounds needed =
+    * cluster diameter (near-dup clusters are shallow). Each round is one
+    * shuffle-join + aggregate; the driver only sees the converged-or-not
+    * count. At petabyte scale the same loop runs with the large-star /
+    * small-star optimization; the dataflow is identical.
+    *
+    * Input: (a, b) pairs with a < b. Output: (doc_id, rep_doc_id) for
+    * every doc that appears in at least one pair.
+    */
+  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val changed = updated.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("rep_doc_id"))
+  }
+
   /** SimHash dedup: group identical signatures (Hamming distance 0). */
   def simhashDedup(docs: DataFrame, n: Int, nBits: Int = 16): DataFrame =
     withSimhash(shingleRows(docs, n), nBits)

@@ -98,6 +98,15 @@ object TextDedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Dup clusters: connected components over the MinHash-LSH pairs —
+    // every clustered doc mapped to its component's min doc_id.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir).filter(col("doc_id") < CAP),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // 16-bit SimHash signatures, deduped on signature equality.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashDedup(documents(s, dir).filter(col("doc_id") < CAP), n = 3)
@@ -181,8 +190,8 @@ object TextDedup {
     val bandRows = (0 until bands)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sigs")
       .mkString("\n  UNION ALL\n  ")
-    val minhashSql =
-      s"""WITH $docsSql,
+    val lshCommon =
+      s"""$docsSql,
          |$shingledSql,
          |sigs AS (
          |  SELECT doc_id,
@@ -194,8 +203,27 @@ object TextDedup {
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-         |   AND x.doc_id < y.doc_id)
+         |   AND x.doc_id < y.doc_id)""".stripMargin
+    val minhashSql =
+      s"""WITH $lshCommon
          |${verifySql(0.5)}""".stripMargin
+
+    // Connected components over the LSH pairs via recursive CTE:
+    // reach(node, root) closes over edges; MIN(root) per node = the
+    // component representative (mirrors Dedup.componentsFromPairs).
+    val clustersSql =
+      s"""WITH RECURSIVE $lshCommon,
+         |pairsq AS (${verifySql(0.5)}),
+         |edges AS (SELECT a AS u, b AS v FROM pairsq
+         |          UNION ALL
+         |          SELECT b AS u, a AS v FROM pairsq),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach(node, root) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS rep_doc_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
     val ngramSql =
       s"""WITH $docsSql,
@@ -237,6 +265,7 @@ object TextDedup {
           |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
       "dedup_minhash_lsh" -> minhashSql,
+      "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
       "dedup_simhash" -> simhashSql,
 

@@ -48,6 +48,15 @@ class DedupTest extends AnyFunSuite {
     assert(grouped.select("rep_doc_id").as[Long].head() == 0L)
   }
 
+  test("componentsFromPairs labels chains and keeps components separate") {
+    // chain 1-2-3 (transitive), separate pair 7-8, isolated pair 10-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 20L)).toDF("a", "b")
+    val got = Dedup.componentsFromPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 20L -> 10L))
+  }
+
   test("embeddingNearDup finds the planted high-cosine pair within block") {
     val embs = Seq(
       (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),
