@@ -191,8 +191,13 @@ object Dedup {
     * every doc that appears in at least one pair.
     */
   def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list once: the iteration below references it
+    // every round (neighbor join + convergence check), and without the
+    // checkpoint the full upstream pair pipeline (e.g. MinHash LSH)
+    // would re-execute per round.
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var converged = false
