@@ -151,6 +151,43 @@ object Extended {
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
 
+    // Statistical aggregates with deterministic arithmetic: the decimal
+    // sum converts to double exactly (scaled value < 2^53), so the mean
+    // is one correctly-rounded division in both engines; min/max are
+    // exact. (Σx² variants are NOT portable: their decimal→double
+    // conversion exceeds double precision and the engines round the
+    // 20-digit value differently.)
+    "stats_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_x"),
+          min(col("o_totalprice")).as("min_x"),
+          max(col("o_totalprice")).as("max_x"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("sum_x") / col("n")).as("mean"), col("min_x"), col("max_x"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Histogram: fixed-width price buckets (manual binning — portable
+    // and exact; floor of an exact double division).
+    "histogram_prices" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Calendar heatmap: events by day-of-week x hour (dow normalized to
+    // DuckDB's Sunday=0 convention).
+    "events_heatmap" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("dow"), col("hh"))
+    }),
+
     // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
     // digit runs, punctuation singletons.
     "bpe_token_stats" -> ((s, dir) => {
@@ -247,6 +284,27 @@ object Extended {
           |          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
           |      FROM orders)
           |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+      "stats_orders" ->
+        """WITH s AS (
+          |  SELECT o_orderpriority, COUNT(*) AS n,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+          |    MIN(o_totalprice) AS min_x, MAX(o_totalprice) AS max_x
+          |  FROM orders GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, n, sum_x / n AS mean, min_x, max_x
+          |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+      "histogram_prices" ->
+        """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "events_heatmap" ->
+        """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+          |  CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin,
 
       "bpe_token_stats" ->
         s"""SELECT doc_id,
