@@ -168,6 +168,33 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic content-hash split: stable train/val/test assignment
+    // from the doc fingerprint's last hex digit (16ths: 14/1/1) — the
+    // split survives reshuffles, re-runs and engine changes, unlike
+    // row-order or RNG sampling.
+    "split_train_test" -> ((s, dir) => {
+      val d = TextFns.hexVal(substring(TextFns.fingerprint(col("text")), 32, 1))
+      documents(s, dir)
+        .withColumn("split",
+          when(d < 14, "train").when(d === 14, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // Stratified sample: first k docs per language (rank by doc_id) —
+    // per-stratum quotas via ranking window, deterministic.
+    "stratified_sample_docs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      documents(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // Term frequency: global top-20 tokens.
     "term_freq_top20" -> ((s, dir) => {
       documents(s, dir)
@@ -312,6 +339,23 @@ object TextDedup {
           |FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin,
+
+      "split_train_test" ->
+        s"""WITH f AS (
+           |  SELECT n_chars,
+           |    ${hexValSql("md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))", 32)} AS d
+           |  FROM documents)
+           |SELECT CASE WHEN d < 14 THEN 'train' WHEN d = 14 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM f GROUP BY split ORDER BY split""".stripMargin,
+
+      "stratified_sample_docs" ->
+        """SELECT lang, rnk, doc_id
+          |FROM (SELECT lang, doc_id, CAST(row_number() OVER (
+          |        PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rnk
+          |      FROM documents)
+          |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
       "term_freq_top20" ->
         """SELECT token, count(*) AS n
