@@ -57,6 +57,14 @@ class DedupTest extends AnyFunSuite {
       10L -> 10L, 20L -> 10L))
   }
 
+  test("componentsFromPairs converges on a deep chain (diameter > 2)") {
+    // path 100-101-...-112: min label must propagate the full diameter
+    val pairs = (100L until 112L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.componentsFromPairs(pairs).as[(Long, Long)].collect()
+    assert(got.length == 13)
+    assert(got.forall(_._2 == 100L))
+  }
+
   test("embeddingNearDup finds the planted high-cosine pair within block") {
     val embs = Seq(
       (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),
