@@ -39,9 +39,16 @@ object Bench {
     // shared host show one-off multi-second stalls on random queries
     // (different ones each run), so any query far above the pass median
     // gets one retry — bounded extra wall, steady-state numbers.
+    // A failing query must not masquerade as a fast run: record the
+    // failure and report it in the JSON instead of its (near-zero) time.
+    val failed = scala.collection.mutable.Set[String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val p1 = names.map(n => n -> timeOne(n)).toMap
@@ -49,10 +56,12 @@ object Bench {
     val suspects = names.filter(n => p1(n) > math.max(1.5, 3 * median))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
     val results = names.map(n => n -> math.min(p1(n), p2.getOrElse(n, p1(n))))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,9 +23,10 @@ object VectorFns {
     transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("long"))
 
   /** Exact integer dot product of two quantized vectors — a native
-    * codegen'd expression (graft.functions.expressions.DotProductQ); the
-    * HOF formulation aggregate(zip_with(a,b,_*_),0,_+_) computes the same
-    * value but interprets its lambdas per element.
+    * codegen'd expression (graft.functions.expressions.DotProductQ) with
+    * bit-identical semantics to the HOF formulation
+    * aggregate(zip_with(a,b,_*_),0,_+_) (including NULL on unequal
+    * lengths or null elements), which interprets its lambdas per element.
     */
   def dotQ(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * expression compiles to a tight primitive loop inside the generated
   * code, which is what a 100 TB similarity scan runs all day.
   *
-  * Contract: element-wise product-sum over the common prefix of the two
-  * arrays; null array -> null. Elements must be non-null (quantized
-  * vectors are, by construction).
+  * Contract — EXACTLY the HOF form's semantics, so the
+  * [[graft.plans.PromoteDotProduct]] rewrite is unconditionally sound:
+  * null array -> null; unequal lengths -> null (zip_with pads with
+  * nulls and a null product nullifies the sum); any null element ->
+  * null (same reason); else the element-wise product-sum. The
+  * null-element scan is skipped at codegen time when both inputs carry
+  * containsNull = false.
   */
 case class DotProductQ(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -37,15 +41,24 @@ case class DotProductQ(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // Null even for non-null inputs (unequal lengths / null elements).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dotq"
+
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var sum = 0L
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       sum += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -57,13 +70,22 @@ case class DotProductQ(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullElemCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $sum = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sum = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $sum += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

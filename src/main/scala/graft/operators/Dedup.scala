@@ -180,24 +180,43 @@ object Dedup {
     * the "cluster then keep one" step that turns pairwise dedup output
     * into droppable rows.
     *
-    * Iterative min-label propagation to fixpoint: each round, every node
-    * takes the min label among itself and its neighbors; rounds needed =
-    * cluster diameter (near-dup clusters are shallow). Each round is one
-    * shuffle-join + aggregate; the driver only sees the converged-or-not
-    * count. At petabyte scale the same loop runs with the large-star /
-    * small-star optimization; the dataflow is identical.
+    * Min-label propagation with POINTER JUMPING: each round every node
+    * takes (1) the min label among itself and its neighbors, then (2)
+    * its label's own label (path compression — the contraction step that
+    * large-star/small-star also exploits). Step 2 roughly doubles the
+    * distance a label travels per round, so a component of diameter d
+    * converges in O(log d) rounds, not d — the difference between 20 and
+    * 1,000,000 rounds on a pathological chain at 100 TB. Each round is
+    * two shuffle-joins + one aggregate; the driver sees only the
+    * changed-label count.
+    *
+    * Checkpointing: every round's label table is checkpointed to cut the
+    * growing lineage. `checkpointDir = None` uses localCheckpoint —
+    * right for local[n], but executor-loss-fragile on a cluster; pass a
+    * reliable dir (HDFS/S3) there and the same loop survives executor
+    * loss.
+    *
+    * Throws IllegalStateException if maxIters rounds don't converge —
+    * a partially-propagated labeling is WRONG, never silently returned.
+    * With pointer jumping, the default 20 rounds covers diameters far
+    * beyond any real dup cluster (~2^20).
     *
     * Input: (a, b) pairs with a < b. Output: (doc_id, rep_doc_id) for
     * every doc that appears in at least one pair.
     */
-  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // Materialize the edge list once: the iteration below references it
     // every round (neighbor join + convergence check), and without the
     // checkpoint the full upstream pair pipeline (e.g. MinHash LSH)
     // would re-execute per round.
-    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(eager = true)
+    val edges = save(pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"))))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var converged = false
@@ -207,17 +226,29 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("node"))
         .agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val propagated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val changed = updated.alias("n")
+      // Pointer jump: lbl := lbl(lbl). Every label is itself a node in
+      // the table (labels start as node ids and only copy existing
+      // labels), so the self-join is total; labels only decrease and
+      // stay inside the component.
+      val jumped = propagated.alias("n")
+        .join(propagated.select(col("node").as("p_node"), col("lbl").as("p_lbl")),
+          col("n.lbl") === col("p_node"))
+        .select(col("n.node").as("node"), col("p_lbl").as("lbl"))
+      val changed = jumped.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl"))
         .count()
-      labels = updated.localCheckpoint(eager = true) // cut the growing lineage
+      labels = save(jumped) // cut the growing lineage
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsFromPairs did not converge after $maxIters rounds; " +
+          "a partial labeling would be wrong — raise maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_doc_id"))
   }
 

@@ -36,10 +36,20 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltN: Int): DataFrame = {
-    val salted = fact.withColumn("_salt",
-      pmod(xxhash64(col(key)), lit(saltN)).cast("int"))
+    val salted = fact.withColumn("_salt", rowSalt(fact, saltN))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0), lit(saltN - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Per-ROW deterministic salt in [0, saltN): a hash of all of `df`'s
+    * columns. The salt must vary within a hot key — a salt derived from
+    * the join key alone sends every row of that key to one (key, salt)
+    * reducer and spreads nothing. Identical duplicate rows share a salt
+    * (acceptable: row-content skew, unlike key skew, is bounded by dedup
+    * upstream); content-hashing keeps replays deterministic, unlike
+    * rand() or monotonically_increasing_id().
+    */
+  def rowSalt(df: DataFrame, saltN: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltN)).cast("int")
 }

@@ -23,11 +23,19 @@ object TemporalJoin {
     *
     * Contract: `right` must be unique on (key, rightTs) — pre-aggregate
     * ties (e.g. max_by on a unique id) to keep the match deterministic.
-    * Payload columns must not collide with left column names.
+    * Payload columns must not collide with left column names, and neither
+    * side may already contain the internal working columns `_ats` /
+    * `_side` / `_r` / `_m` (guarded with require below — a silent
+    * collision would corrupt the match).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
+    val internal = Seq("_ats", "_side", "_r", "_m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(internal.toSet)
+    require(clash.isEmpty,
+      s"asofJoin reserves internal column names ${internal.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
     val r = right.select(
       col(key), col(rightTs).as("_ats"), lit(0).as("_side"),
       struct(payload.map(col): _*).as("_r"))
@@ -54,6 +62,11 @@ object TemporalJoin {
     * Equi key + range predicate keeps Catalyst on a hash/sort-merge join
     * with a post-join filter (never a nested-loop cross product); the
     * micros comparison is exact long arithmetic.
+    *
+    * Contract: `left` rows must be unique across their full column set —
+    * the count is grouped by all left columns, so duplicate left rows
+    * would collapse into one output row carrying their merged count.
+    * De-dup (or add a unique id to) the left side first if needed.
     */
   def intervalJoinCount(left: DataFrame, right: DataFrame, key: String,
                         leftTs: String, rightTs: String,

@@ -18,12 +18,12 @@ import graft.functions.expressions.DotProductQ
   * path, automated: user code written with public built-ins gets the
   * native kernel for free).
   *
-  * Semantics note: the HOF form returns NULL if the arrays have unequal
-  * lengths (zip_with pads with nulls, null products nullify the sum);
-  * the kernel sums the common prefix. The rewrite therefore fires only
-  * for equal-length-by-construction pipelines — graft's quantized
-  * vectors — which is why it's opt-in (extraOptimizations /
-  * spark.sql.extensions), not always-on.
+  * Semantics: [[DotProductQ]] implements EXACTLY the HOF form's null
+  * behavior (null array, unequal lengths, or any null element -> NULL),
+  * so the rewrite is unconditionally sound — it fires on any
+  * ARRAY<BIGINT> inputs, nullable elements included (parquet scans
+  * surface containsNull = true even for null-free data, so a
+  * containsNull guard would disable the rule exactly where it matters).
   */
 object PromoteDotProduct extends Rule[LogicalPlan] {
 

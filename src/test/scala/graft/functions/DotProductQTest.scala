@@ -23,6 +23,14 @@ class DotProductQTest extends AnyFunSuite {
 
     val withNull = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
     assert(withNull.select(VectorFns.dotQ(col("a"), col("b"))).collect().head.isNullAt(0))
+
+    // Unequal lengths and null elements -> NULL, matching the HOF form
+    // (zip_with pads with nulls; a null product nullifies the sum).
+    val uneven = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    assert(uneven.select(VectorFns.dotQ(col("a"), col("b"))).collect().head.isNullAt(0))
+    val nullElem = Seq((Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(3L), Some(4L))))
+      .toDF("a", "b")
+    assert(nullElem.select(VectorFns.dotQ(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
   test("dotQ stays inside whole-stage codegen") {

@@ -65,6 +65,30 @@ class DedupTest extends AnyFunSuite {
     assert(got.forall(_._2 == 100L))
   }
 
+  test("componentsFromPairs: 150-link chain converges within the default 20 rounds") {
+    // Diameter 150 >> 20: plain min-label propagation would need 150
+    // rounds; pointer jumping must close it in <= 20 (O(log d)).
+    val pairs = (1000L until 1150L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.componentsFromPairs(pairs).as[(Long, Long)].collect()
+    assert(got.length == 151)
+    assert(got.forall(_._2 == 1000L))
+  }
+
+  test("componentsFromPairs: reliable checkpoint dir mode matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val got = Dedup.componentsFromPairs(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("componentsFromPairs throws (not silently wrong) when maxIters too low") {
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.componentsFromPairs(pairs, maxIters = 2)
+    }
+  }
+
   test("embeddingNearDup finds the planted high-cosine pair within block") {
     val embs = Seq(
       (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),

@@ -33,6 +33,15 @@ class SkewTopKTest extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("rowSalt spreads a single hot key across multiple salt buckets") {
+    // All rows share one join key: a key-derived salt would collapse to a
+    // single bucket (the bug ADVICE flagged); the row-content salt must
+    // fan the hot key out over >1 of the 4 buckets.
+    val hot = (1 to 200).map(i => (42L, i.toLong)).toDF("fk", "v")
+    val nSalts = hot.select(Skew.rowSalt(hot, 4)).distinct().count()
+    assert(nSalts > 1, s"hot key collapsed to $nSalts salt bucket(s)")
+  }
+
   test("TopK aggregator keeps exact k best with deterministic ties") {
     val topk = udaf(TopKAgg.TopK(3), TopKAgg.entryEncoder)
     val df = Seq(

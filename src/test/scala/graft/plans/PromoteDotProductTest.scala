@@ -29,6 +29,26 @@ class PromoteDotProductTest extends AnyFunSuite {
     }
   }
 
+  test("rewritten kernel keeps HOF null semantics (null element -> NULL)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PromoteDotProduct
+    try {
+      // Option[Long] elements -> ArrayType(LongType, containsNull = true):
+      // the rule still fires (the kernel now matches HOF semantics
+      // exactly) and the null element yields NULL, as the HOF form would.
+      val dir = java.nio.file.Files.createTempDirectory("promote3").toString
+      Seq((Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(3L), Some(4L))))
+        .toDF("a", "b").write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).select(hofDot.as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_dotq"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.select(col("d").isNull).as[Boolean].head())
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PromoteDotProduct)
+    }
+  }
+
   test("rule leaves non-matching aggregates alone (int arrays, different lambda)") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ PromoteDotProduct
