@@ -72,6 +72,29 @@ object Dedup {
   private def shingleSizes(inv: DataFrame): DataFrame =
     inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
+  /** Document-frequency ceiling: drop shingles appearing in more than
+    * maxDf documents — the standard defense against the hot-shingle skew
+    * bomb. One stop-phrase shingle shared by f docs puts f² candidate
+    * rows on a single reducer key in any shingle-keyed self-join; a df
+    * ceiling bounds every key at maxDf² while barely moving Jaccard
+    * (stop-phrases carry no near-dup signal — they're common to
+    * EVERYTHING, which is exactly why their df is high).
+    *
+    * The ceiling defines the shingle universe: dropped shingles are
+    * excluded from intersection counts AND set sizes, so Jaccard stays a
+    * true set similarity over the filtered space. One count-window
+    * shuffle keyed by shingle.
+    */
+  def dfCeiling(inv: DataFrame, maxDf: Int): DataFrame = {
+    val w = Window.partitionBy(col("s"))
+    inv.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+  }
+
+  private def applyDf(inv: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf.map(dfCeiling(inv, _)).getOrElse(inv)
+
   /** MinHash signatures sig0..sig{k-1}: per seed i, the min md5 of
     * "i#shingle" over the doc's shingle set — one hash-aggregate with k
     * min() columns over the shingle rows (map-side partial min, shuffle
@@ -97,8 +120,8 @@ object Dedup {
     * |shingles(a)| rows), never the full self-join.
     */
   def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
-    val inv = shingleRows(docs, n)
+                      threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val inv = applyDf(shingleRows(docs, n), maxDf)
     val sigs = minhashSigs(inv, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*))
@@ -128,10 +151,13 @@ object Dedup {
     * groupBy(a,b).count() (each shingle is distinct per doc, so a pair
     * appears once per shared shingle): everything stays in codegen'd
     * joins and hash aggregates, and the shuffle is keyed by shingle —
-    * the quantity that actually bounds the pair space.
+    * the quantity that actually bounds the pair space. Pass maxDf to cap
+    * the per-shingle fan-out ([[dfCeiling]]): without it one stop-phrase
+    * shingle in f docs makes f² pair rows on one reducer key.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val inv = shingleRows(docs, n)
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxDf: Option[Int] = None): DataFrame = {
+    val inv = applyDf(shingleRows(docs, n), maxDf)
     val inter = inv.select(col("s"), col("doc_id").as("a"))
       .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
       .filter(col("a") < col("b"))
