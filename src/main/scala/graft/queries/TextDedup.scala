@@ -11,13 +11,17 @@ import Util._
   * (SURVEY §2.9 [EXT]). The DuckDB oracles mirror the exact same md5/ascii
   * arithmetic, so even the LSH pipelines hash-match.
   *
-  * Pair-producing queries cap the corpus at doc_id < 1500 — the pair join
-  * is the demo surface; the operators themselves (graft.operators.Dedup)
-  * take any DataFrame and scale by blocking keys, not by caps.
+  * Pair-producing queries run over the FULL corpus with a document-
+  * frequency ceiling ([[Dedup.dfCeiling]], mirrored in the oracles via a
+  * QUALIFY window): shingles in more than MAX_DF documents are dropped
+  * from the shingle universe before any shingle-keyed join, bounding the
+  * per-key fan-out at MAX_DF² — the defense that makes the inverted-index
+  * self-join survive a stop-phrase shingle at 100 TB.
   */
 object TextDedup {
 
-  private val CAP = 1500
+  /** df ceiling for the pair-producing dedup queries. */
+  private val MAX_DF = 20
 
   // Stopword sets for the language-ID heuristic (en/es/de/fr).
   private val EN = Seq("the", "a", "and", "of", "is")
@@ -38,11 +42,23 @@ object TextDedup {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE []::VARCHAR[] END) AS sh
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
-       |        FROM documents WHERE doc_id < $CAP)
+       |        FROM documents)
        |)""".stripMargin
 
   private val shingledSql =
     s"""shingled AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)"""
+
+  /** df-ceiling variant (mirrors Dedup.dfCeiling): the inverted index
+    * drops shingles with df > MAX_DF, then the per-doc shingle lists are
+    * rebuilt from the surviving rows — docs whose every shingle was
+    * dropped disappear, exactly like the Spark side.
+    */
+  private val dfShingledSql =
+    s"""inv AS (
+       |  SELECT doc_id, s
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $MAX_DF),
+       |shingled AS (SELECT doc_id, list(s) AS sh FROM inv GROUP BY doc_id)""".stripMargin
 
   /** Jaccard-verify SQL over candidate pairs (a,b): mirrors
     * Dedup.verifyJaccard.
@@ -84,32 +100,37 @@ object TextDedup {
         .orderBy(col("fp"))
     }),
 
-    // MinHash (8 sigs) + LSH banding (4 bands x 2 rows) + exact verify.
+    // MinHash (8 sigs) + LSH banding (4 bands x 2 rows) + exact verify,
+    // full corpus, hot shingles capped by the df ceiling.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(documents(s, dir).filter(col("doc_id") < CAP),
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
         .orderBy(col("a"), col("b"))
     }),
 
-    // Exact n-gram Jaccard pairs via inverted-index self-join.
+    // Exact n-gram Jaccard pairs via inverted-index self-join, full
+    // corpus; the df ceiling bounds the per-shingle join fan-out.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(documents(s, dir).filter(col("doc_id") < CAP),
-        n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(documents(s, dir), n = 3, threshold = 0.5,
+        maxDf = Some(MAX_DF))
         .orderBy(col("a"), col("b"))
     }),
 
     // Dup clusters: connected components over the MinHash-LSH pairs —
     // every clustered doc mapped to its component's min doc_id.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(documents(s, dir).filter(col("doc_id") < CAP),
-        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
       Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
         .orderBy(col("doc_id"))
     }),
 
-    // 16-bit SimHash signatures, deduped on signature equality.
+    // 16-bit SimHash signatures, deduped on signature equality — one
+    // linear hash-agg, so no df ceiling needed (no pair join).
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashDedup(documents(s, dir).filter(col("doc_id") < CAP), n = 3)
+      Dedup.simhashDedup(documents(s, dir), n = 3)
         .orderBy(col("simhash"))
     }),
 
@@ -219,7 +240,7 @@ object TextDedup {
       .mkString("\n  UNION ALL\n  ")
     val lshCommon =
       s"""$docsSql,
-         |$shingledSql,
+         |$dfShingledSql,
          |sigs AS (
          |  SELECT doc_id,
          |    $sigCols
@@ -254,8 +275,7 @@ object TextDedup {
 
     val ngramSql =
       s"""WITH $docsSql,
-         |$shingledSql,
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM shingled),
+         |$dfShingledSql,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)

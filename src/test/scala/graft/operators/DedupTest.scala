@@ -48,6 +48,39 @@ class DedupTest extends AnyFunSuite {
     assert(grouped.select("rep_doc_id").as[Long].head() == 0L)
   }
 
+  // One true near-dup pair (0,1) plus seven docs that share nothing but
+  // a planted hot stop-phrase shingle "click here now" (df = 7).
+  private def hotDocs = (Seq(
+    (0L, "u v w x y z q1"),
+    (1L, "u v w x y z q2")) ++
+    (2L to 8L).map(i => (i, s"click here now d$i"))).toDF("doc_id", "text")
+
+  test("dfCeiling drops only shingles above the df ceiling") {
+    val inv = Dedup.shingleRows(hotDocs, n = 3)
+    val kept = Dedup.dfCeiling(inv, maxDf = 5)
+    val dropped = inv.exceptAll(kept).select("s").distinct().as[String].collect()
+    assert(dropped.toSeq == Seq("click here now"))
+    // every other shingle row survives untouched
+    assert(kept.count() == inv.count() - 7)
+  }
+
+  test("dfCeiling kills the hot-shingle pair bomb but keeps the true near-dup") {
+    // Without the ceiling the stop-phrase manufactures C(7,2) = 21
+    // spurious pairs (plus the true one): the f² skew bomb in miniature.
+    val unfiltered = Dedup.ngramJaccardPairs(hotDocs, n = 3, threshold = 0.3)
+    assert(unfiltered.count() == 22)
+    // With the ceiling: exactly the planted near-dup, its jaccard
+    // computed over the filtered shingle universe (4 shared / 6 union).
+    val filtered = Dedup.ngramJaccardPairs(hotDocs, n = 3, threshold = 0.3,
+      maxDf = Some(5)).as[(Long, Long, Double)].collect()
+    assert(filtered.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(math.abs(filtered.head._3 - 4.0 / 6.0) < 1e-12)
+    // Same ceiling wired through the MinHash/LSH path.
+    val lsh = Dedup.minhashLshPairs(hotDocs, n = 3, bands = 4, rowsPerBand = 2,
+      threshold = 0.3, maxDf = Some(5)).as[(Long, Long, Double)].collect()
+    assert(lsh.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+  }
+
   test("componentsFromPairs labels chains and keeps components separate") {
     // chain 1-2-3 (transitive), separate pair 7-8, isolated pair 10-20
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 20L)).toDF("a", "b")
