@@ -43,7 +43,73 @@ object Core {
       spec(customer(s, dir)).orderBy(col("id_num"))
     }),
 
-    // J2-J5: anti-join "missing rows" (MissingCourses et al.).
+    // J2: MissingFacultyUsers (reference src/jenzabar.py:52, output
+    // contract tests/test_connect.py:117-124) — ERP faculty (stand-in:
+    // supplier) with no Canvas mirror row, shaped as the users upload:
+    // id_num / canvas_user / login_id / load_date, demo accounts
+    // excluded (the reference pins login_id never contains "sdemo").
+    "missing_faculty_users" -> ((s, dir) => {
+      val truth = supplier(s, dir).filter(!col("s_name").contains("sdemo"))
+      val mirror = supplier(s, dir).filter(col("s_suppkey") % 10 =!= 0)
+      Diff.missingRows(truth, mirror, Seq("s_suppkey"))
+        .select(col("s_suppkey").as("id_num"),
+          (col("s_suppkey") + 900000L).as("canvas_user"),
+          col("s_name").as("login_id"),
+          to_date(lit("2026-01-01")).as("load_date"))
+        .orderBy(col("id_num"))
+    }),
+
+    // J3: MissingStudentUsers (src/jenzabar.py:53) — same users contract,
+    // student role (stand-in: customer).
+    "missing_student_users" -> ((s, dir) => {
+      val truth = customer(s, dir).filter(!col("c_name").contains("sdemo"))
+      val mirror = customer(s, dir).filter(col("c_custkey") % 11 =!= 0)
+      Diff.missingRows(truth, mirror, Seq("c_custkey"))
+        .select(col("c_custkey").as("id_num"),
+          (col("c_custkey") + 100000L).as("canvas_user"),
+          col("c_name").as("login_id"),
+          to_date(lit("2026-01-01")).as("load_date"))
+        .orderBy(col("id_num"))
+    }),
+
+    // J4: MissingCourses (src/jenzabar.py:54, contract
+    // tests/test_connect.py:127-137): yr_cde / trm_cde / crs_cde /
+    // canvas_course_id / load_date / status (stand-in: part).
+    "missing_courses" -> ((s, dir) => {
+      val truth = part(s, dir)
+      val mirror = part(s, dir).filter(col("p_partkey") % 8 =!= 0)
+      Diff.missingRows(truth, mirror, Seq("p_partkey"))
+        .select(lit("25").as("yr_cde"), lit("1S").as("trm_cde"),
+          concat(lit("CRS"), col("p_partkey")).as("crs_cde"),
+          col("p_partkey").as("canvas_course_id"),
+          to_date(lit("2026-01-01")).as("load_date"),
+          lit("active").as("status"))
+        .orderBy(col("canvas_course_id"))
+    }),
+
+    // J5: MissingSections (src/jenzabar.py:55, contract
+    // tests/test_connect.py:140-151): the 10-column sections upload incl.
+    // the created_by_sis BIT sentinel (stand-in: orders as sections of
+    // their o_custkey-derived course).
+    "missing_sections" -> ((s, dir) => {
+      val truth = orders(s, dir)
+      val mirror = orders(s, dir).filter(col("o_orderkey") % 12 =!= 0)
+      Diff.missingRows(truth, mirror, Seq("o_orderkey"))
+        .select(lit("25").as("yr_cde"), lit("1S").as("trm_cde"),
+          concat(lit("CRS"), col("o_orderkey") % 2000L).as("crs_cde"),
+          col("o_orderkey").as("section_id"),
+          concat(lit("Section "), col("o_orderkey")).as("name"),
+          when(col("o_orderstatus") === "O", "active").otherwise("concluded")
+            .as("status"),
+          col("o_custkey").as("account_id"),
+          (col("o_orderkey") + 500000L).as("canvas_section_id"),
+          CleanSpec.boolToSentinel(col("o_orderstatus") === "F")
+            .as("created_by_sis"),
+          to_date(lit("2026-01-01")).as("load_date"))
+        .orderBy(col("section_id"))
+    }),
+
+    // J2-J5 generic shape: anti-join "missing rows" on the raw fact.
     "missing_orders" -> ((s, dir) => {
       val truth = orders(s, dir)
       val mirror = orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
@@ -141,6 +207,49 @@ object Core {
         |WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
         |  AND regexp_matches(c_name, '^Customer#[0-9]+$')
         |ORDER BY id_num""".stripMargin,
+
+    "missing_faculty_users" ->
+      """SELECT s_suppkey AS id_num, s_suppkey + 900000 AS canvas_user,
+        |  s_name AS login_id, DATE '2026-01-01' AS load_date
+        |FROM supplier t
+        |WHERE t.s_name NOT LIKE '%sdemo%'
+        |  AND NOT EXISTS (SELECT 1 FROM supplier m
+        |    WHERE m.s_suppkey % 10 <> 0 AND m.s_suppkey = t.s_suppkey)
+        |ORDER BY id_num""".stripMargin,
+
+    "missing_student_users" ->
+      """SELECT c_custkey AS id_num, c_custkey + 100000 AS canvas_user,
+        |  c_name AS login_id, DATE '2026-01-01' AS load_date
+        |FROM customer t
+        |WHERE t.c_name NOT LIKE '%sdemo%'
+        |  AND NOT EXISTS (SELECT 1 FROM customer m
+        |    WHERE m.c_custkey % 11 <> 0 AND m.c_custkey = t.c_custkey)
+        |ORDER BY id_num""".stripMargin,
+
+    "missing_courses" ->
+      """SELECT '25' AS yr_cde, '1S' AS trm_cde,
+        |  'CRS' || p_partkey AS crs_cde,
+        |  p_partkey AS canvas_course_id,
+        |  DATE '2026-01-01' AS load_date, 'active' AS status
+        |FROM part t
+        |WHERE NOT EXISTS (SELECT 1 FROM part m
+        |  WHERE m.p_partkey % 8 <> 0 AND m.p_partkey = t.p_partkey)
+        |ORDER BY canvas_course_id""".stripMargin,
+
+    "missing_sections" ->
+      """SELECT '25' AS yr_cde, '1S' AS trm_cde,
+        |  'CRS' || (o_orderkey % 2000) AS crs_cde,
+        |  o_orderkey AS section_id,
+        |  'Section ' || o_orderkey AS name,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'active' ELSE 'concluded' END AS status,
+        |  o_custkey AS account_id,
+        |  o_orderkey + 500000 AS canvas_section_id,
+        |  CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 0 END AS created_by_sis,
+        |  DATE '2026-01-01' AS load_date
+        |FROM orders t
+        |WHERE NOT EXISTS (SELECT 1 FROM orders m
+        |  WHERE m.o_orderkey % 12 <> 0 AND m.o_orderkey = t.o_orderkey)
+        |ORDER BY section_id""".stripMargin,
 
     "missing_orders" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -55,4 +55,28 @@ class SyncPipelineTest extends AnyFunSuite {
       ("daily_enrollment", "active", 2L),
       ("daily_enrollment", "deleted", 1L)))
   }
+
+  test("all seven reference datasets flow through the FK-ordered sink") {
+    // One entity per name in the reference's update_queries map
+    // (reference src/jenzabar.py:51-59); the sink loop must emit them in
+    // exactly SyncSink.FK_ORDER regardless of input order.
+    def pair(k: Long) = (Seq((k, "x"), (k + 1, "y")).toDF("id_num", "v"),
+      Seq((k, "x")).toDF("id_num", "v"))
+    val entities = SyncSink.FK_ORDER.reverse.zipWithIndex.map { case (name, i) =>
+      val (truth, mirror) = pair(10L * i)
+      SyncPipeline.Entity(name, truth, mirror, Seq("id_num"),
+        symmetric = name == "daily_enrollment")
+    }
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val (order, report) = SyncPipeline.run(entities, SyncSink.FK_ORDER) {
+      (name, _) => sunk += name
+    }
+    assert(order == SyncSink.FK_ORDER)
+    assert(sunk.toSeq == SyncSink.FK_ORDER)
+    // every dataset contributes to the change report: six anti-join
+    // entities create one row each; the symmetric one adds one active.
+    val rep = report.as[(String, String, Long)].collect()
+    assert(rep.map(_._1).toSet == SyncSink.FK_ORDER.toSet)
+    assert(rep.collect { case (_, "created", n) => n }.sum == 6L)
+  }
 }
