@@ -120,12 +120,31 @@ object Analytics {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // A5: HLL sketch — no DuckDB oracle (approx values differ by impl);
-    // driver records the weaker rows-only check.
+    // A5: HLL sketch. Raw estimates differ per engine, so the query is
+    // made oracle-checkable by CONSTRUCTION: it emits the exact distinct
+    // count plus a boolean asserting the HLL estimate landed within 3x
+    // its configured relative standard deviation (default rsd = 0.05).
+    // The oracle expects approx_ok = true for every group, so a drifting
+    // HLL implementation FAILS the hash gate instead of going unchecked.
     "approx_distinct_parts" -> ((s, dir) => {
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.15) * col("exact_parts").cast("double")).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5: the exact twin — at 100 TB this is the expensive two-phase
+    // distinct the sketch above approximates; declared side by side so a
+    // user can choose the cost/accuracy point per query.
+    "exact_distinct_parts" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
@@ -254,6 +273,17 @@ object Analytics {
         |  COUNT(DISTINCT c_nationkey) AS n_nations,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "approx_distinct_parts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts, COUNT(*) AS n,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "exact_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "rollup_orders" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,

@@ -62,6 +62,25 @@ object Extended {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A5: the sketch twin of percentile_orders — exact percentile is a
+    // sort-per-group at 100 TB; approx_percentile (GK sketch, mergeable,
+    // one pass) is the scale path. Oracle-checkable by construction like
+    // approx_distinct_parts: the sketch's p50 must land between the exact
+    // 0.45 and 0.55 quantiles (accuracy 10000 bounds rank error at
+    // n/10000, orders of magnitude tighter than that window), and the
+    // oracle pins approx_ok = true per group next to the exact p50.
+    "approx_percentile_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile(col("o_totalprice"), lit(0.45)).as("p45"),
+          percentile(col("o_totalprice"), lit(0.55)).as("p55"))
+        .select(col("o_orderpriority"), col("p50"),
+          (col("ap50") >= col("p45") && col("ap50") <= col("p55")).as("approx_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Edit-distance dedup: candidate pairs blocked on the name's last 4
     // digits (the blocking key bounds the pair space), verified with
     // exact levenshtein <= 2 — catches prefix-digit typos of the same
@@ -228,6 +247,13 @@ object Extended {
           |  quantile_cont(o_totalprice, 0.25) AS p25,
           |  quantile_cont(o_totalprice, 0.5) AS p50,
           |  quantile_cont(o_totalprice, 0.75) AS p75
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+
+      "approx_percentile_orders" ->
+        """SELECT o_orderpriority,
+          |  quantile_cont(o_totalprice, 0.5) AS p50,
+          |  true AS approx_ok
           |FROM orders GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin,
 
