@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
+import graft.functions.{TopKAgg, VectorFns}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY §2.9; PAPERS.md top-k anchors).
@@ -31,6 +31,27 @@ object SimilaritySearch {
     */
   private def pairCos = VectorFns.dotQ(col("qq"), col("cq")) / (col("nq") * col("nc"))
 
+  /** Per-query exact top-k over scored (q_vec, c_vec, cos) rows via the
+    * bounded [[TopKAgg]] aggregator: the map side partially reduces each
+    * partition to at most k entries per query BEFORE the shuffle, so the
+    * exchange carries <= k * partitions rows per query instead of every
+    * scored candidate — the difference between shuffling k rows and
+    * shuffling the whole corpus at 100 TB. A ranking window would sort
+    * the full scored set per query after a total shuffle.
+    *
+    * Ordering matches row_number over (cos DESC, c_vec ASC): total and
+    * deterministic, so results hash-match the window formulation.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(TopKAgg.TopK(k), TopKAgg.entryEncoder)
+    scored
+      .groupBy(col("q_vec"))
+      .agg(topk(col("cos"), col("c_vec")).as("top"))
+      .select(col("q_vec"), posexplode(col("top")))
+      .select(col("q_vec"), (col("pos") + 1).as("rnk"),
+        col("col._2").as("c_vec"), col("col._1").as("cos"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self-matches
     * by construction: candidates and queries are disjoint id ranges).
     */
@@ -39,12 +60,7 @@ object SimilaritySearch {
     val cl = quantized(candidates).select(col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
     val scored = cl.crossJoin(broadcast(ql))
       .withColumn("cos", pairCos)
-    val w = Window.partitionBy(col("q_vec"))
-      .orderBy(col("cos").desc, col("c_vec"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_vec"), col("rnk"), col("c_vec"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: candidates are assigned to their nearest
@@ -80,17 +96,12 @@ object SimilaritySearch {
       .select(col("cid"), col("vec_id").as("c_vec"), col("q").as("cq2"), col("nrm").as("nc2"))
     val probes = assign(quantized(queries), nprobe)
       .select(col("cid"), col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    // a candidate can reach one query via two probed lists only if it
+    // sat in both — impossible with single-assignment (keep=1)
     val scored = lists.join(probes, Seq("cid"))
       .withColumn("cos",
         VectorFns.dotQ(col("qq"), col("cq2")) / (col("nq") * col("nc2")))
-    val w = Window.partitionBy(col("q_vec"))
-      .orderBy(col("cos").desc, col("c_vec"))
-    scored
-      // a candidate can reach one query via two probed lists only if it
-      // sat in both — impossible with single-assignment (keep=1)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_vec"), col("rnk"), col("c_vec"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: probe only candidates in the query's bucket. */
@@ -102,11 +113,6 @@ object SimilaritySearch {
     val cl = bucketed(candidates).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
     val scored = cl.join(broadcast(ql), Seq("bucket"))
       .withColumn("cos", pairCos)
-    val w = Window.partitionBy(col("q_vec"))
-      .orderBy(col("cos").desc, col("c_vec"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_vec"), col("rnk"), col("c_vec"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -46,6 +46,16 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("ann_bruteforce_top5 pre-reduces top-k per partition, no full-shuffle ranking window") {
+    val p = plan("ann_bruteforce_top5")
+    // bounded TopKAgg: partial ObjectHashAggregate on the map side, final
+    // after the exchange — the shuffle carries <= k rows per query per
+    // partition instead of every scored candidate
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and
