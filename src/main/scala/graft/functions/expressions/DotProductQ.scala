@@ -18,14 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * code, which is what a 100 TB similarity scan runs all day.
   *
   * Contract — EXACTLY the HOF form's semantics, so the
-  * [[graft.plans.PromoteDotProduct]] rewrite is unconditionally sound:
-  * null array -> null; unequal lengths -> null (zip_with pads with
-  * nulls and a null product nullifies the sum); any null element ->
+  * [[graft.plans.PromoteDotProduct]] rewrite is sound in both eval
+  * modes: null array -> null; unequal lengths -> null (zip_with pads
+  * with nulls and a null product nullifies the sum); any null element ->
   * null (same reason); else the element-wise product-sum. The
   * null-element scan is skipped at codegen time when both inputs carry
   * containsNull = false.
+  *
+  * Overflow follows the matched arithmetic's eval mode:
+  * `failOnError = false` wraps like LEGACY Multiply/Add;
+  * `failOnError = true` raises the same ARITHMETIC_OVERFLOW error ANSI
+  * Multiply/Add would (Spark 4 defaults to ANSI, so this is the common
+  * promoted form). Exact-arithmetic checks cost one branch per element
+  * that the JIT folds into the multiply — the loop stays primitive.
   */
-case class DotProductQ(left: Expression, right: Expression)
+case class DotProductQ(left: Expression, right: Expression,
+                       failOnError: Boolean = false)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -57,10 +65,18 @@ case class DotProductQ(left: Expression, right: Expression)
     if (y.numElements() != n) return null
     var sum = 0L
     var i = 0
-    while (i < n) {
-      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-      sum += x.getLong(i) * y.getLong(i)
-      i += 1
+    try {
+      while (i < n) {
+        if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+        if (failOnError)
+          sum = Math.addExact(sum, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        else
+          sum += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+    } catch {
+      case _: ArithmeticException =>
+        throw org.apache.spark.sql.GraftSqlBridge.overflowError()
     }
     sum
   }
@@ -74,16 +90,31 @@ case class DotProductQ(left: Expression, right: Expression)
         if (elementsNullable)
           s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
+      val step =
+        if (failOnError)
+          s"$sum = java.lang.Math.addExact($sum, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$sum += $a.getLong($i) * $b.getLong($i);"
+      val loop =
+        s"""for (int $i = 0; $i < $n; $i++) {
+           |  $nullElemCheck
+           |  $step
+           |}""".stripMargin
+      val guardedLoop =
+        if (failOnError)
+          s"""try {
+             |  $loop
+             |} catch (ArithmeticException e) {
+             |  throw org.apache.spark.sql.GraftSqlBridge.overflowError();
+             |}""".stripMargin
+        else loop
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $sum = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullElemCheck
-         |    $sum += $a.getLong($i) * $b.getLong($i);
-         |  }
+         |  $guardedLoop
          |  ${ev.value} = $sum;
          |}
        """.stripMargin

@@ -220,7 +220,11 @@ object Dedup {
     * growing lineage. `checkpointDir = None` uses localCheckpoint —
     * right for local[n], but executor-loss-fragile on a cluster; pass a
     * reliable dir (HDFS/S3) there and the same loop survives executor
-    * loss.
+    * loss. A passed dir is set on the SparkContext for the duration of
+    * the call and the previous checkpoint dir (if any) is restored
+    * afterwards, so other jobs' checkpoints are not silently redirected;
+    * if no dir was set before, the passed one remains (SparkContext has
+    * no unset).
     *
     * Throws IllegalStateException if maxIters rounds don't converge —
     * a partially-propagated labeling is WRONG, never silently returned.
@@ -233,10 +237,12 @@ object Dedup {
   def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    try {
     // Materialize the edge list once: the iteration below references it
     // every round (neighbor join + convergence check), and without the
     // checkpoint the full upstream pair pipeline (e.g. MinHash LSH)
@@ -276,6 +282,12 @@ object Dedup {
         s"componentsFromPairs did not converge after $maxIters rounds; " +
           "a partial labeling would be wrong — raise maxIters")
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_doc_id"))
+    } finally {
+      // every checkpoint is eager, so restoring the dir here is safe —
+      // no lazy checkpoint of ours can fire after the call returns
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   /** SimHash dedup: group identical signatures (Hamming distance 0). */

@@ -35,21 +35,26 @@ object Skew {
     * spreads each hot key over saltN partitions.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 saltN: Int): DataFrame = {
-    val salted = fact.withColumn("_salt", rowSalt(fact, saltN))
+                 saltN: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val salted = fact.withColumn("_salt", rowSalt(fact, saltN, saltCols))
     val replicated = dim
       .withColumn("_salt", explode(sequence(lit(0), lit(saltN - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Per-ROW deterministic salt in [0, saltN): a hash of all of `df`'s
-    * columns. The salt must vary within a hot key — a salt derived from
-    * the join key alone sends every row of that key to one (key, salt)
-    * reducer and spreads nothing. Identical duplicate rows share a salt
+  /** Per-ROW deterministic salt in [0, saltN): a hash of `saltCols` (all
+    * of `df`'s columns when empty). The salt must vary within a hot key —
+    * a salt derived from the join key alone sends every row of that key
+    * to one (key, salt) reducer and spreads nothing; pass an explicit
+    * high-cardinality subset when the frame carries unhashable columns
+    * (xxhash64 rejects MapType) or when a narrow subset hashes cheaper.
+    * Identical rows (projected to the salt columns) share a salt
     * (acceptable: row-content skew, unlike key skew, is bounded by dedup
     * upstream); content-hashing keeps replays deterministic, unlike
     * rand() or monotonically_increasing_id().
     */
-  def rowSalt(df: DataFrame, saltN: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltN)).cast("int")
+  def rowSalt(df: DataFrame, saltN: Int, saltCols: Seq[String] = Nil): Column = {
+    val src = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+    pmod(xxhash64(src.map(col): _*), lit(saltN)).cast("int")
+  }
 }

@@ -20,10 +20,15 @@ import graft.functions.expressions.DotProductQ
   *
   * Semantics: [[DotProductQ]] implements EXACTLY the HOF form's null
   * behavior (null array, unequal lengths, or any null element -> NULL),
-  * so the rewrite is unconditionally sound — it fires on any
-  * ARRAY<BIGINT> inputs, nullable elements included (parquet scans
-  * surface containsNull = true even for null-free data, so a
-  * containsNull guard would disable the rule exactly where it matters).
+  * so the rewrite is sound on any ARRAY<BIGINT> inputs, nullable
+  * elements included (parquet scans surface containsNull = true even for
+  * null-free data, so a containsNull guard would disable the rule
+  * exactly where it matters). The OVERFLOW contract follows the matched
+  * arithmetic's eval mode: LEGACY Multiply/Add -> wrapping kernel; ANSI
+  * (Spark 4's default) -> overflow-checked kernel raising the same
+  * ARITHMETIC_OVERFLOW error. Mixed modes or TRY (per-element NULL on
+  * overflow, not expressible as one fused loop's contract) are left
+  * untouched.
   */
 object PromoteDotProduct extends Rule[LogicalPlan] {
 
@@ -38,18 +43,22 @@ object PromoteDotProduct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // Spark 4.1 wraps the arithmetic eval mode in NumericEvalContext
+    // (evalMode + decimal-precision flag; the latter is irrelevant for
+    // BIGINT arithmetic).
     case ArrayAggregate(
         ZipWith(a, b,
-          LambdaFunction(Multiply(mx, my, _),
+          LambdaFunction(Multiply(mx, my, mulCtx),
             Seq(xv: NamedLambdaVariable, yv: NamedLambdaVariable), _)),
         Literal(0L, LongType),
-        LambdaFunction(Add(macc, mx2, _),
+        LambdaFunction(Add(macc, mx2, addCtx),
           Seq(accv: NamedLambdaVariable, xv2: NamedLambdaVariable), _),
         LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
       if longArray(a) && longArray(b) &&
+        mulCtx.evalMode == addCtx.evalMode && mulCtx.evalMode != EvalMode.TRY &&
         sameVar(mx, xv) && sameVar(my, yv) &&
         sameVar(macc, accv) && sameVar(mx2, xv2) && sameVar(fin, fv) =>
-      DotProductQ(a, b)
+      DotProductQ(a, b, failOnError = mulCtx.evalMode == EvalMode.ANSI)
   }
 }
 

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The ANSI arithmetic-overflow error (ARITHMETIC_OVERFLOW error class),
+    * as thrown by built-in ANSI Add/Multiply — so graft's overflow-checked
+    * kernels fail with the same user-visible error the HOF form would.
+    * (QueryExecutionErrors is private[sql]; generated code calls this via
+    * the static forwarder.)
+    */
+  def overflowError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .arithmeticOverflowError("long overflow")
 }

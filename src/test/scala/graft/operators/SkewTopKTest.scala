@@ -42,6 +42,53 @@ class SkewTopKTest extends AnyFunSuite {
     assert(nSalts > 1, s"hot key collapsed to $nSalts salt bucket(s)")
   }
 
+  test("AQE splits the skewed join partition at runtime; saltedJoin matches it statically") {
+    // The two skew defenses and when each applies:
+    //  - AQE skew join: RUNTIME split of an oversized shuffle partition,
+    //    join-only, needs accurate map output stats, and re-plans only
+    //    sort-merge/shuffled-hash joins — zero user code, first choice
+    //    for plain equi-joins at 100 TB.
+    //  - Skew.saltedJoin: STATIC spread via a row salt — also covers what
+    //    AQE cannot re-plan (aggregation skew, forced repartitions,
+    //    streaming state keyed by the hot key), at the cost of
+    //    replicating the dim side saltN times.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val pad = "x" * 64
+      // one hot key (0) owns 30k of 40k rows — a single reducer's worth
+      val fact = spark.range(40000).select(
+        when(col("id") < 30000, 0L).otherwise(col("id")).as("fk"),
+        concat(lit(pad), col("id")).as("v"))
+      val dim = spark.range(40000).select(col("id").as("fk"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "fk")
+      // execute joined's OWN QueryExecution (count() would plan a separate
+      // aggregate QE and leave this one un-finalized)
+      val n = joined.collect().length.toLong
+      assert(n == 40000L)
+      // the final adaptive plan of the executed run carries the skew split
+      val aqe = joined.queryExecution.executedPlan.toString
+      assert(aqe.contains("skew=true"), aqe)
+      // the static salt yields the same join result without AQE's help
+      val salted = Skew.saltedJoin(fact, dim, "fk", saltN = 8)
+      assert(salted.count() == n)
+      val nSalts = fact.filter(col("fk") === 0L)
+        .select(Skew.rowSalt(fact, 8)).distinct().count()
+      assert(nSalts > 1, "hot key not spread across salt buckets")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("TopK aggregator keeps exact k best with deterministic ties") {
     val topk = udaf(TopKAgg.TopK(3), TopKAgg.entryEncoder)
     val df = Seq(

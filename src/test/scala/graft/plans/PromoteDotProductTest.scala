@@ -49,6 +49,36 @@ class PromoteDotProductTest extends AnyFunSuite {
     }
   }
 
+  test("promoted kernel preserves the eval mode's overflow contract") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ PromoteDotProduct
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("promote4").toString
+      Seq((Seq(Long.MaxValue, 1L), Seq(2L, 1L))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      // ANSI (Spark 4 default): rule fires with the overflow-checked
+      // kernel, which raises ARITHMETIC_OVERFLOW exactly like HOF
+      // Multiply/Add would
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansi = spark.read.parquet(dir).select(hofDot.as("d"))
+      assert(ansi.queryExecution.optimizedPlan.toString.contains("graft_dotq"),
+        ansi.queryExecution.optimizedPlan.toString)
+      val err = intercept[Exception] { ansi.as[Long].head() }
+      assert(err.getMessage.toLowerCase.contains("overflow"), err.getMessage)
+      // LEGACY: rule fires with the wrapping kernel — same value the
+      // legacy HOF form computes (MaxValue*2 + 1 wraps to -1)
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val legacy = spark.read.parquet(dir).select(hofDot.as("d"))
+      assert(legacy.queryExecution.optimizedPlan.toString.contains("graft_dotq"),
+        legacy.queryExecution.optimizedPlan.toString)
+      assert(legacy.as[Long].head() == Long.MaxValue * 2L + 1L)
+    } finally {
+      spark.conf.unset("spark.sql.ansi.enabled")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == PromoteDotProduct)
+    }
+  }
+
   test("rule leaves non-matching aggregates alone (int arrays, different lambda)") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ PromoteDotProduct
