@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Core, Extended, SimilarityQ, TemporalQ, TextDedup, WindowsQ}
+import graft.queries.{Analytics, Core, Curation, Extended, SimilarityQ, TemporalQ, TextDedup, WindowsQ}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with an ANSI-SQL
@@ -19,6 +19,7 @@ object SparkEntry {
       (Core.queries, Core.oracles),
       (Analytics.queries, Analytics.oracles),
       (TextDedup.queries, TextDedup.oracles),
+      (Curation.queries, Curation.oracles),
       (SimilarityQ.queries, SimilarityQ.oracles),
       (WindowsQ.queries, WindowsQ.oracles),
       (TemporalQ.queries, TemporalQ.oracles),

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import graft.operators.Dedup
+import Util._
+
+/** The flagship training-data curation pipeline (SURVEY §2.9 [EXT]):
+  * quality filter → exact dedup → near-dup cluster drop → deterministic
+  * split, composed from the declared operators into ONE flow over the
+  * documents table — the shape a 100 TB pre-training corpus actually
+  * runs, end to end:
+  *
+  *   1. quality gate: the `quality_score` formula, docs below threshold
+  *      dropped at the scan (predicate over scalar exprs — pushable).
+  *   2. exact dedup: keep the min-doc_id representative per normalized
+  *      fingerprint (one hash shuffle).
+  *   3. near-dup drop: MinHash/LSH candidate pairs (df-ceiling capped) →
+  *      exact Jaccard verify → connected components → drop every
+  *      clustered doc except its representative (anti-join).
+  *   4. split: content-hash train/val/test assignment (survives
+  *      reshuffles and engine changes).
+  *
+  * Output is the per-split/lang corpus summary — the small deterministic
+  * surface a curation job reports.
+  *
+  * The DuckDB oracle mirrors every stage (quality doubles, md5
+  * fingerprints, LSH chain, recursive-CTE components, hex-digit split),
+  * so the WHOLE pipeline hash-matches, not just its pieces.
+  */
+object Curation {
+
+  private val QUALITY_MIN = 0.10
+  private val JACCARD_MIN = 0.5
+
+  /** The quality_score formula as reusable columns (identical doubles to
+    * the `quality_score` query / oracle).
+    */
+  private def withQuality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_hits", TextFns.stopHits(col("toks"), TextDedup.EN))
+      .withColumn("punct_len",
+        (length(col("text")) -
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+          .cast("long"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("punct_ratio",
+        col("punct_len").cast("double") / length(col("text")).cast("double"))
+      .withColumn("score",
+        lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+
+  def queries: Map[String, Q] = Map(
+
+    "curate_corpus" -> ((s, dir) => {
+      // 1. quality gate
+      val kept = withQuality(documents(s, dir))
+        .filter(col("score") >= QUALITY_MIN)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+      // 2. exact dedup (min doc_id per fingerprint)
+      val fpw = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val exactKept = kept
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(fpw))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      // 3. near-dup drop: LSH pairs -> components -> drop non-reps
+      val pairs = Dedup.minhashLshPairs(exactKept.select(col("doc_id"), col("text")),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = JACCARD_MIN,
+        maxDf = Some(TextDedup.MAX_DF))
+      val nonReps = Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
+        .filter(col("doc_id") =!= col("rep_doc_id"))
+        .select(col("doc_id"))
+      val curated = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
+      // 4. deterministic content-hash split + corpus summary
+      val d = TextFns.hexVal(substring(col("fp"), 32, 1))
+      curated
+        .withColumn("split",
+          when(d < 14, "train").when(d === 14, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val qualityExpr =
+      s"""0.5 * (CAST(stop_hits AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE))
+         |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)""".stripMargin
+    Map(
+      "curate_corpus" ->
+        s"""WITH RECURSIVE base AS (
+           |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '\\S+') AS toks
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    list_sum(list_transform(toks, t -> CASE WHEN t IN (${TextDedup.sqlIn(TextDedup.EN)}) THEN 1 ELSE 0 END)) AS stop_hits,
+           |    CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
+           |    length(text) AS n_chars
+           |  FROM base),
+           |keptq AS (
+           |  SELECT doc_id, lang, text, n_tokens FROM m
+           |  WHERE $qualityExpr >= $QUALITY_MIN),
+           |fpd AS (
+           |  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM keptq),
+           |ek AS (
+           |  SELECT doc_id, lang, text, n_tokens, fp FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |    FROM fpd)
+           |  WHERE rn = 1),
+           |${TextDedup.docsSqlFrom("ek")},
+           |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
+           |${TextDedup.lshCandSql(8, 4)},
+           |${TextDedup.clusterTailSql(JACCARD_MIN)},
+           |curated AS (
+           |  SELECT ek.* FROM ek
+           |  WHERE NOT EXISTS (SELECT 1 FROM comp
+           |    WHERE comp.doc_id = ek.doc_id AND comp.doc_id <> comp.rep_doc_id)),
+           |labeled AS (
+           |  SELECT lang, n_tokens,
+           |    CASE WHEN d < 14 THEN 'train' WHEN d = 14 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM (SELECT lang, n_tokens, ${TextDedup.hexValSql("fp", 32)} AS d
+           |        FROM curated))
+           |SELECT split, lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    )
+  }
+}

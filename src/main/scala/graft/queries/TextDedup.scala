@@ -21,20 +21,23 @@ import Util._
 object TextDedup {
 
   /** df ceiling for the pair-producing dedup queries. */
-  private val MAX_DF = 20
+  private[queries] val MAX_DF = 20
 
   // Stopword sets for the language-ID heuristic (en/es/de/fr).
-  private val EN = Seq("the", "a", "and", "of", "is")
+  private[queries] val EN = Seq("the", "a", "and", "of", "is")
   private val ES = Seq("el", "la", "de", "los", "y")
   private val DE = Seq("der", "die", "das", "und", "ist")
   private val FR = Seq("le", "les", "et", "est", "dans")
 
-  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+  private[queries] def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
   // ---- shared DuckDB snippets (mirror TextFns/Dedup expressions) -------
+  // Builders are parameterized on the source relation so the curation
+  // pipeline (queries/Curation.scala) can run the same chain over a
+  // filtered corpus.
 
   /** toks + distinct 3-gram shingle set, mirroring TextFns.shingleSet. */
-  private val docsSql =
+  private[queries] def docsSqlFrom(src: String) =
     s"""docs AS (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(toks) >= 3
@@ -42,28 +45,74 @@ object TextDedup {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE []::VARCHAR[] END) AS sh
        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
-       |        FROM documents)
+       |        FROM $src)
        |)""".stripMargin
+
+  private val docsSql = docsSqlFrom("documents")
 
   private val shingledSql =
     s"""shingled AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)"""
 
   /** df-ceiling variant (mirrors Dedup.dfCeiling): the inverted index
-    * drops shingles with df > MAX_DF, then the per-doc shingle lists are
+    * drops shingles with df > maxDf, then the per-doc shingle lists are
     * rebuilt from the surviving rows — docs whose every shingle was
     * dropped disappear, exactly like the Spark side.
     */
-  private val dfShingledSql =
+  private[queries] def dfShingledSqlCap(maxDf: Int) =
     s"""inv AS (
        |  SELECT doc_id, s
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)
-       |  QUALIFY count(*) OVER (PARTITION BY s) <= $MAX_DF),
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $maxDf),
        |shingled AS (SELECT doc_id, list(s) AS sh FROM inv GROUP BY doc_id)""".stripMargin
+
+  private val dfShingledSql = dfShingledSqlCap(MAX_DF)
+
+  /** MinHash sigs + banding + candidate pairs over the `shingled` CTE
+    * (mirrors Dedup.minhashSigs/minhashLshPairs).
+    */
+  private[queries] def lshCandSql(k: Int, bands: Int): String = {
+    val sigCols = (0 until k)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i#' || s))) AS sig$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shingled),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** Connected-components tail over the verified LSH pairs: recursive
+    * reach closure; `comp` maps every clustered doc to its component's
+    * min doc_id (mirrors Dedup.componentsFromPairs). Needs WITH RECURSIVE
+    * at the statement head.
+    */
+  private[queries] def clusterTailSql(threshold: Double): String =
+    s"""pairsq AS (${verifySql(threshold)}),
+       |edges AS (SELECT a AS u, b AS v FROM pairsq
+       |          UNION ALL
+       |          SELECT b AS u, a AS v FROM pairsq),
+       |nodes AS (SELECT DISTINCT u AS node FROM edges),
+       |reach(node, root) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+       |comp AS (
+       |  SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS rep_doc_id
+       |  FROM reach GROUP BY node)""".stripMargin
 
   /** Jaccard-verify SQL over candidate pairs (a,b): mirrors
     * Dedup.verifyJaccard.
     */
-  private def verifySql(threshold: Double) =
+  private[queries] def verifySql(threshold: Double) =
     s"""SELECT c.a, c.b,
        |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
        |  CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
@@ -79,7 +128,7 @@ object TextDedup {
   /** hex-digit value of digit b (1-based) of md5 hex m — mirrors
     * TextFns.hexVal(substring(m, b, 1)).
     */
-  private def hexValSql(m: String, b: Int) =
+  private[queries] def hexValSql(m: String, b: Int) =
     s"(CASE WHEN ascii(substr($m, $b, 1)) >= 97 THEN ascii(substr($m, $b, 1)) - 87 ELSE ascii(substr($m, $b, 1)) - 48 END)"
 
   // ----------------------------------------------------------------------
@@ -229,49 +278,21 @@ object TextDedup {
 
   def oracles: Map[String, String] = {
 
-    // MinHash sigs + bands SQL (mirrors Dedup.withMinhashSigs/minhashLshPairs).
-    val k = 8
-    val bands = 4
-    val sigCols = (0 until k)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i#' || s))) AS sig$i")
-      .mkString(",\n    ")
-    val bandRows = (0 until bands)
-      .map(b => s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sigs")
-      .mkString("\n  UNION ALL\n  ")
+    // MinHash sigs + bands + candidates (mirrors Dedup.minhashLshPairs).
     val lshCommon =
       s"""$docsSql,
          |$dfShingledSql,
-         |sigs AS (
-         |  SELECT doc_id,
-         |    $sigCols
-         |  FROM shingled),
-         |bands AS (
-         |  $bandRows),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-         |   AND x.doc_id < y.doc_id)""".stripMargin
+         |${lshCandSql(8, 4)}""".stripMargin
     val minhashSql =
       s"""WITH $lshCommon
          |${verifySql(0.5)}""".stripMargin
 
-    // Connected components over the LSH pairs via recursive CTE:
-    // reach(node, root) closes over edges; MIN(root) per node = the
-    // component representative (mirrors Dedup.componentsFromPairs).
+    // Connected components over the LSH pairs via recursive CTE
+    // (mirrors Dedup.componentsFromPairs).
     val clustersSql =
       s"""WITH RECURSIVE $lshCommon,
-         |pairsq AS (${verifySql(0.5)}),
-         |edges AS (SELECT a AS u, b AS v FROM pairsq
-         |          UNION ALL
-         |          SELECT b AS u, a AS v FROM pairsq),
-         |nodes AS (SELECT DISTINCT u AS node FROM edges),
-         |reach(node, root) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node)
-         |SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS rep_doc_id
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+         |${clusterTailSql(0.5)}
+         |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
     val ngramSql =
       s"""WITH $docsSql,
