@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+
+/** Dev tool (GenBig's companion): measures the dedup family on the 10x
+  * replicated corpus with the SCALE-INVARIANT df ceiling — frac 0.004 is
+  * exactly the declared MAX_DF = 20 at sf0.1 (0.004 * 5000) and becomes
+  * 200 at 10x, so the "drop shingles in > 0.4% of documents" semantics
+  * survive the scale-up where an absolute cap would not (the replicated
+  * corpus multiplies every df by 10). Prints one JSON line with pair/
+  * cluster counts and wall seconds per stage.
+  *
+  * Usage: sbt "runMain graft.GenBig" then "runMain graft.ProbeDedup10x".
+  */
+object ProbeDedup10x {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/tmp_sf1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val cap = math.ceil(nDocs * 0.004).toInt
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (nLsh, tLsh) = timed {
+      Dedup.minhashLshPairs(docs, n = 3, bands = 4, rowsPerBand = 2,
+        threshold = 0.5, maxDf = Some(cap)).count()
+    }
+    val (nJac, tJac) = timed {
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDf = Some(cap)).count()
+    }
+    val (nCc, tCc) = timed {
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, bands = 4,
+        rowsPerBand = 2, threshold = 0.5, maxDf = Some(cap))
+      Dedup.componentsFromPairs(pairs.select(col("a"), col("b"))).count()
+    }
+
+    def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"probe":"dedup10x","n_docs":$nDocs,"df_cap":$cap,""" +
+      s""""lsh_pairs":$nLsh,"lsh_sec":${f(tLsh)},""" +
+      s""""jaccard_pairs":$nJac,"jaccard_sec":${f(tJac)},""" +
+      s""""clustered_docs":$nCc,"cc_sec":${f(tCc)}}""")
+    spark.stop()
+  }
+}

@@ -92,6 +92,26 @@ object Dedup {
       .drop("_df")
   }
 
+  /** Fractional df ceiling: drop shingles appearing in more than
+    * frac * |corpus| documents. An ABSOLUTE cap ([[dfCeiling]]) mirrors
+    * easily into oracles but silently changes meaning when the corpus
+    * grows — at 10x the data the same cap drops 10x "hotter" shingles
+    * relative to corpus size. A stop-phrase is a FRACTION property
+    * ("appears in >2% of documents"), so the scale-invariant form
+    * computes the cap from the corpus itself: one extra count aggregate,
+    * broadcast-joined (a 1-row frame) onto the df window — still fully
+    * lazy, no driver-side action.
+    */
+  def dfCeilingFraction(inv: DataFrame, frac: Double): DataFrame = {
+    val n = inv.select(col("doc_id")).agg(
+      countDistinct(col("doc_id")).as("_n_docs"))
+    val w = Window.partitionBy(col("s"))
+    inv.crossJoin(broadcast(n))
+      .withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= ceil(col("_n_docs") * frac))
+      .drop("_df", "_n_docs")
+  }
+
   private def applyDf(inv: DataFrame, maxDf: Option[Int]): DataFrame =
     maxDf.map(dfCeiling(inv, _)).getOrElse(inv)
 

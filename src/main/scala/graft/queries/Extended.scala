@@ -53,12 +53,18 @@ object Extended {
     }),
 
     // A5 exact percentiles (linear interpolation) per priority class.
+    // One ARRAY percentile aggregate, not three scalar ones: the
+    // Percentile buffer (a value-counts map over the group) is built and
+    // merged ONCE and evaluated at each cut point — three separate
+    // aggregates each carry their own copy of that map through the
+    // shuffle merge.
     "percentile_orders" -> ((s, dir) => {
       orders(s, dir)
         .groupBy(col("o_orderpriority"))
-        .agg(percentile(col("o_totalprice"), lit(0.25)).as("p25"),
-          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        .select(col("o_orderpriority"), col("ps").getItem(0).as("p25"),
+          col("ps").getItem(1).as("p50"), col("ps").getItem(2).as("p75"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -72,12 +78,12 @@ object Extended {
     "approx_percentile_orders" -> ((s, dir) => {
       orders(s, dir)
         .groupBy(col("o_orderpriority"))
-        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile(col("o_totalprice"), lit(0.45)).as("p45"),
-          percentile(col("o_totalprice"), lit(0.55)).as("p55"))
-        .select(col("o_orderpriority"), col("p50"),
-          (col("ap50") >= col("p45") && col("ap50") <= col("p55")).as("approx_ok"))
+        .agg(percentile(col("o_totalprice"),
+            array(lit(0.45), lit(0.5), lit(0.55))).as("ps"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"))
+        .select(col("o_orderpriority"), col("ps").getItem(1).as("p50"),
+          (col("ap50") >= col("ps").getItem(0) &&
+            col("ap50") <= col("ps").getItem(2)).as("approx_ok"))
         .orderBy(col("o_orderpriority"))
     }),
 

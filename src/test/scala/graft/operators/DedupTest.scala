@@ -64,6 +64,17 @@ class DedupTest extends AnyFunSuite {
     assert(kept.count() == inv.count() - 7)
   }
 
+  test("dfCeilingFraction scales the cap with corpus size") {
+    val inv = Dedup.shingleRows(hotDocs, n = 3)
+    // 9 docs; frac 0.6 -> cap ceil(5.4) = 6 < hot shingle's df 7
+    val kept = Dedup.dfCeilingFraction(inv, frac = 0.6)
+    val dropped = inv.exceptAll(kept).select("s").distinct().as[String].collect()
+    assert(dropped.toSeq == Seq("click here now"))
+    // frac 0.8 -> cap ceil(7.2) = 8 >= 7: nothing dropped — the SAME
+    // fraction over a bigger corpus admits proportionally hotter shingles
+    assert(Dedup.dfCeilingFraction(inv, frac = 0.8).count() == inv.count())
+  }
+
   test("dfCeiling kills the hot-shingle pair bomb but keeps the true near-dup") {
     // Without the ceiling the stop-phrase manufactures C(7,2) = 21
     // spurious pairs (plus the true one): the f² skew bomb in miniature.
