@@ -34,7 +34,7 @@ import Util._
   */
 object Curation {
 
-  private val QUALITY_MIN = 0.10
+  private val QUALITY_MIN = 0.40
   private val JACCARD_MIN = 0.5
 
   /** The quality_score formula as reusable columns (identical doubles to
@@ -46,8 +46,7 @@ object Curation {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_hits", TextFns.stopHits(col("toks"), TextDedup.EN))
       .withColumn("punct_len",
-        (length(col("text")) -
-          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
           .cast("long"))
       .withColumn("stop_ratio",
         col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
@@ -105,7 +104,7 @@ object Curation {
            |  SELECT doc_id, lang, text,
            |    CAST(len(toks) AS BIGINT) AS n_tokens,
            |    list_sum(list_transform(toks, t -> CASE WHEN t IN (${TextDedup.sqlIn(TextDedup.EN)}) THEN 1 ELSE 0 END)) AS stop_hits,
-           |    CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
+           |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
            |    length(text) AS n_chars
            |  FROM base),
            |keptq AS (

@@ -206,14 +206,17 @@ object TextDedup {
     }),
 
     // Quality scoring: stopword ratio, punctuation ratio, length prior.
+    // punct_len counts the chars LEFT after deleting [a-z0-9 ] — i.e.
+    // actual punctuation/symbols (round 4 fix: the earlier subtraction
+    // counted the deleted clean chars, inverting the penalty so junk
+    // text was rewarded).
     "quality_score" -> ((s, dir) => {
       documents(s, dir)
         .withColumn("toks", TextFns.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("stop_hits", TextFns.stopHits(col("toks"), EN))
         .withColumn("punct_len",
-          (length(col("text")) -
-            length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
             .cast("long"))
         .withColumn("stop_ratio",
           col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
@@ -361,7 +364,7 @@ object TextDedup {
            |  SELECT doc_id,
            |    CAST(len(toks) AS BIGINT) AS n_tokens,
            |    list_sum(list_transform(toks, t -> CASE WHEN t IN (${sqlIn(EN)}) THEN 1 ELSE 0 END)) AS stop_hits,
-           |    CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
+           |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
            |    length(text) AS n_chars
            |  FROM base)
            |SELECT doc_id, n_tokens,

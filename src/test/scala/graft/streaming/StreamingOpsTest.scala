@@ -81,6 +81,27 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(got.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("curationIngest gates quality and drops exact dups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val good = "the quick brown fox is one of the best and the rest of the " +
+      "pack is far behind and a little slower than the leader of the group"
+    mem.addData(
+      (1L, good, ts(0)),
+      (2L, good.replace("quick", " quick "), ts(1)), // same fp after normalize
+      (3L, "@@@ ### $$$ %%%", ts(2)),                // punctuation junk: low score
+      (4L, good + " with a new and different tail of words here", ts(3)))
+    val df = mem.toDF.toDF("doc_id", "text", "ts")
+    val out = StreamingOps.curationIngest(df, minScore = 0.40,
+      watermark = "10 minutes")
+    val got = runBatches(out.writeStream.outputMode(OutputMode.Append), "curation")
+    // doc 2 is an exact dup of 1 (same normalized fingerprint), doc 3
+    // fails the quality gate; 1 and 4 survive with their token counts
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val fps = got.select("fp").as[String].collect()
+    assert(fps.distinct.length == 2)
+  }
+
   test("statusTransitions emits one transition per status flip, idempotent on repeats") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.{StatusEvent, Transition}
