@@ -104,13 +104,36 @@ object SimilaritySearch {
     topKPerQuery(scored, k)
   }
 
+  private def bucketed(df: DataFrame, nBits: Int, dims: Int) = quantized(df)
+    .withColumn("bucket", VectorFns.lshBucket(col("q"), nBits, dims))
+
   /** LSH-bucketed ANN: probe only candidates in the query's bucket. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nBits: Int, dims: Int): DataFrame = {
-    def bucketed(df: DataFrame) = quantized(df)
-      .withColumn("bucket", VectorFns.lshBucket(col("q"), nBits, dims))
-    val ql = bucketed(queries).select(col("bucket"), col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
-    val cl = bucketed(candidates).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
+    val ql = bucketed(queries, nBits, dims).select(col("bucket"), col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    val cl = bucketed(candidates, nBits, dims).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
+    val scored = cl.join(broadcast(ql), Seq("bucket"))
+      .withColumn("cos", pairCos)
+    topKPerQuery(scored, k)
+  }
+
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall fix for sign-random-projection LSH, where a true neighbor
+    * sitting near one hyperplane lands one bit away. nBits+1 probes per
+    * query recover most of brute-force recall at (nBits+1)/2^nBits of
+    * its cost; the candidate side is untouched (each candidate still
+    * lives in exactly ONE bucket, so probes never produce duplicate
+    * pairs and the shuffle stays keyed by bucket).
+    */
+  def lshMultiProbeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                        nBits: Int, dims: Int): DataFrame = {
+    val probes = array(col("bucket") +:
+      (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1 << b))): _*)
+    val ql = bucketed(queries, nBits, dims)
+      .select(explode(probes).as("bucket"),
+        col("vec_id").as("q_vec"), col("q").as("qq"), col("nrm").as("nq"))
+    val cl = bucketed(candidates, nBits, dims).select(col("bucket"), col("vec_id").as("c_vec"), col("q").as("cq"), col("nrm").as("nc"))
     val scored = cl.join(broadcast(ql), Seq("bucket"))
       .withColumn("cos", pairCos)
     topKPerQuery(scored, k)

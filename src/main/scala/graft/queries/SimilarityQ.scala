@@ -66,6 +66,17 @@ object SimilarityQ {
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
+    // Multi-probe LSH: the query also probes every Hamming-1 neighbor
+    // bucket — near-hyperplane misses recovered without bigger buckets.
+    "ann_lsh_multiprobe_top3" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.lshMultiProbeTopK(
+        e.filter(col("vec_id") < N_QUERIES),
+        e.filter(col("vec_id") >= N_QUERIES), k = 3,
+        nBits = LSH_BITS, dims = DIMS)
+        .orderBy(col("q_vec"), col("rnk"))
+    }),
+
     // IVF ANN: candidates assigned once to the nearest of 16 centroids
     // (deterministic id-range sample standing in for k-means iterates);
     // each query probes its 2 nearest lists — ~1/8 of the full scan.
@@ -151,6 +162,27 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    "ann_lsh_multiprobe_top3" -> {
+      val probeList = ("bucket" +:
+        (0 until LSH_BITS).map(b => s"xor(bucket, ${1L << b})").toSeq).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |b AS (SELECT vec_id, q, ${bucketSql("q")} AS bucket FROM e),
+         |ql AS (
+         |  SELECT unnest([$probeList]) AS bucket, vec_id AS q_vec, q AS qq
+         |  FROM b WHERE vec_id < $N_QUERIES),
+         |cl AS (SELECT bucket, vec_id AS c_vec, q AS cq FROM b WHERE vec_id >= $N_QUERIES),
+         |scored AS (
+         |  SELECT q_vec, c_vec,
+         |    ${cosSql("qq", "cq")} AS cos
+         |  FROM cl JOIN ql USING (bucket)),
+         |ranked AS (
+         |  SELECT q_vec, c_vec, cos, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY cos DESC, c_vec) AS rnk
+         |  FROM scored)
+         |SELECT q_vec, rnk, c_vec, cos FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin
+    },
 
     "ann_ivf_top3" ->
       s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
