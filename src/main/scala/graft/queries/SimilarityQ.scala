@@ -90,6 +90,23 @@ object SimilarityQ {
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
+    // Per-label centroid: dimension-wise mean embedding — the vector
+    // aggregation behind k-means iterates / class prototypes, computed
+    // relationally (posexplode -> one hash agg keyed by (label, dim)):
+    // exact long sums, one correctly-rounded division, map-side partial
+    // aggregation — the shape that computes 100 TB of embeddings'
+    // centroids in one shuffle of (label, dim) partial sums.
+    "label_centroids" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"),
+          posexplode(graft.functions.VectorFns.quantize(col("embedding")))
+            .as(Seq("dim", "qv")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("qv")).cast("double") / count(lit(1))).as("mean_q"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // Embedding near-duplicate pairs, blocked by label (the blocking key
     // is an LSH bucket at scale), exact quantized cosine >= 0.40.
     "embed_near_dup" -> ((s, dir) => {
@@ -213,6 +230,16 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    "label_centroids" ->
+      s"""WITH e AS (SELECT label, $qSql AS q FROM embeddings),
+         |ex AS (
+         |  SELECT label, CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(q) AS qv
+         |  FROM e)
+         |SELECT label, dim, COUNT(*) AS n_vecs,
+         |  CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_q
+         |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "multimodal_framesample" ->
       s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),

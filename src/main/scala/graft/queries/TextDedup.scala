@@ -268,6 +268,30 @@ object TextDedup {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // TF-IDF top terms per document — the relational formulation: token
+    // rows -> per-(doc,term) counts -> document frequency -> score.
+    // idf is the exact rational N/df (not log-scaled): rank-equivalent
+    // per document, and the single long->double division is correctly
+    // rounded on both engines, so scores hash-match (a log() idf would
+    // be at the mercy of each engine's libm).
+    "tfidf_top_terms" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = documents(s, dir).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Term frequency: global top-20 tokens.
     "term_freq_top20" -> ((s, dir) => {
       documents(s, dir)
@@ -400,6 +424,23 @@ object TextDedup {
           |        PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rnk
           |      FROM documents)
           |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+      "tfidf_top_terms" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT COUNT(*) AS n FROM documents),
+          |scored AS (
+          |  SELECT doc_id, term, CAST(tf * n AS DOUBLE) / df AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, term, score, CAST(row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, rnk, term, score FROM ranked
+          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
       "term_freq_top20" ->
         """SELECT token, count(*) AS n
