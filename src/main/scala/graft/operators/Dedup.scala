@@ -273,6 +273,15 @@ object Dedup {
       .withColumn("lbl", col("node"))
     var converged = false
     var iter = 0
+    // Convergence check WITHOUT a per-round join: every step only ever
+    // DECREASES a node's label (least of own + neighbors' labels, then
+    // label-of-label, which is <= label), so the label sum is strictly
+    // monotone until the fixed point — equal consecutive sums == no node
+    // changed. One aggregate over the just-checkpointed table instead of
+    // a join against the previous round's labels. The sum is decimal(38)
+    // — a long sum can overflow at billions of 64-bit ids, and a wrapped
+    // (or ANSI-nulled) sum could fake convergence.
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
@@ -289,12 +298,13 @@ object Dedup {
         .join(propagated.select(col("node").as("p_node"), col("lbl").as("p_lbl")),
           col("n.lbl") === col("p_node"))
         .select(col("n.node").as("node"), col("p_lbl").as("lbl"))
-      val changed = jumped.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
       labels = save(jumped) // cut the growing lineage
-      converged = changed == 0
+      val newSum = labels
+        .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head().getDecimal(0)
+      converged = prevSum.exists(_.compareTo(newSum) == 0)
+      prevSum = Some(newSum)
       iter += 1
     }
     if (!converged)
