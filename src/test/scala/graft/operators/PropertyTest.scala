@@ -91,4 +91,41 @@ class PropertyTest extends AnyFunSuite {
       assert(second.filter($"n_dups" > 1).count() == 0)
     }
   }
+
+  test("df ceilings only remove rows, never invent them; fraction==absolute at matching cap") {
+    val docsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 20L),
+      Gen.listOfN(6, Gen.oneOf("u", "v", "w", "x", "y", "z"))))
+    for (rows <- samples(docsGen, 4).filter(_.size > 2)) {
+      val docs = rows.zipWithIndex
+        .map { case ((_, ws), i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val inv = Dedup.shingleRows(docs, n = 3)
+      val nDocs = inv.select("doc_id").distinct().count()
+      for (cap <- Seq(1, 2, nDocs.toInt.max(1))) {
+        val kept = Dedup.dfCeiling(inv, cap)
+        // subset: every kept row exists in the input
+        assert(kept.exceptAll(inv).count() == 0)
+        // the fractional form with frac = cap/n gives the same universe
+        val frac = cap.toDouble / nDocs
+        val keptF = Dedup.dfCeilingFraction(inv, frac)
+        assert(kept.exceptAll(keptF).count() == 0 &&
+          keptF.exceptAll(kept).count() == 0)
+      }
+    }
+  }
+
+  test("components: every rep is the true min of its component; labels closed under edges") {
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
+    for (pairs <- samples(pairGen, 4).filter(_.nonEmpty)) {
+      val comp = Dedup.componentsFromPairs(pairs.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      // closure: both endpoints of every edge share a label
+      pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b)") }
+      // minimality: each label is the min doc_id among nodes holding it
+      comp.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(members.keys.min == lbl)
+      }
+    }
+  }
 }
