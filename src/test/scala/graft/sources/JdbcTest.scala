@@ -54,6 +54,20 @@ class JdbcTest extends AnyFunSuite {
     assert(got.select("ID_NUM").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
   }
 
+  test("readPartitioned shards the scan into range partitions with no row loss") {
+    val rows = (1L to 97L).map(i => (i, s"user$i")).toDF("id_num", "login_id")
+    val t = "BIG_USERS"
+    Jdbc.overwriteMirror(rows, conn, t, Set(t))
+    val got = Jdbc.readPartitioned(spark, conn, t,
+      partitionColumn = "id_num", lower = 1L, upper = 98L, numPartitions = 4)
+    // 4 concurrent range reads (each executor its own connection + range
+    // predicate), together covering every row exactly once — including
+    // ids outside [lower, upper), which land in the edge partitions
+    assert(got.rdd.getNumPartitions == 4)
+    assert(got.count() == 97)
+    assert(got.select(sum(col("ID_NUM"))).as[Long].head() == 97L * 98 / 2)
+  }
+
   test("overwriteMirror refuses tables outside the allow-list") {
     val df = Seq((1L, "x")).toDF("id_num", "login_id")
     assertThrows[IllegalArgumentException] {
