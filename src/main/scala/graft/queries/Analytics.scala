@@ -168,6 +168,24 @@ object Analytics {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // Two-phase SALTED aggregation under the oracle gate: event_type has
+    // a handful of hot keys over the whole table — the exact shape where
+    // one reducer owns a key's entire partial state. The salt spreads
+    // each key over 16 (key, salt) groups for the first aggregate; the
+    // second collapses them. Decimal partials keep the final double
+    // identical to the unsalted plan, which is what the oracle computes.
+    "salted_event_totals" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+        events(s, dir).select(col("event_type"), col("value")),
+        key = col("event_type"),
+        saltCol = pmod(xxhash64(col("value")), lit(16)),
+        partials = Seq(sum(d2(col("value"))).as("ps"), count(lit(1)).as("pn")),
+        finals = Seq(sum(col("ps")).cast("double").as("total"),
+          sum(col("pn")).as("n")))
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // F10: JSON field extraction from the events props payload.
     "json_extract_events" -> ((s, dir) => {
       events(s, dir)
@@ -299,6 +317,12 @@ object Analytics {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "salted_event_totals" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The outer CAST matters: DuckDB SUM(BIGINT) yields HUGEINT, which
     // value-hashes differently from Spark's long.
