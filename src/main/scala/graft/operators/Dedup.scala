@@ -52,7 +52,15 @@ object Dedup {
     * MinHash sigs, SimHash bit-sums, intersection counts) wants rows
     * anyway. Docs shorter than n tokens yield no full gram and drop out.
     */
-  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    shingleOccurrences(docs, n).distinct()
+
+  /** (doc_id, s) with one row per shingle OCCURRENCE (duplicates kept) —
+    * the multiset form [[shingleRows]] dedups. Consumers that need
+    * within-doc frequencies (repetition signals) read this; set-semantics
+    * consumers (Jaccard, MinHash) read the distinct form.
+    */
+  def shingleOccurrences(docs: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val gram = concat_ws(" ",
       col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w)): _*)
@@ -65,7 +73,54 @@ object Dedup {
         lead(col("tok"), n - 1).over(w).isNotNull.as("full"))
       .filter(col("full"))
       .select(col("doc_id"), col("s"))
-      .distinct()
+  }
+
+  /** Benchmark decontamination: training docs sharing at least minHits
+    * distinct word-n-gram shingles with ANY eval-suite doc — the standard
+    * n-gram-collision test-set-leakage check run before pre-training.
+    * Output: (doc_id, n_shared), one row per contaminated training doc.
+    *
+    * Scale shape (100 TB corpus vs a tiny benchmark suite): the eval
+    * shingle set is DISTINCT-ed and broadcast, so the corpus-side probe
+    * is a map-side hash join — the 100 TB side is never shuffled by
+    * shingle, which also makes hot shingles harmless here (no
+    * shingle-keyed reducer exists). One final hash-aggregate keyed by
+    * doc_id (a perfectly-distributed key) counts the collisions.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int,
+      minHits: Int): DataFrame = {
+    val evalShingles = shingleRows(evalSet, n).select(col("s")).distinct()
+    shingleRows(train, n)
+      .join(broadcast(evalShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minHits)
+  }
+
+  /** Per-doc repetition signals (the Gopher-style quality filters):
+    * total vs distinct n-gram occurrence counts, the duplicate-gram
+    * share, and the hottest single gram's share — both shares as integer
+    * permille via floor division, so the output is engine-portable
+    * (no >15-significant-digit doubles). Docs shorter than n tokens have
+    * no gram and drop out, like every shingle consumer.
+    *
+    * Scale shape: two hash aggregates, keyed (doc_id, s) then doc_id —
+    * both keys include doc_id so neither shuffle has a hot key, and both
+    * get map-side partial aggregation.
+    */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    val per = shingleOccurrences(docs, n)
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
+    per.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("cnt")).as("max_gram_count"))
+      .withColumn("dup_permille",
+        floor(lit(1000) * (col("total_grams") - col("distinct_grams")) /
+          col("total_grams")))
+      .withColumn("top_gram_permille",
+        floor(lit(1000) * col("max_gram_count") / col("total_grams")))
   }
 
   /** Per-doc shingle-set sizes (the |A| term of Jaccard). */

@@ -183,6 +183,26 @@ object TextDedup {
         .orderBy(col("simhash"))
     }),
 
+    // Benchmark decontamination: train docs sharing >= 2 distinct
+    // 3-gram shingles with the held-out eval slice (doc_id % 50 == 0
+    // stands in for a benchmark suite). Eval shingles broadcast; the
+    // corpus side is never shuffled by shingle.
+    "decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.decontaminate(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        evalSet = docs.filter(col("doc_id") % 50 === 0),
+        n = 3, minHits = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-3-gram and hottest-
+    // 3-gram shares per doc, as integer permille (portable, no doubles).
+    "doc_repetition" -> ((s, dir) => {
+      Dedup.repetitionStats(documents(s, dir), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic -> confusion matrix against the lang column.
     // toks and the four scores are bound as columns (attributes) before
     // the comparison chain references them repeatedly — see
@@ -363,6 +383,33 @@ object TextDedup {
       "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
       "dedup_simhash" -> simhashSql,
+
+      "decontaminate" ->
+        s"""WITH $docsSql,
+           |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+           |ev AS (SELECT DISTINCT s FROM inv WHERE doc_id % 50 = 0)
+           |SELECT i.doc_id, count(*) AS n_shared
+           |FROM inv i JOIN ev USING (s)
+           |WHERE i.doc_id % 50 <> 0
+           |GROUP BY i.doc_id
+           |HAVING count(*) >= 2
+           |ORDER BY doc_id""".stripMargin,
+
+      "doc_repetition" ->
+        """WITH occ AS (
+          |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+          |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+          |        FROM documents),
+          |       UNNEST(range(1, len(toks)-1)) AS t(i)),
+          |per AS (SELECT doc_id, s, count(*) AS cnt FROM occ GROUP BY doc_id, s),
+          |agg AS (
+          |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_grams,
+          |    count(*) AS distinct_grams, CAST(max(cnt) AS BIGINT) AS max_gram_count
+          |  FROM per GROUP BY doc_id)
+          |SELECT doc_id, total_grams, distinct_grams, max_gram_count,
+          |  (1000 * (total_grams - distinct_grams)) // total_grams AS dup_permille,
+          |  (1000 * max_gram_count) // total_grams AS top_gram_permille
+          |FROM agg ORDER BY doc_id""".stripMargin,
 
       "lang_id_confusion" ->
         s"""WITH scored AS (

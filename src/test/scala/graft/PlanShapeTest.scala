@@ -56,6 +56,14 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("decontaminate broadcasts the eval shingle set; corpus side never shuffles by shingle") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no sort-merge join: a SMJ would mean the corpus was exchanged on
+    // the shingle key — the skew/scale failure the operator avoids.
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and

@@ -133,6 +133,37 @@ class DedupTest extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags only train docs sharing >= minHits eval shingles") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 grams with eval
+      (2L, "alpha beta gamma unrelated tail words"), // shares 1 gram
+      (3L, "nothing in common with the benchmark")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon prefix")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, n = 3, minHits = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // doc 1 shares "alpha beta gamma", "beta gamma delta", "gamma delta
+    // epsilon" (3 >= 2); doc 2 only "alpha beta gamma" (1 < 2).
+    assert(out == Seq((1L, 3L)))
+  }
+
+  test("repetitionStats measures duplicate and hottest gram shares") {
+    val d = Seq(
+      (0L, "a b a b a b a b"), // 6 3-grams: "a b a" x3, "b a b" x3
+      (1L, "p q r s t u"),     // 4 distinct 3-grams, no repetition
+      (2L, "x y")              // shorter than n: drops out
+    ).toDF("doc_id", "text")
+    val rows = Dedup.repetitionStats(d, n = 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      // total 6, distinct 2, max 3 -> dup 666, top 500
+      (0L, 6L, 2L, 3L, 666L, 500L),
+      (1L, 4L, 4L, 1L, 0L, 250L)))
+  }
+
   test("embeddingNearDup finds the planted high-cosine pair within block") {
     val embs = Seq(
       (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),
