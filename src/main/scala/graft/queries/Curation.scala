@@ -56,7 +56,57 @@ object Curation {
         lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
 
+  /** Context length for the packing planner (tokens per pack). */
+  private val CTX = 512
+  /** Shard fan-out for packing: at cluster scale this is O(executors),
+    * here small so packs are non-trivial at every SF.
+    */
+  private val SHARDS = 4
+
   def queries: Map[String, Q] = Map(
+
+    // Sequence-packing planner: the concat-and-chunk shape GPT-style
+    // pre-training uses. Docs are sharded by a content-hash digit
+    // (shard count scales with the cluster), ordered within shard, and
+    // assigned to the pack where their first token lands
+    // (pack_id = start_offset div CTX). One shuffle keyed by shard;
+    // the per-shard running sum is the sequential scan a packer does
+    // anyway, parallel ACROSS shards.
+    "pack_sequences" -> ((s, dir) => {
+      val shard = TextFns.hexVal(
+        substring(TextFns.fingerprint(col("text")), 1, 1)) % SHARDS
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+        .withColumn("shard", shard)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / CTX))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
+    // Domain mixing: deterministic per-source downsampling via a
+    // content-hash threshold (rate16/16 of each source survives, chosen
+    // by the source's numeric suffix). Pure map-side filter — at 100 TB
+    // the mix is applied at the scan with zero shuffles; the summary
+    // aggregate is the only exchange.
+    "domain_mix" -> ((s, dir) => {
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val rate16 = when(srcNum < 5, 16).when(srcNum < 10, 8)
+        .when(srcNum < 15, 4).otherwise(2)
+      val d = TextFns.hexVal(substring(TextFns.fingerprint(col("text")), 2, 1))
+      documents(s, dir)
+        .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+        .withColumn("kept", d < rate16)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
 
     "curate_corpus" -> ((s, dir) => {
       // 1. quality gate
@@ -96,6 +146,44 @@ object Curation {
          |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
          |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)""".stripMargin
     Map(
+      "pack_sequences" ->
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
+           |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, n_tokens, ${TextDedup.hexValSql("fp", 1)} % $SHARDS AS shard
+           |  FROM base),
+           |c AS (
+           |  SELECT shard, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM sh),
+           |p AS (SELECT shard, n_tokens, (cum - n_tokens) // $CTX AS pack_id FROM c)
+           |SELECT shard, pack_id, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+           |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+      "domain_mix" ->
+        s"""WITH base AS (
+           |  SELECT source,
+           |    CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS n_tokens,
+           |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |k AS (
+           |  SELECT source, n_tokens,
+           |    ${TextDedup.hexValSql("fp", 2)} <
+           |      (CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 5 THEN 16
+           |            WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10 THEN 8
+           |            WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 15 THEN 4
+           |            ELSE 2 END) AS kept
+           |  FROM base)
+           |SELECT source, count(*) AS n_total,
+           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+           |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
       "curate_corpus" ->
         s"""WITH RECURSIVE base AS (
            |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '\\S+') AS toks

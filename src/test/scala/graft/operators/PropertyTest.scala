@@ -114,6 +114,24 @@ class PropertyTest extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences: per-shard token conservation and contiguous pack ids") {
+    val sf = "/root/testdata/sf0.001"
+    val packs = graft.SparkEntry.queries("pack_sequences")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totalTokens = docs
+      .select(size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    // conservation: every token lands in exactly one pack
+    assert(packs.map(_._4).sum == totalTokens)
+    assert(packs.map(_._3).sum == docs.count())
+    // contiguity: concat-and-chunk leaves no empty pack between used ones
+    packs.groupBy(_._1).foreach { case (shard, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids == (0L until ids.size), s"shard $shard ids $ids")
+    }
+  }
+
   test("components: every rep is the true min of its component; labels closed under edges") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
       .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
