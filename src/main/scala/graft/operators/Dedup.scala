@@ -170,6 +170,19 @@ object Dedup {
   private def applyDf(inv: DataFrame, maxDf: Option[Int]): DataFrame =
     maxDf.map(dfCeiling(inv, _)).getOrElse(inv)
 
+  /** Persist the inverted index for operators that consume it several
+    * times (signatures, verify probe side, verify build side, set
+    * sizes). Catalyst's ReuseExchange can't deduplicate those subtrees —
+    * per-consumer column pruning and aliasing make them structurally
+    * different — so without this the corpus is re-scanned and
+    * re-shingled once per consumer (7 scans in the measured LSH plan).
+    * MEMORY_AND_DISK spills rather than recomputes at scale; the entry
+    * is unpersisted by the ContextCleaner once the query's DataFrame is
+    * garbage, the standard lifecycle for intra-query reuse.
+    */
+  private def materialized(inv: DataFrame): DataFrame =
+    inv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash signatures sig0..sig{k-1}: per seed i, the min md5 of
     * "i#shingle" over the doc's shingle set — one hash-aggregate with k
     * min() columns over the shingle rows (map-side partial min, shuffle
@@ -196,7 +209,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val inv = applyDf(shingleRows(docs, n), maxDf)
+    val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
     val sigs = minhashSigs(inv, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*))
@@ -232,7 +245,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDf: Option[Int] = None): DataFrame = {
-    val inv = applyDf(shingleRows(docs, n), maxDf)
+    val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
     val inter = inv.select(col("s"), col("doc_id").as("a"))
       .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
       .filter(col("a") < col("b"))

@@ -64,6 +64,13 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup_minhash_lsh materializes the inverted index once (cache, not re-scan)") {
+    val p = plan("dedup_minhash_lsh")
+    // signatures + verify sides + set sizes all read the persisted
+    // shingle index; without it the corpus is re-scanned per consumer.
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and
