@@ -203,6 +203,23 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: new-batch docs (doc_id % 10 >= 8) whose SimHash
+    // collides with the existing corpus are flagged for drop. The
+    // existing signature set is bounded by the 16-bit signature space
+    // (65,536 keys) no matter the corpus size, so it broadcasts — the
+    // new batch is never shuffled. (A 64-bit simhash would need the
+    // semi join instead.)
+    "dedup_incremental" -> ((s, dir) => {
+      val sh = Dedup.withSimhash(
+        Dedup.shingleRows(documents(s, dir), n = 3))
+      val existing = sh.filter(col("doc_id") % 10 < 8)
+        .select(col("simhash")).distinct()
+      sh.filter(col("doc_id") % 10 >= 8)
+        .join(broadcast(existing), Seq("simhash"), "left_semi")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID heuristic -> confusion matrix against the lang column.
     // toks and the four scores are bound as columns (attributes) before
     // the comparison chain references them repeatedly — see
@@ -383,6 +400,19 @@ object TextDedup {
       "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
       "dedup_simhash" -> simhashSql,
+
+      "dedup_incremental" ->
+        s"""WITH $docsSql,
+           |$shingledSql,
+           |hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS shm FROM shingled),
+           |sh2 AS (SELECT doc_id,
+           |      $bitTerms AS simhash
+           |  FROM hashed)
+           |SELECT n.doc_id, n.simhash FROM sh2 n
+           |WHERE n.doc_id % 10 >= 8
+           |  AND EXISTS (SELECT 1 FROM sh2 e
+           |              WHERE e.doc_id % 10 < 8 AND e.simhash = n.simhash)
+           |ORDER BY doc_id""".stripMargin,
 
       "decontaminate" ->
         s"""WITH $docsSql,
