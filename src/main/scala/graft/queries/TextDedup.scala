@@ -210,8 +210,13 @@ object TextDedup {
     // new batch is never shuffled. (A 64-bit simhash would need the
     // semi join instead.)
     "dedup_incremental" -> ((s, dir) => {
+      // persisted: the signature table is expensive to build (shingle
+      // chain + 16 bit-sums), 2 longs wide, and consumed by both the
+      // existing and new-batch branches — the profile where caching
+      // wins (see Dedup.materialized).
       val sh = Dedup.withSimhash(
         Dedup.shingleRows(documents(s, dir), n = 3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val existing = sh.filter(col("doc_id") % 10 < 8)
         .select(col("simhash")).distinct()
       sh.filter(col("doc_id") % 10 >= 8)
