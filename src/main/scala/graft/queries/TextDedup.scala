@@ -319,8 +319,11 @@ object TextDedup {
     "tfidf_top_terms" -> ((s, dir) => {
       val tok = documents(s, dir)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      // persisted: tf feeds both the df aggregate and the scoring join
+      // (expensive to build, 3 columns wide — the caching profile).
       val tf = tok.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = documents(s, dir).agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
