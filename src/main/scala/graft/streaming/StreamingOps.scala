@@ -159,6 +159,34 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("fp"), col("n_tokens"), col("text"))
   }
 
+  /** Streaming decontamination gate — the ingest-time twin of the batch
+    * `decontaminate` query (Dedup.decontaminate): flag arriving docs
+    * that share any word-n-gram with a STATIC eval-suite shingle set.
+    * The join is stream-static with a broadcast hint — the eval side is
+    * tiny and re-read per micro-batch, the stream side never shuffles;
+    * `dropDuplicatesWithinWatermark` collapses multi-shingle hits to one
+    * flag row per doc with bounded state.
+    *
+    * Shingling: window functions are unsupported on streams, so this
+    * tier uses the array form over the BOUND token column — per-record
+    * cost is O(len^2) primitive ops in the worst (projection-fused)
+    * case, acceptable for stream records; the batch tier keeps the
+    * relational formulation (see Dedup.shingleRows).
+    *
+    * Input must expose (doc_id, text, ts); evalShingles one column `s`.
+    * Output: one (doc_id, ts) row per contaminated doc.
+    */
+  def decontaminationGate(docs: DataFrame, evalShingles: DataFrame,
+                          n: Int = 3, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.TextFns.shingles(col("toks"), n)).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+
   /** Idempotent micro-batch sink preserving the reference's
     * truncate-reload mirror semantics: every batch fully overwrites the
     * target (same result on replay — exactly-once effective semantics).

@@ -178,6 +178,26 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("decontaminationGate flags contaminated docs once via stream-static semi join") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF.toDF("doc_id", "text", "ts")
+    // static eval set: two shingles, both present in doc 1 (must still
+    // flag ONCE), none in doc 2
+    val evalShingles = Seq("alpha beta gamma", "beta gamma delta")
+      .toDF("s")
+    val out = StreamingOps.decontaminationGate(stream, evalShingles, n = 3)
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decon").start()
+    mem.addData(
+      (1L, "alpha beta gamma delta tail", ts(0)),
+      (2L, "totally clean text rows here", ts(1)))
+    sq.processAllAvailable()
+    sq.stop()
+    val flagged = spark.table("decon").select("doc_id").as[Long].collect().toSeq
+    assert(flagged == Seq(1L))
+  }
+
   test("overwriteMirrorEachBatch keeps mirror == latest batch (truncate-reload)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("mirror").toString
