@@ -108,6 +108,25 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Quality-weighted importance sampling: each doc survives with
+    // probability equal to its quality score, decided by a content-hash
+    // digit (deterministic — same corpus, same sample, any engine or
+    // partitioning). The soft alternative to a hard quality cutoff:
+    // high-quality docs are kept densely, junk sparsely, nothing is
+    // categorically excluded. Map-side filter at the scan; the per-lang
+    // summary is the only shuffle.
+    "quality_weighted_sample" -> ((s, dir) => {
+      val d = TextFns.hexVal(
+        substring(TextFns.fingerprint(col("text")), 3, 1))
+      withQuality(documents(s, dir))
+        .withColumn("kept", d.cast("double") / 16.0 < col("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "curate_corpus" -> ((s, dir) => {
       // 1. quality gate
       val kept = withQuality(documents(s, dir))
@@ -146,6 +165,27 @@ object Curation {
          |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
          |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)""".stripMargin
     Map(
+      "quality_weighted_sample" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '\\S+') AS toks
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    list_sum(list_transform(toks, t -> CASE WHEN t IN (${TextDedup.sqlIn(TextDedup.EN)}) THEN 1 ELSE 0 END)) AS stop_hits,
+           |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_len,
+           |    length(text) AS n_chars
+           |  FROM base),
+           |k AS (
+           |  SELECT lang, n_tokens,
+           |    CAST(${TextDedup.hexValSql("md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))", 3)} AS DOUBLE) / 16.0
+           |      < ($qualityExpr) AS kept
+           |  FROM m)
+           |SELECT lang, count(*) AS n_total,
+           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+           |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
       "pack_sequences" ->
         s"""WITH base AS (
            |  SELECT doc_id,
