@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column expressions (SURVEY §2.9, [EXT] north-star surface;
@@ -64,4 +64,38 @@ object TextFns {
     * per-shingle "random bit" used by SimHash.
     */
   def md5Bit(s: Column, b: Int): Column = hexVal(substring(md5(s), b, 1)) % 2
+
+  /** The stopword sample the quality formula scores against (an
+    * inlined-constant contract: every oracle mirrors this exact list).
+    */
+  val EN_STOPWORDS: Seq[String] = Seq("the", "a", "and", "of", "is")
+
+  /** THE quality-score formula — single definition for the batch
+    * quality_score query, the curate_corpus / quality_weighted_sample
+    * pipelines and the streaming ingest gate, so a formula fix can never
+    * desynchronize one consumer from the others (round 4 fixed an
+    * inverted punctuation penalty; three hand-copies existed).
+    *
+    * Adds columns: toks, n_tokens, stop_hits, punct_len, stop_ratio,
+    * punct_ratio, score. Input must expose `text`. All scalar map-side
+    * expressions — pushes to the scan, no shuffle.
+    */
+  def withQualityCols(df: DataFrame,
+                      stopwords: Seq[String] = EN_STOPWORDS): DataFrame =
+    df
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_hits", stopHits(col("toks"), stopwords))
+      .withColumn("punct_len",
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+          .cast("long"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast("double") /
+          nullif(col("n_tokens"), lit(0)).cast("double"))
+      .withColumn("punct_ratio",
+        col("punct_len").cast("double") / length(col("text")).cast("double"))
+      .withColumn("score",
+        lit(0.5) * col("stop_ratio") +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
 }

@@ -12,14 +12,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * per-group, where TakeOrderedAndProject doesn't apply).
   *
   * Ordering: descending score, ascending id on ties — total and
-  * deterministic.
+  * deterministic, with NaN ranked FIRST to match what the ranking-window
+  * formulation this aggregator replaces would do (Spark and DuckDB both
+  * treat NaN as greater than any double in ORDER BY ... DESC; the naive
+  * Ordering.by(-s) would rank NaN last instead, silently changing
+  * results whenever a NaN score appears, e.g. 0/0 cosine of a zero
+  * vector).
   */
 object TopKAgg {
 
   type Entry = (Double, Long) // (score, id)
 
-  private val ord: Ordering[Entry] =
-    Ordering.by[Entry, (Double, Long)] { case (s, id) => (-s, id) }
+  private val ord: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // DESC, NaN greatest
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id ASC
+    }
+  }
 
   final case class TopK(k: Int)
     extends Aggregator[Entry, List[Entry], List[Entry]] {

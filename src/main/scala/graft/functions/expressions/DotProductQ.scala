@@ -29,8 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `failOnError = false` wraps like LEGACY Multiply/Add;
   * `failOnError = true` raises the same ARITHMETIC_OVERFLOW error ANSI
   * Multiply/Add would (Spark 4 defaults to ANSI, so this is the common
-  * promoted form). Exact-arithmetic checks cost one branch per element
-  * that the JIT folds into the multiply — the loop stays primitive.
+  * promoted form) — including ORDER of effects: zip_with evaluates every
+  * overlapping product eagerly, so a product overflow throws even when
+  * an earlier element is null or the lengths differ, while the running
+  * sum stops overflow-checking once a null element has nullified it
+  * (acc + null = null). Exact-arithmetic checks cost one branch per
+  * element that the JIT folds into the multiply — the loop stays
+  * primitive.
   */
 case class DotProductQ(left: Expression, right: Expression,
                        failOnError: Boolean = false)
@@ -61,24 +66,44 @@ case class DotProductQ(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (y.numElements() != n) return null
-    var sum = 0L
-    var i = 0
-    try {
-      while (i < n) {
+    val xn = x.numElements()
+    val yn = y.numElements()
+    if (!failOnError) {
+      // LEGACY: no arithmetic can throw, so null short-circuits are safe.
+      if (yn != xn) return null
+      var sum = 0L
+      var i = 0
+      while (i < xn) {
         if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
-        if (failOnError)
-          sum = Math.addExact(sum, Math.multiplyExact(x.getLong(i), y.getLong(i)))
-        else
-          sum += x.getLong(i) * y.getLong(i)
+        sum += x.getLong(i) * y.getLong(i)
         i += 1
       }
-    } catch {
-      case _: ArithmeticException =>
-        throw org.apache.spark.sql.GraftSqlBridge.overflowError()
+      sum
+    } else {
+      // ANSI: zip_with evaluates EVERY overlapping product eagerly, so a
+      // product overflow throws even when an earlier element is null or
+      // the lengths differ; the running sum stops overflow-checking once
+      // nullified (acc + null = null), and padding nulls from unequal
+      // lengths come after the overlap in index order.
+      val n = math.min(xn, yn)
+      var acc = 0L
+      var accNull = false
+      var i = 0
+      try {
+        while (i < n) {
+          if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) accNull = true
+          else {
+            val p = Math.multiplyExact(x.getLong(i), y.getLong(i))
+            if (!accNull) acc = Math.addExact(acc, p)
+          }
+          i += 1
+        }
+      } catch {
+        case _: ArithmeticException =>
+          throw org.apache.spark.sql.GraftSqlBridge.overflowError()
+      }
+      if (accNull || xn != yn) null else acc
     }
-    sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -86,38 +111,61 @@ case class DotProductQ(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
-      val nullElemCheck =
-        if (elementsNullable)
-          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
-        else ""
-      val step =
-        if (failOnError)
-          s"$sum = java.lang.Math.addExact($sum, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
-        else
-          s"$sum += $a.getLong($i) * $b.getLong($i);"
-      val loop =
-        s"""for (int $i = 0; $i < $n; $i++) {
-           |  $nullElemCheck
-           |  $step
-           |}""".stripMargin
-      val guardedLoop =
-        if (failOnError)
-          s"""try {
-             |  $loop
-             |} catch (ArithmeticException e) {
-             |  throw org.apache.spark.sql.GraftSqlBridge.overflowError();
-             |}""".stripMargin
-        else loop
-      s"""
-         |int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $sum = 0L;
-         |  $guardedLoop
-         |  ${ev.value} = $sum;
-         |}
-       """.stripMargin
+      if (!failOnError) {
+        // LEGACY: no arithmetic can throw — null short-circuits are safe.
+        val nullElemCheck =
+          if (elementsNullable)
+            s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+          else ""
+        s"""
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $sum = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullElemCheck
+           |    $sum += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      } else {
+        // ANSI: mirror nullSafeEval — every overlapping product is
+        // overflow-checked (zip_with evaluates them eagerly) even after
+        // a null element; the sum stops checking once nullified; padding
+        // nulls from unequal lengths follow the overlap in index order.
+        val xn = ctx.freshName("xn")
+        val yn = ctx.freshName("yn")
+        val accNull = ctx.freshName("accNull")
+        val p = ctx.freshName("p")
+        val nullElemCase =
+          if (elementsNullable)
+            s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { $accNull = true; } else"""
+          else ""
+        s"""
+           |int $xn = $a.numElements();
+           |int $yn = $b.numElements();
+           |int $n = java.lang.Math.min($xn, $yn);
+           |long $sum = 0L;
+           |boolean $accNull = false;
+           |try {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullElemCase {
+           |      long $p = java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i));
+           |      if (!$accNull) { $sum = java.lang.Math.addExact($sum, $p); }
+           |    }
+           |  }
+           |} catch (ArithmeticException e) {
+           |  throw org.apache.spark.sql.GraftSqlBridge.overflowError();
+           |}
+           |if ($accNull || $xn != $yn) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $sum;
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -161,9 +161,16 @@ object Dedup {
     val n = inv.select(col("doc_id")).agg(
       countDistinct(col("doc_id")).as("_n_docs"))
     val w = Window.partitionBy(col("s"))
+    // The cap is computed in DECIMAL, not double: n * frac in doubles
+    // rounds up for many exact-looking fractions (100 * 0.07 =
+    // 7.000000000000001, ceil -> 8), silently admitting df one above the
+    // documented ceiling. frac.toString recovers the decimal the caller
+    // wrote, so the product is exact.
+    val cap = ceil(col("_n_docs").cast("decimal(20,6)") *
+      lit(BigDecimal(frac.toString)))
     inv.crossJoin(broadcast(n))
       .withColumn("_df", count(lit(1)).over(w))
-      .filter(col("_df") <= ceil(col("_n_docs") * frac))
+      .filter(col("_df") <= cap)
       .drop("_df", "_n_docs")
   }
 
@@ -176,9 +183,16 @@ object Dedup {
     * per-consumer column pruning and aliasing make them structurally
     * different — so without this the corpus is re-scanned and
     * re-shingled once per consumer (7 scans in the measured LSH plan).
-    * MEMORY_AND_DISK spills rather than recomputes at scale; the entry
-    * is unpersisted by the ContextCleaner once the query's DataFrame is
-    * garbage, the standard lifecycle for intra-query reuse.
+    * MEMORY_AND_DISK spills rather than recomputes at scale.
+    *
+    * Lifecycle: Dataset.persist registers the plan in the session's
+    * CacheManager, which holds it until unpersist/clearCache — there is
+    * no automatic reclamation (the ContextCleaner only collects
+    * unreferenced RDDs, and the CacheManager's reference is strong).
+    * Re-invocations canonicalize to the SAME entry, so a session holds
+    * at most one cached index per distinct dedup query, not one per
+    * call; long-lived sessions cycling over many distinct corpora
+    * should call spark.catalog.clearCache() between corpora.
     */
   private def materialized(inv: DataFrame): DataFrame =
     inv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

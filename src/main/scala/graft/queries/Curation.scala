@@ -37,24 +37,11 @@ object Curation {
   private val QUALITY_MIN = 0.40
   private val JACCARD_MIN = 0.5
 
-  /** The quality_score formula as reusable columns (identical doubles to
-    * the `quality_score` query / oracle).
+  /** The quality_score formula as reusable columns — the single shared
+    * definition (identical doubles to the `quality_score` query/oracle).
     */
   private def withQuality(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("stop_hits", TextFns.stopHits(col("toks"), TextDedup.EN))
-      .withColumn("punct_len",
-        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-          .cast("long"))
-      .withColumn("stop_ratio",
-        col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
-      .withColumn("punct_ratio",
-        col("punct_len").cast("double") / length(col("text")).cast("double"))
-      .withColumn("score",
-        lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
-          lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+    TextFns.withQualityCols(docs)
 
   /** Context length for the packing planner (tokens per pack). */
   private val CTX = 512

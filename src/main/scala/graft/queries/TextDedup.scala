@@ -23,8 +23,9 @@ object TextDedup {
   /** df ceiling for the pair-producing dedup queries. */
   private[queries] val MAX_DF = 20
 
-  // Stopword sets for the language-ID heuristic (en/es/de/fr).
-  private[queries] val EN = Seq("the", "a", "and", "of", "is")
+  // Stopword sets for the language-ID heuristic (en/es/de/fr). EN is the
+  // canonical quality-formula list, defined once in TextFns.
+  private[queries] val EN = TextFns.EN_STOPWORDS
   private val ES = Seq("el", "la", "de", "los", "y")
   private val DE = Seq("der", "die", "das", "und", "ist")
   private val FR = Seq("le", "les", "et", "est", "dans")
@@ -253,20 +254,7 @@ object TextDedup {
     // counted the deleted clean chars, inverting the penalty so junk
     // text was rewarded).
     "quality_score" -> ((s, dir) => {
-      documents(s, dir)
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("stop_hits", TextFns.stopHits(col("toks"), EN))
-        .withColumn("punct_len",
-          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-            .cast("long"))
-        .withColumn("stop_ratio",
-          col("stop_hits").cast("double") / nullif(col("n_tokens"), lit(0)).cast("double"))
-        .withColumn("punct_ratio",
-          col("punct_len").cast("double") / length(col("text")).cast("double"))
-        .withColumn("score",
-          lit(0.5) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
-            lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      TextFns.withQualityCols(documents(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
           col("punct_ratio"), col("score"))
         .orderBy(col("doc_id"))

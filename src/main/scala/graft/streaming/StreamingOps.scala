@@ -135,29 +135,13 @@ object StreamingOps {
     * State = one fingerprint per horizon window — bounded, key-sharded.
     */
   def curationIngest(docs: DataFrame, minScore: Double = 0.40,
-                     watermark: String = "10 minutes"): DataFrame = {
-    val toks = graft.functions.TextFns.tokens(col("text"))
-    val stopHits = graft.functions.TextFns.stopHits(col("toks"),
-      Seq("the", "a", "and", "of", "is"))
-    docs
-      .withColumn("toks", toks)
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("stop_hits", stopHits)
-      .withColumn("punct_len",
-        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
-          .cast("long"))
-      .withColumn("score",
-        lit(0.5) * (col("stop_hits").cast("double") /
-          nullif(col("n_tokens"), lit(0)).cast("double")) +
-          lit(0.3) * (lit(1.0) - col("punct_len").cast("double") /
-            length(col("text")).cast("double")) +
-          lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+                     watermark: String = "10 minutes"): DataFrame =
+    graft.functions.TextFns.withQualityCols(docs)
       .filter(col("score") >= minScore)
       .withColumn("fp", graft.functions.TextFns.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("ts"), col("fp"), col("n_tokens"), col("text"))
-  }
 
   /** Streaming decontamination gate — the ingest-time twin of the batch
     * `decontaminate` query (Dedup.decontaminate): flag arriving docs

@@ -33,6 +33,42 @@ class DotProductQTest extends AnyFunSuite {
     assert(nullElem.select(VectorFns.dotQ(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("dotQ ANSI mode matches HOF effect ORDER: overlap overflow throws past nulls/unequal lengths") {
+    import org.apache.spark.sql.{Column, GraftSqlBridge}
+    import graft.functions.expressions.DotProductQ
+    def dotAnsi(a: Column, b: Column): Column =
+      GraftSqlBridge.column(DotProductQ(
+        GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+        failOnError = true))
+    def assertOverflow(f: => Any): Unit = {
+      val t = intercept[Throwable](f)
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => x.getClass.getName + " " + x.getMessage).mkString("; ")
+      assert(chain.toLowerCase.contains("overflow"), chain)
+    }
+    // zip_with evaluates every overlapping product eagerly, so a null at
+    // index 0 must NOT mask the overflow at index 1 — and the HOF form
+    // agrees (differential check under the session's ANSI default).
+    val nullThenOverflow = Seq((
+      Seq[Option[Long]](None, Some(Long.MaxValue)),
+      Seq[Option[Long]](Some(1L), Some(Long.MaxValue)))).toDF("a", "b")
+    assertOverflow(nullThenOverflow.select(dotAnsi(col("a"), col("b"))).collect())
+    assertOverflow(nullThenOverflow.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .collect())
+    // unequal lengths: overlap products still evaluated -> throws
+    val unevenOverflow = Seq((Seq(Long.MaxValue), Seq(Long.MaxValue, 1L))).toDF("a", "b")
+    assertOverflow(unevenOverflow.select(dotAnsi(col("a"), col("b"))).collect())
+    assertOverflow(unevenOverflow.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .collect())
+    // null element with NO overflow: null result, no error
+    val nullNoOverflow = Seq((
+      Seq[Option[Long]](None, Some(2L)),
+      Seq[Option[Long]](Some(1L), Some(3L)))).toDF("a", "b")
+    assert(nullNoOverflow.select(dotAnsi(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("dotQ stays inside whole-stage codegen") {
     // a real scan (not a local relation) so the projection can't be
     // constant-folded away before physical planning

@@ -133,6 +133,16 @@ class DedupTest extends AnyFunSuite {
     }
   }
 
+  test("dfCeilingFraction cap is exact decimal, not double-rounded (100 x 0.07 = 7, not 8)") {
+    // 100 * 0.07 = 7.000000000000001 in doubles -> ceil 8 would keep the
+    // df=8 shingle the documented ceiling (7) requires dropping.
+    val inv = ((0 until 100).map(i => (i.toLong, s"u$i")) ++
+      (0 until 8).map(i => (i.toLong, "hot"))).toDF("doc_id", "s")
+    val kept = Dedup.dfCeilingFraction(inv, 0.07)
+    assert(kept.filter(col("s") === "hot").count() == 0)
+    assert(kept.count() == 100)
+  }
+
   test("decontaminate flags only train docs sharing >= minHits eval shingles") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 grams with eval

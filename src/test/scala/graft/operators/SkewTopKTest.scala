@@ -103,4 +103,17 @@ class SkewTopKTest extends AnyFunSuite {
       ("a", Seq((9.0, 2L), (9.0, 3L), (7.0, 5L))),
       ("b", Seq((2.0, 6L)))))
   }
+
+  test("TopK aggregator ranks NaN first, matching ORDER BY score DESC semantics") {
+    // Spark and DuckDB both sort NaN as greater than any double; the
+    // ranking-window formulation this aggregator replaces would rank a
+    // NaN score (0/0 cosine of a zero vector) first, so the aggregator
+    // must too — Ordering.by(-s) would silently rank it last.
+    val agg = TopKAgg.TopK(2)
+    val buf = List((1.0, 1L), (Double.NaN, 5L), (2.0, 2L))
+      .foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(buf)
+    assert(out.map(_._2) == List(5L, 2L))
+    assert(out.head._1.isNaN)
+  }
 }
