@@ -325,6 +325,32 @@ object TextDedup {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Token-rarity score: the portable stand-in for unigram-LM surprisal
+    // (log-probabilities are libm-dependent and not hash-portable;
+    // global frequency RANKS are exact integers). Every token gets its
+    // dense rank by corpus frequency (rank 1 = most common); a doc's
+    // rarity is its mean token rank in permille. High = rare/unusual
+    // vocabulary, low = stopword soup — the same signal an LM
+    // perplexity filter thresholds on.
+    // Scale: one token-count aggregate, the rank table is vocabulary-
+    // sized (broadcast; vocabularies are millions at worst), then a
+    // map-side join + one doc_id-keyed aggregate.
+    "token_rarity" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val ranked = freq.select(col("token"),
+        dense_rank().over(w).cast("long").as("rnk"))
+      toks.join(broadcast(ranked), Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("rnk")).as("rank_sum"))
+        .withColumn("rarity_permille",
+          floor(lit(1000) * col("rank_sum") / col("n_tokens")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Term frequency: global top-20 tokens.
     "term_freq_top20" -> ((s, dir) => {
       documents(s, dir)
@@ -409,6 +435,20 @@ object TextDedup {
            |  AND EXISTS (SELECT 1 FROM sh2 e
            |              WHERE e.doc_id % 10 < 8 AND e.simhash = n.simhash)
            |ORDER BY doc_id""".stripMargin,
+
+      "token_rarity" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+          |  FROM documents),
+          |freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+          |ranked AS (
+          |  SELECT token, CAST(dense_rank() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk
+          |  FROM freq)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(sum(rnk) AS BIGINT) AS rank_sum,
+          |  (1000 * CAST(sum(rnk) AS BIGINT)) // count(*) AS rarity_permille
+          |FROM tok JOIN ranked USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "decontaminate" ->
         s"""WITH $docsSql,

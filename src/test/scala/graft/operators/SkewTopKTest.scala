@@ -89,6 +89,37 @@ class SkewTopKTest extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter injects on a selective join (row-level runtime pruning)") {
+    // The third 100 TB join defense next to broadcast and AQE skew
+    // split: when a selective dimension filter can't push into the fact
+    // scan, Spark builds a bloom filter from the filtered creation side
+    // and applies might_contain on the fact side BEFORE the shuffle —
+    // rows that can't join never leave the mappers. Thresholds are
+    // size-gated (10 GB application-side scan by default), so the test
+    // zeroes them to make the tiny fixture eligible; the assertion is
+    // the plan shape, which is what carries to real scans.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val sf = "/root/testdata/sf0.001"
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_orderpriority"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("TopK aggregator keeps exact k best with deterministic ties") {
     val topk = udaf(TopKAgg.TopK(3), TopKAgg.entryEncoder)
     val df = Seq(
