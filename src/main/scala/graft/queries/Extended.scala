@@ -213,6 +213,46 @@ object Extended {
         .orderBy(col("dow"), col("hh"))
     }),
 
+    // Ordered conversion funnel signup -> view -> purchase: per user the
+    // earliest ts of each stage, a stage counting only when it happens
+    // AFTER the previous one. One user-keyed aggregate + one global
+    // aggregate — the standard two-phase funnel shape (no self-joins,
+    // scales with |users|).
+    "events_funnel" -> ((s, dir) => {
+      def stageMin(t: String) = min(when(col("event_type") === t, col("ts")))
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(stageMin("signup").as("t_signup"),
+          stageMin("view").as("t_view"),
+          stageMin("purchase").as("t_purchase"))
+        .agg(
+          sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup"),
+            1L).otherwise(0L)).as("n_signup_view"),
+          sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup")
+            && col("t_purchase") > col("t_view"), 1L).otherwise(0L))
+            .as("n_signup_view_purchase"))
+    }),
+
+    // Cohort retention: users grouped by first-seen week, counted per
+    // later activity week. Two user-keyed aggregates + one (cohort,
+    // week)-keyed count — the matrix every retention dashboard draws.
+    "cohort_retention" -> ((s, dir) => {
+      val week = (d: org.apache.spark.sql.Column) =>
+        floor(datediff(d.cast("date"), lit("2024-01-01").cast("date")) / 7)
+      val firstSeen = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), week(col("first_ts")).as("cohort_week"))
+      events(s, dir)
+        .select(col("user_id"), week(col("ts")).as("act_week"))
+        .distinct()
+        .join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("act_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("act_week"))
+    }),
+
     // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
     // digit runs, punctuation singletons.
     "bpe_token_stats" -> ((s, dir) => {
@@ -337,6 +377,35 @@ object Extended {
           |  CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
           |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin,
+
+      "events_funnel" ->
+        """WITH stages AS (
+          |  SELECT user_id,
+          |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+          |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT
+          |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+          |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+          |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+          |      AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_signup_view_purchase
+          |FROM stages""".stripMargin,
+
+      "cohort_retention" ->
+        """WITH first_seen AS (
+          |  SELECT user_id,
+          |    datediff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7 AS cohort_week
+          |  FROM events GROUP BY user_id),
+          |activity AS (
+          |  SELECT DISTINCT user_id,
+          |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS act_week
+          |  FROM events)
+          |SELECT cohort_week, act_week, count(*) AS n_users
+          |FROM activity JOIN first_seen USING (user_id)
+          |GROUP BY cohort_week, act_week ORDER BY cohort_week, act_week""".stripMargin,
 
       "bpe_token_stats" ->
         s"""SELECT doc_id,
