@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.{TextFns, TopKAgg}
+import graft.operators.Layout
 import Util._
 
 /** Extended analytics surface: pivot, grouping sets, exact percentiles,
@@ -251,6 +253,75 @@ object Extended {
         .groupBy(col("cohort_week"), col("act_week"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("act_week"))
+    }),
+
+    // Markov transition matrix over each user's ordered event stream:
+    // lead() pairs every event with its successor, one hash aggregate
+    // counts the (from, to) bigrams, and the share of each outgoing edge
+    // is emitted in exact integer permille (floor-division — portable,
+    // unlike a double ratio). One shuffle keyed by user_id for the
+    // sequence window; the |types|^2 matrix afterwards is tiny at any SF.
+    "event_transitions" -> ((s, dir) => {
+      val seq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val out = Window.partitionBy(col("from_type"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(out))
+        .withColumn("permille", expr("(1000 * n) div tot"))
+        .drop("tot")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Sigma-clipping outlier gate (the numeric twin of the text quality
+    // filter): flag events whose value deviates from its type's mean by
+    // more than 3 standard deviations. Two passes — a 5-row per-type
+    // moment aggregate broadcast back over the stream — and the test
+    // |x-mu| > 3*sigma is evaluated in EXACT integer arithmetic by
+    // cross-multiplying out both divisions:
+    //   (n*x - s)^2 > 9 * (n*s2 - s^2)
+    // (decimal(38,0) products; no doubles, so the flag is bit-portable
+    // and immune to partial-aggregation order at any scale).
+    "zscore_outliers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        (d2(col("value")) * 100).cast("long").as("v"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(dec(col("v")) * dec(col("v"))).as("s2"))
+      val dev = dec(col("n")) * dec(col("v")) - dec(col("s"))
+      val varNum = dec(col("n")) * col("s2") - dec(col("s")) * dec(col("s"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          sum(when(dev * dev > lit(9) * varNum, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Z-order layout evidence: Morton-interleave (customer, price
+    // bucket) and summarize each coarse z-range's bounding box. Each
+    // bucket covers a NARROW range of both dimensions — the property
+    // that makes parquet min/max stats prune on either filter column
+    // when a 100 TB fact table is range-partitioned by z (a 1-D sort
+    // would leave one dimension spanning every file; see Layout.zValue).
+    // Price is bucketed by exact integer floor-division of cents so the
+    // z-keys are engine-portable.
+    "zorder_stats" -> ((s, dir) => {
+      val x = col("o_custkey") % 1024
+      val y = expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 60000")
+      orders(s, dir)
+        .select(Layout.zValue(x, y, 10).as("z"), x.as("ck"), y.as("pb"))
+        .groupBy(shiftright(col("z"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"))
+        .orderBy(col("zbucket"))
     }),
 
     // Token classes a BPE-ish pre-tokenizer would emit: letter runs,
