@@ -187,7 +187,8 @@ object Curation {
            |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM sh),
-           |p AS (SELECT shard, n_tokens, (cum - n_tokens) // $CTX AS pack_id FROM c)
+           |p AS (SELECT shard, n_tokens,
+           |  CAST((cum - n_tokens) // $CTX AS BIGINT) AS pack_id FROM c)
            |SELECT shard, pack_id, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
            |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,

@@ -478,6 +478,59 @@ object Extended {
           |FROM activity JOIN first_seen USING (user_id)
           |GROUP BY cohort_week, act_week ORDER BY cohort_week, act_week""".stripMargin,
 
+      // lead() over the same (ts, event_id) total order; the windowed
+      // SUM(n) is HUGEINT in DuckDB so the permille floor-division is
+      // cast back to BIGINT to match Spark's `div`.
+      "event_transitions" ->
+        """WITH seq AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |cnt AS (
+          |  SELECT from_type, to_type, count(*) AS n
+          |  FROM seq WHERE to_type IS NOT NULL
+          |  GROUP BY from_type, to_type)
+          |SELECT from_type, to_type, n,
+          |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type)
+          |    AS BIGINT) AS permille
+          |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+
+      // Exact integer sigma-clip: HUGEINT (int128) mirrors Spark's
+      // decimal(38,0) products bit-for-bit — no doubles anywhere, so the
+      // cross-multiplied test (n*x-s)^2 > 9*(n*s2-s^2) is engine-portable.
+      "zscore_outliers" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events),
+          |st AS (
+          |  SELECT event_type, count(*) AS n,
+          |    sum(CAST(v AS HUGEINT)) AS s,
+          |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2
+          |  FROM ev GROUP BY event_type)
+          |SELECT ev.event_type,
+          |  max(st.n) AS n_events,
+          |  CAST(sum(CASE WHEN (st.n * ev.v - st.s) * (st.n * ev.v - st.s)
+          |      > 9 * (st.n * st.s2 - st.s * st.s) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_outliers
+          |FROM ev JOIN st USING (event_type)
+          |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
+      // Morton interleave spelled as disjoint-bit adds (Layout.zValueSql),
+      // price bucketed by exact integer cents division.
+      "zorder_stats" ->
+        s"""WITH b AS (
+           |  SELECT o_custkey % 1024 AS x,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      // 60000 AS y
+           |  FROM orders),
+           |z AS (SELECT ${Layout.zValueSql("x", "y", 10)} AS z, x, y FROM b)
+           |SELECT z >> 12 AS zbucket, count(*) AS n,
+           |  min(x) AS min_ck, max(x) AS max_ck,
+           |  min(y) AS min_pb, max(y) AS max_pb
+           |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
       "bpe_token_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(bt) AS BIGINT) AS n_bpe,
