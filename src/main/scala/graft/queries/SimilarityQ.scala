@@ -19,6 +19,7 @@ object SimilarityQ {
   private val NEAR_DUP_CAP = 2000
   private val LSH_BITS = 4
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
+  private val KMEANS_K = 8   // Lloyd seed: the k lowest vec_ids
   private val FRAME_STRIDE = 3
   private val RESIZE_BOX = 64
 
@@ -88,6 +89,18 @@ object SimilarityQ {
         e.filter(col("vec_id") >= N_QUERIES && col("vec_id") < N_QUERIES + IVF_NLIST),
         k = 3, nprobe = 2)
         .orderBy(col("q_vec"), col("rnk"))
+    }),
+
+    // Lloyd k-means over quantized embeddings (k = 8 seeded from
+    // vec_id < 8, two fixed iterations): broadcast centroids, map-side
+    // exact integer distances via the codegen'd dot kernel, relational
+    // floor-mean update — one pass over the table per iteration, no
+    // collect(). Output is the exact per-cluster summary.
+    "kmeans_embed" -> ((s, dir) => {
+      val vecs = embeddings(s, dir).select(col("vec_id").as("id"),
+        VectorFns.quantize(col("embedding")).as("qv"))
+      graft.operators.Clustering.kmeansSummary(vecs, k = KMEANS_K, iters = 2)
+        .orderBy(col("cid"))
     }),
 
     // Per-label centroid: dimension-wise mean embedding — the vector
@@ -230,6 +243,45 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    // Two relational Lloyd rounds: distances as exact HUGEINT sums of
+    // (v - cv)^2 over the (dim)-joined fanout — identical values to the
+    // Spark side's ⟨a,a⟩ - 2⟨a,c⟩ + ⟨c,c⟩; argmin tie-breaks on cid;
+    // centroid update floor(sum/n) in double (exact < 2^53).
+    "kmeans_embed" -> {
+      def assignSql(cents: String, name: String) =
+        s"""$name AS (
+           |  SELECT id, cid, dist FROM (
+           |    SELECT qd.id, c.cid,
+           |      CAST(sum((qd.v - c.cv) * (qd.v - c.cv)) AS BIGINT) AS dist,
+           |      row_number() OVER (PARTITION BY qd.id
+           |        ORDER BY CAST(sum((qd.v - c.cv) * (qd.v - c.cv)) AS BIGINT),
+           |                 c.cid) AS rn
+           |    FROM qd JOIN $cents c USING (dim)
+           |    GROUP BY qd.id, c.cid)
+           |  WHERE rn = 1)""".stripMargin
+      def updateSql(asg: String, name: String) =
+        s"""$name AS (
+           |  SELECT cid, dim,
+           |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |  FROM qd JOIN $asg USING (id) GROUP BY cid, dim)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS id, $qSql AS qv FROM embeddings),
+         |qd AS (
+         |  SELECT id, CAST(generate_subscripts(qv, 1) - 1 AS BIGINT) AS dim,
+         |    unnest(qv) AS v
+         |  FROM q),
+         |c0 AS (SELECT id AS cid, dim, v AS cv FROM qd WHERE id < $KMEANS_K),
+         |${assignSql("c0", "a1")},
+         |${updateSql("a1", "c1")},
+         |${assignSql("c1", "a2")},
+         |${updateSql("a2", "c2")},
+         |cs AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS centroid_sum
+         |       FROM c2 GROUP BY cid)
+         |SELECT a2.cid, count(*) AS n_vecs,
+         |  CAST(sum(a2.dist) AS BIGINT) AS inertia, cs.centroid_sum
+         |FROM a2 JOIN cs USING (cid)
+         |GROUP BY a2.cid, cs.centroid_sum ORDER BY a2.cid""".stripMargin
+    },
 
     "label_centroids" ->
       s"""WITH e AS (SELECT label, $qSql AS q FROM embeddings),
