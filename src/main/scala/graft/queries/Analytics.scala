@@ -84,6 +84,38 @@ object Analytics {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // §2.5 distribution windows: cume_dist / percent_rank. The order key
+    // is made unique with o_orderkey, so both are exact small-int ratios
+    // (rn/n, (rn-1)/(n-1)) — one IEEE division, bit-identical across
+    // engines.
+    "window_cume_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Sequence mining: each user's first-5 event-type path (ordered by
+    // ts, tie-broken by event_id), counted across users. One shuffle
+    // keyed by user_id for the ranking window, then the path table is
+    // |types|^5 at most — tiny at any SF.
+    "events_user_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            e => e.getField("event_type"))).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     // §2.7 set ops over the two diff streams the reference keeps as
     // separate files (faculty/student users, src/canvas.py:109-110).
     "set_union" -> ((s, dir) => {
@@ -267,6 +299,27 @@ object Analytics {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "events_user_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
 
     "set_union" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 400000

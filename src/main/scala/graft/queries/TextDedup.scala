@@ -23,6 +23,11 @@ object TextDedup {
   /** df ceiling for the pair-producing dedup queries. */
   private[queries] val MAX_DF = 20
 
+  /** Vocabulary size for the OOV-coverage query (the synthetic corpus
+    * has 31 distinct tokens; 24 leaves a measurable OOV tail).
+    */
+  private val VOCAB_TOP = 24
+
   // Stopword sets for the language-ID heuristic (en/es/de/fr). EN is the
   // canonical quality-formula list, defined once in TextFns.
   private[queries] val EN = TextFns.EN_STOPWORDS
@@ -286,6 +291,34 @@ object TextDedup {
         .orderBy(col("split"))
     }),
 
+    // Leakage-safe split: near-dup CLUSTERS move as one unit — every
+    // member takes the split of its component REPRESENTATIVE's content
+    // hash, so the train/test boundary can never separate two near
+    // duplicates (the eval-leakage failure mode of a naive per-doc
+    // split). Cost on top of split_train_test is the LSH+components
+    // chain dedup_clusters already runs; the rep's fingerprint arrives
+    // by one extra join keyed by rep_id.
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, bands = 4,
+        rowsPerBand = 2, threshold = 0.5, maxDf = Some(MAX_DF))
+      val comp = Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
+      val withRep = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("rep_doc_id"), col("doc_id")))
+      val repFp = docs.select(col("doc_id").as("rep_id"),
+        TextFns.fingerprint(col("text")).as("rfp"))
+      val d = TextFns.hexVal(substring(col("rfp"), 32, 1))
+      withRep.join(repFp, Seq("rep_id"))
+        .withColumn("split",
+          when(d < 14, "train").when(d === 14, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_regrouped"))
+        .orderBy(col("split"))
+    }),
+
     // Stratified sample: first k docs per language (rank by doc_id) —
     // per-stratum quotas via ranking window, deterministic.
     "stratified_sample_docs" -> ((s, dir) => {
@@ -349,6 +382,30 @@ object TextDedup {
         .withColumn("rarity_permille",
           floor(lit(1000) * col("rank_sum") / col("n_tokens")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer coverage / OOV rate: the vocabulary is the top-V tokens
+    // by corpus frequency (deterministic tie-break on token), coverage
+    // is aggregated per source in exact integer permille. The vocabulary
+    // broadcasts (real tokenizer vocabs are <= millions of rows), so the
+    // token stream is never shuffled by token for the coverage pass —
+    // one map-side flag join + one source-keyed aggregate.
+    "oov_rate" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val vocab = freq
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= VOCAB_TOP)
+        .select(col("token"), lit(1L).as("inv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+        .orderBy(col("source"))
     }),
 
     // Term frequency: global top-20 tokens.
@@ -531,6 +588,23 @@ object TextDedup {
            |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
            |FROM f GROUP BY split ORDER BY split""".stripMargin,
 
+      "split_leakage_safe" ->
+        s"""WITH RECURSIVE $lshCommon,
+           |${clusterTailSql(0.5)},
+           |rep AS (
+           |  SELECT d.doc_id, coalesce(c.rep_doc_id, d.doc_id) AS rep_id
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |rfp AS (
+           |  SELECT r.doc_id, r.rep_id,
+           |    ${hexValSql("md5(trim(regexp_replace(lower(t.text), '\\s+', ' ', 'g')))", 32)} AS dd
+           |  FROM rep r JOIN documents t ON t.doc_id = r.rep_id)
+           |SELECT CASE WHEN dd < 14 THEN 'train' WHEN dd = 14 THEN 'val'
+           |            ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN rep_id <> doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_regrouped
+           |FROM rfp GROUP BY split ORDER BY split""".stripMargin,
+
       "stratified_sample_docs" ->
         """SELECT lang, rnk, doc_id
           |FROM (SELECT lang, doc_id, CAST(row_number() OVER (
@@ -559,7 +633,25 @@ object TextDedup {
         """SELECT token, count(*) AS n
           |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
           |      FROM documents)
-          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      "oov_rate" ->
+        s"""WITH tok AS (
+           |  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+           |  FROM documents),
+           |freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+           |vocab AS (
+           |  SELECT token FROM (
+           |    SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rn
+           |    FROM freq)
+           |  WHERE rn <= $VOCAB_TOP)
+           |SELECT t.source, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oov,
+           |  CAST((1000 * sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS oov_permille
+           |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+           |GROUP BY t.source ORDER BY t.source""".stripMargin
     )
   }
 }
