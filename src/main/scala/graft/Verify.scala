@@ -24,6 +24,22 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // When the subset filter is active, remove unselected queries' stale
+    // parquet from a previous full run — otherwise check_oracle.py would
+    // happily compare old Spark output against fresh oracle SQL and mask
+    // a regression in a dev re-run.
+    if (only.isDefined) {
+      val keep = selected.keySet + "oracle_sql.json"
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filterNot(f => keep.contains(f.getName))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -43,7 +59,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Restrict the oracle list to the selected subset too, so a dev
+    // subset run never asks the checker to compare queries it didn't dump.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

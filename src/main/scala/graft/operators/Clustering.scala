@@ -61,16 +61,32 @@ object Clustering {
       .withColumn("csq", VectorFns.dotQ(col("cv"), col("cv")))
 
   /** Fixed-iteration Lloyd k-means. Initial centroids are the vectors
-    * with id < k (deterministic seed). Returns the per-cluster summary
-    * after `iters` (assign, update) rounds: cluster id, member count,
-    * exact inertia (Σ dist² to the assigned centroid), and the updated
-    * centroid's dimension sum — all exact integers.
+    * with id < k (deterministic seed — requires ids 0..k-1 to exist,
+    * checked below). Returns the per-cluster summary after `iters`
+    * (assign, update) rounds: cluster id, member count, exact inertia
+    * (Σ dist² to the assigned centroid), and the updated centroid's
+    * dimension sum — all exact integers.
+    *
+    * Shrinking-k semantics (standard Lloyd behavior, intentional): if a
+    * centroid's cluster empties during an iteration, [[update]] drops it
+    * and later iterations run with fewer than k centroids — there is no
+    * re-seeding. An exact-SQL oracle performs the identical drop, so the
+    * two engines agree; callers who need exactly k clusters out should
+    * check the returned row count.
     */
   def kmeansSummary(vecs0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansSummary needs at least one iteration")
     val vecs = vecs0.withColumn("sq", VectorFns.dotQ(col("qv"), col("qv")))
     var cents = vecs.filter(col("id") < k)
       .select(col("id").as("cid"), col("qv").as("cv"), col("sq").as("csq"))
+    // Seed-set guard: id<k must yield exactly k seeds or the very first
+    // iteration silently runs under-provisioned. The filter prunes to k
+    // rows before the count, so this is a cheap pushed scan, not a pass
+    // over the full table.
+    val nSeeds = cents.count()
+    require(nSeeds == k,
+      s"kmeansSummary seeds from id < $k but found $nSeeds such ids; " +
+        "ids 0..k-1 must all be present")
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = assign(vecs, cents)

@@ -291,8 +291,14 @@ object Extended {
       val ev = events(s, dir).select(col("event_type"),
         (d2(col("value")) * 100).cast("long").as("v"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // Both sums go through decimal(38,0) so they mirror the oracle's
+      // HUGEINT exactly — a plain int64 sum of `v` would wrap silently
+      // past 2^63 while DuckDB keeps going. Headroom bound: the widest
+      // intermediate is n*s2 - s^2 ~ n^2 * v_max^2; with v_max < 10^7
+      // (centized DECIMAL(18,2) values) that stays inside 38 digits up
+      // to n ~ 10^12 rows per group, far past 100 TB group sizes.
       val stats = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
           sum(dec(col("v")) * dec(col("v"))).as("s2"))
       val dev = dec(col("n")) * dec(col("v")) - dec(col("s"))
       val varNum = dec(col("n")) * col("s2") - dec(col("s")) * dec(col("s"))

@@ -394,11 +394,12 @@ object TextDedup {
       val toks = documents(s, dir)
         .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("token"))
-      val vocab = freq
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= VOCAB_TOP)
+      // Top-V via orderBy+limit → TakeOrderedAndProject: each partition
+      // keeps its local top V and only k·partitions rows reach the driver
+      // side of the take — no single-partition exchange over the full
+      // distinct-token table (which an unpartitioned row_number window
+      // would force). Tie-break on token keeps the vocab deterministic.
+      val vocab = freq.orderBy(col("n").desc, col("token")).limit(VOCAB_TOP)
         .select(col("token"), lit(1L).as("inv"))
       toks.join(broadcast(vocab), Seq("token"), "left")
         .groupBy(col("source"))
