@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration damped PageRank in exact integer arithmetic
+  * (SURVEY §2.9 [EXT] — iterative graph centrality, the link-analysis
+  * sibling of the connected-components operator in [[Dedup]]; the
+  * reference has no graph surface, this is north-star scope).
+  *
+  * Determinism / oracle portability: ranks are scaled integers and the
+  * update is
+  *
+  *   rank'(v) = (15·scale + 85·Σ_{u→v} (rank(u) div deg(u))) div 100
+  *
+  * — floor division everywhere, so a fixed iteration count hash-matches
+  * a DuckDB chain of CTEs bit-for-bit (no doubles, no convergence
+  * epsilon). The floor-divided contributions leak a little probability
+  * mass vs real-valued PageRank; both engines leak identically, and the
+  * ranking it induces is the standard one.
+  *
+  * Scale shape, per iteration: one shuffle join of the rank table with
+  * the degree-annotated edge list on src, one hash aggregate keyed by
+  * dst with map-side partial sums. The edge list is the big side and is
+  * scanned once per iteration; ranks are |V| rows. Nothing collects to
+  * the driver and the lineage stays `iters` levels deep (callers running
+  * many iterations should checkpoint, as [[Dedup.componentsFromPairs]]
+  * does — at the fixed small iteration counts used here the plain
+  * lineage is cheaper).
+  *
+  * Contract: every node must appear as a `src` (for undirected/bipartite
+  * graphs pass both edge directions) — sinks would otherwise swallow
+  * their rank silently.
+  */
+object PageRank {
+
+  /** `edges`: (src: long, dst: long), pre-deduplicated. Returns
+    * (node: long, rank: long) after `iters` damped updates from a
+    * uniform start of `scale` per node.
+    */
+  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "PageRank needs at least one iteration")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr(s"(15 * cast($scale as bigint) + 85 * s) div 100").as("rank"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.MisraGriesAgg
+import graft.operators.PageRank
+import Util._
+
+/** Round-6 surface: SCD2 interval building, sketch-based heavy hitters,
+  * robust (MAD) outlier detection, and integer PageRank (SURVEY §2.4 A5,
+  * §2.5 windows, §2.9 [EXT]).
+  */
+object Advanced {
+
+  /** MG counter budget: any token with frequency > n/(K_MG+1) of the
+    * corpus is a guaranteed sketch survivor.
+    */
+  private val K_MG = 32
+
+  /** PageRank iterations — fixed so both engines run the same unrolled
+    * update chain.
+    */
+  private val PR_ITERS = 3
+
+  /** Open-interval sentinel for the current SCD2 row on both engines. */
+  private val SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+  def queries: Map[String, Q] = Map(
+
+    // SCD2 interval building (gaps-and-islands): collapse each user's
+    // event stream into validity intervals [valid_from, valid_to) per
+    // consecutive run of the same event_type — the slowly-changing-
+    // dimension-type-2 snapshot the reference's daily mirror sync
+    // approximates with truncate-and-load (ref: src/jenzabar.py:35-36
+    // keeps only the latest state; SCD2 keeps the history). One window
+    // pass to mark run starts, a running sum to number the runs, one
+    // hash aggregate, one lead() for the closing edge. Each shuffle is
+    // keyed by user_id, so at 100 TB this is a single repartition by the
+    // natural entity key with no driver-side state.
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val marked = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("grp", sum(col("chg")).over(w))
+      val iv = marked
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("vf"))
+      iv.withColumn("vt",
+          coalesce(lead(col("vf"), 1).over(w2),
+            to_timestamp(lit(SCD2_OPEN_END))))
+        .select(col("user_id"), col("event_type"),
+          tsUs(col("vf")).as("valid_from_us"),
+          tsUs(col("vt")).as("valid_to_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }),
+
+    // Heavy hitters via a mergeable Misra-Gries sketch (bounded state:
+    // the shuffle carries <= K_MG counters per partition, not the full
+    // vocabulary). The emitted set is the GUARANTEED survivors — tokens
+    // whose exact count clears the n/(k+1) bound — because that set is
+    // order-independent; approx_ok pins the sketch's two-sided MG
+    // guarantee (est <= true, true - est <= n/(k+1)) into the hash gate,
+    // so a broken sketch flips it false and the row mismatches. The
+    // exact twin groupBy exists only to verify; the sketch is the
+    // operator under test.
+    "heavy_hitters_mg" -> ((s, dir) => {
+      import s.implicits._
+      val toks = documents(s, dir)
+        .select(explode(graft.functions.TextFns.tokens(col("text")))
+          .as("token"))
+      // .toColumn stays a TypedColumn (an .as(...) alias would demote it
+      // to an untyped Column and the typed select would reject it).
+      val sketch = toks.as[String]
+        .select(new MisraGriesAgg(K_MG).toColumn)
+        .toDF("sketch")
+        .select(explode(col("sketch")).as(Seq("token", "est")))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(total)
+        .filter(col("n_true") * (K_MG + 1) > col("n_total"))
+        .join(broadcast(sketch), Seq("token"), "left")
+        .select(col("token"), col("n_true"),
+          (col("est").isNotNull && col("est") <= col("n_true") &&
+            (col("n_true") - col("est")) * (K_MG + 1) <= col("n_total"))
+            .as("approx_ok"))
+        .orderBy(col("token"))
+    }),
+
+    // Robust outliers: median/MAD sigma-clip (the heavy-tail-safe twin
+    // of zscore_outliers — one extreme value cannot move the fences).
+    // Exact integer throughout: values are cents (long), medians are
+    // carried doubled (2x, then 4x for the MAD) so the .5 interpolation
+    // halves stay integral, and the clip test |v - med| > 3*1.4826*MAD
+    // cross-multiplies to 10000*dev2 > 22239*mad4 in int64. Two grouped
+    // percentile passes + one broadcast stats join — no sort of the raw
+    // rows.
+    "mad_outliers" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), (d2(col("value")) * 100).cast("long").as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(lit(2L) * col("v") - col("med2")))
+      val st = dev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("med2")).as("m2"),
+          (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+      dev.join(broadcast(st.select(col("event_type"), col("mad4"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(lit(10000L) * col("dev2") > lit(22239L) * col("mad4"),
+          1L).otherwise(0L)).as("n_outliers"))
+        .join(st, Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("m2").as("med2"),
+          col("mad4"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Integer PageRank over the part<->supplier bipartite graph from
+    // lineitem (who supplies what): dedup to distinct edges, add both
+    // directions (undirected), 3 damped floor-division iterations, top
+    // 10 by rank. Node ids pack entity+key in one long (part -> 2k,
+    // supplier -> 2k+1). Top-10 via orderBy+limit is
+    // TakeOrderedAndProject — no global sort.
+    "pagerank_bipartite" -> ((s, dir) => {
+      val e0 = lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.ranks(edges, PR_ITERS)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(10)
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    // One damped integer PageRank update as a CTE body: ranks from
+    // `prev`, edges+degree from fixed CTEs e and d.
+    def prStep(prev: String): String =
+      s"""SELECT e.dst AS node,
+         |  CAST((15 * 1000000 + 85 * SUM($prev.rank // d.deg)) // 100
+         |    AS BIGINT) AS rank
+         |FROM e JOIN $prev ON e.src = $prev.node JOIN d ON e.src = d.src
+         |GROUP BY e.dst""".stripMargin
+
+    Map(
+      "scd2_intervals" ->
+        """WITH m AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |    CASE WHEN lag(event_type) OVER w IS NULL
+          |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |g AS (
+          |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS grp FROM m),
+          |iv AS (
+          |  SELECT user_id, event_type, grp, min(ts) AS vf,
+          |    CAST(count(*) AS BIGINT) AS n_events
+          |  FROM g GROUP BY user_id, event_type, grp)
+          |SELECT user_id, event_type,
+          |  epoch_us(vf) AS valid_from_us,
+          |  epoch_us(coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+          |    TIMESTAMP '9999-12-31 00:00:00')) AS valid_to_us,
+          |  n_events
+          |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+
+      // The oracle derives the guaranteed-survivor set and pins
+      // approx_ok = true: the Spark side computes approx_ok from the
+      // actual sketch, so any violation of the MG bound hash-mismatches.
+      "heavy_hitters_mg" ->
+        s"""WITH tok AS (
+           |  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+           |  FROM documents),
+           |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true
+           |        FROM tok GROUP BY token),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+           |SELECT token, n_true, true AS approx_ok
+           |FROM cnt, tot
+           |WHERE n_true * ${K_MG + 1} > n_total
+           |ORDER BY token""".stripMargin,
+
+      "mad_outliers" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events),
+          |med AS (
+          |  SELECT event_type,
+          |    CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2
+          |  FROM ev GROUP BY event_type),
+          |dev AS (
+          |  SELECT ev.event_type, abs(2 * ev.v - med.med2) AS dev2, med.med2
+          |  FROM ev JOIN med USING (event_type)),
+          |st AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |    max(med2) AS med2,
+          |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+          |  FROM dev GROUP BY event_type)
+          |SELECT dev.event_type, max(st.n_events) AS n_events,
+          |  max(st.med2) AS med2, max(st.mad4) AS mad4,
+          |  CAST(sum(CASE WHEN 10000 * dev.dev2 > 22239 * st.mad4
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM dev JOIN st USING (event_type)
+          |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+      "pagerank_bipartite" ->
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |      FROM e GROUP BY src),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM d),
+           |r1 AS (${prStep("r0")}),
+           |r2 AS (${prStep("r1")}),
+           |r3 AS (${prStep("r2")})
+           |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 10""".stripMargin
+    )
+  }
+}

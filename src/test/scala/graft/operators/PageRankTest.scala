@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PageRankTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("symmetric 2-cycle is a fixed point at the start rank") {
+    // a<->b, deg 1 each: rank' = (15*S + 85*S) div 100 = S exactly.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.ranks(edges, iters = 4, scale = 1000000L)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1000000L), (2L, 1000000L)))
+  }
+
+  test("undirected star concentrates rank on the hub, exact integers") {
+    // hub 0 <-> leaves 1..4 (both directions). One iteration from S:
+    // hub gets (15S + 85*4S) div 100; each leaf (15S + 85*(S div 4)) div 100.
+    val leaves = (1L to 4L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val s = 1000000L
+    val out = PageRank.ranks(edges, iters = 1, scale = s)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    val hub = (15 * s + 85 * (4 * s)) / 100
+    val leaf = (15 * s + 85 * (s / 4)) / 100
+    assert(out(0L) == hub)
+    leaves.foreach(l => assert(out(l) == leaf))
+    assert(out(0L) > out(1L), "hub must outrank leaves")
+  }
+
+  test("iteration count is validated") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](PageRank.ranks(edges, iters = 0))
+  }
+
+  test("rank mass stays bounded by the teleport/damping envelope") {
+    // Chain with both directions: 1<->2<->3. Sum of ranks can only
+    // shrink from floor-division leakage, never grow past N*scale.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val total = PageRank.ranks(edges, iters = 3)
+      .agg(sum("rank")).as[Long].head()
+    assert(total <= 3 * 1000000L)
+    assert(total > 3 * 1000000L / 2, "floor leakage should stay small")
+  }
+}
