@@ -68,11 +68,12 @@ object Bench {
       val runs = p1(n).toSeq ++ p2.get(n).flatten.toSeq
       n -> (if (runs.isEmpty) None else Some(runs.min))
     }
-    // 4-decimal seconds keep the one-line JSON short enough that the
-    // driver's log-tail capture retains the leading "metric"/"value"
-    // fields (full 17-digit doubles overflowed it in round 3).
+    // 3-decimal seconds (1 ms granularity — an order below the shared
+    // host's jitter) keep the one-line JSON as short as possible; full
+    // 17-digit doubles overflowed the driver's log-tail capture in
+    // round 3.
     def fmt(v: Double): String =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")
@@ -80,6 +81,18 @@ object Bench {
     val failedJson = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The full line above has outgrown the driver's 2000-char log-tail
+    // window (90+ queries x ~27 chars), which cuts its leading
+    // "metric"/"value" fields — so ALSO emit a compact summary line,
+    // last, that always fits the window whole: the total, failure list,
+    // query count, and the slowest queries (the ones a plan audit needs).
+    // Parsers that take the last JSON line get a complete object; the
+    // full per-query map remains on the preceding line.
+    val slowest = results.collect { case (n, Some(t)) => n -> t }
+      .sortBy(-_._2).take(8)
+      .map { case (n, t) => "\"" + n + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"slowest 8 of ${results.size}; full map on preceding line","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

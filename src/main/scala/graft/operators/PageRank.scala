@@ -41,7 +41,16 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "PageRank needs at least one iteration")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Persist the degree-annotated edge list: iteration i's lineage
+    // nests iterations 1..i-1, so the final plan otherwise embeds (and
+    // recomputes) this subtree once per iteration — ReuseExchange does
+    // not dedupe it because per-consumer pruning makes the copies
+    // structurally different. Many consumers, narrow columns: the
+    // persist profile. At sf0.1 the effect is small (~5%, the edge
+    // build is one distinct over the fact table) but it grows linearly
+    // with iteration count and scan cost.
     val ed = edges.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       ranks = ed.join(ranks, col("src") === col("node"))

@@ -171,6 +171,45 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming heavy hitters — the incremental twin of the batch
+    * `heavy_hitters_mg` query: one mergeable Misra–Gries sketch per hash
+    * bucket of the token space, maintained with mapGroupsWithState in
+    * Update mode. Each arriving micro-batch folds its tokens into the
+    * bucket's sketch (the same reduce/merge the batch Aggregator uses,
+    * so the MG bound is preserved across batches); state per bucket is
+    * <= k counters — bounded regardless of stream length or vocabulary,
+    * and sharded across executors by bucket. A consumer unions the
+    * bucket sketches (tokens never collide across buckets, so the union
+    * IS the merged sketch with per-bucket error n_bucket/(k+1)).
+    *
+    * Input must expose a string column `token`. Output: one row per
+    * (bucket, token, est) after each batch.
+    */
+  def heavyHittersStream(tokens: DataFrame, k: Int = 32,
+                         buckets: Int = 64): DataFrame = {
+    import tokens.sparkSession.implicits._
+    val agg = new graft.functions.MisraGriesAgg(k)
+    tokens
+      .select(pmod(xxhash64(col("token")), lit(buckets)).as("bucket"),
+        col("token"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (Long, Map[String, Long])](
+        GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val sk = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            case (b, (_, tok)) => agg.reduce(b, tok)
+          }
+          state.update(sk)
+          bucket -> sk
+      }
+      .flatMap { case (bucket, sk) =>
+        sk.iterator.map { case (t, est) => (bucket, t, est) }
+      }
+      .toDF("bucket", "token", "est")
+  }
+
   /** Idempotent micro-batch sink preserving the reference's
     * truncate-reload mirror semantics: every batch fully overwrites the
     * target (same result on replay — exactly-once effective semantics).

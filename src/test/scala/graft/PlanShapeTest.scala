@@ -71,6 +71,37 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("heavy_hitters_mg builds map-side partial sketches (bounded shuffle), no token exchange for the sketch") {
+    val p = plan("heavy_hitters_mg")
+    // the MG Aggregator must partially aggregate per partition so the
+    // exchange carries <= k counters per partition, not the token stream
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+    // survivor-set join against the k-row sketch stays broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mad_outliers broadcasts the per-type stats, never shuffles raw rows for the join") {
+    val p = plan("mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pagerank_bipartite aggregates contributions partially before each shuffle") {
+    val p = plan("pagerank_bipartite")
+    assert(p.contains("partial_"), p)
+    // final ranking is a bounded top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("scd2_intervals shuffles once by the natural key, top-level sort only at the edge") {
+    val p = plan("scd2_intervals")
+    // both window passes and the grouping key off user_id: no exchange
+    // other than the user_id hash partitioning + the final total order
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and

@@ -128,6 +128,30 @@ class StreamingOpsTest extends AnyFunSuite {
       ("enr-2", "none", "active")))
   }
 
+  test("heavyHittersStream carries bucket sketches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // Fewer distinct tokens than k per bucket -> no MG decrements, so
+    // the sketch counts are exact and the cross-batch accumulation is
+    // deterministic (MG eviction mechanics are covered by MisraGriesTest).
+    mem.addData(Seq.fill(5)("hot") ++ Seq("cold1", "cold2"): _*)
+    val out = StreamingOps.heavyHittersStream(
+      mem.toDF.toDF("token"), k = 8, buckets = 4)
+    val sq = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hh").start()
+    sq.processAllAvailable()
+    mem.addData(Seq.fill(3)("hot"): _*)   // second batch folds into state
+    sq.processAllAvailable()
+    sq.stop()
+    val hot = spark.table("hh").filter(col("token") === "hot")
+      .select("est").as[Long].collect().sorted
+    assert(hot.toSeq == Seq(5L, 8L), s"expected 5 then 8, got ${hot.toSeq}")
+    // bounded state: no bucket ever emits more than k tokens
+    val perBucket = spark.table("hh").groupBy("bucket")
+      .agg(countDistinct("token").as("n")).select("n").as[Long].collect()
+    assert(perBucket.forall(_ <= 8))
+  }
+
   test("purchaseViewJoin pairs purchases with in-horizon views only") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
