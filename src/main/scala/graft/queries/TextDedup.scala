@@ -182,6 +182,38 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Triangle census of the verified near-dup graph: how clique-like
+    // are the dup clusters? Triangles via the canonical-order two-hop
+    // join (a<b<c, so each triangle is enumerated exactly once); wedges
+    // from the degree table (sum d*(d-1)/2); global clustering
+    // coefficient as integer permille. The pair graph is already bounded
+    // sub-quadratically by the LSH bands + df ceiling, so the two-hop
+    // join is over the (small) edge set, never the corpus — the shuffle
+    // key is the shared endpoint, the quantity that bounds the fan-out.
+    "dupgraph_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+        .join(pairs.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nodesEdges.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            expr("(3000 * n_triangles) div n_wedges")).otherwise(0L)
+            .as("cc_permille"))
+    }),
+
     // 16-bit SimHash signatures, deduped on signature equality — one
     // linear hash-agg, so no df ceiling needed (no pair join).
     "dedup_simhash" -> ((s, dir) => {
@@ -446,6 +478,28 @@ object TextDedup {
          |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
          |${verifySql(0.5)}""".stripMargin
 
+    // Triangle census over the verified LSH pairs (mirrors the
+    // dupgraph_triangles two-hop canonical-order enumeration).
+    val trianglesSql =
+      s"""WITH $lshCommon,
+         |pairsq AS (${verifySql(0.5)}),
+         |und AS (SELECT a AS u, b AS v FROM pairsq
+         |        UNION ALL SELECT b AS u, a AS v FROM pairsq),
+         |degs AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+         |agg AS (
+         |  SELECT CAST((SELECT count(*) FROM degs) AS BIGINT) AS n_nodes,
+         |    CAST((SELECT count(*) FROM pairsq) AS BIGINT) AS n_edges,
+         |    CAST((SELECT count(*) FROM pairsq e1
+         |          JOIN pairsq e2 ON e1.b = e2.a
+         |          JOIN pairsq e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |      AS BIGINT) AS n_triangles,
+         |    CAST((SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM degs)
+         |      AS BIGINT) AS n_wedges)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  CAST(CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
+         |    ELSE 0 END AS BIGINT) AS cc_permille
+         |FROM agg""".stripMargin
+
     // SimHash SQL (mirrors Dedup.withSimhash, nBits=16).
     val bitTerms = (0 until 16).map { b =>
       s"CASE WHEN list_sum(list_transform(shm, m -> ${hexValSql("m", b + 1)} % 2 * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
@@ -479,6 +533,7 @@ object TextDedup {
       "dedup_minhash_lsh" -> minhashSql,
       "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
+      "dupgraph_triangles" -> trianglesSql,
       "dedup_simhash" -> simhashSql,
 
       "dedup_incremental" ->
