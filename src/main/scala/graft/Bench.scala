@@ -92,7 +92,12 @@ object Bench {
       .sortBy(-_._2).take(8)
       .map { case (n, t) => "\"" + n + "\":" + fmt(t) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"slowest 8 of ${results.size}; full map on preceding line","failed":$failedJson,"sf":"$sfDir"}""")
+    // Cap the failed list too: a mass failure (bad SF dir) would
+    // otherwise make this line overflow the very window it exists for.
+    val failedNames = results.collect { case (n, None) => n }
+    val failedCapped = failedNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"queries_note":"slowest 8 of ${results.size}; full map on preceding line","failed":$failedCapped,"n_failed":${failedNames.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

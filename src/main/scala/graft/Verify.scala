@@ -21,6 +21,18 @@ object Verify {
     // so the full dump always runs at the gate.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on names that resolve to no query — a one-character typo
+    // in SPARK_GRAFT_ONLY must not silently run nothing and (below)
+    // delete every previous dump in outDir.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown SPARK_GRAFT_ONLY names: ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }

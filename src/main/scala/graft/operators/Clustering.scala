@@ -77,16 +77,19 @@ object Clustering {
   def kmeansSummary(vecs0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansSummary needs at least one iteration")
     val vecs = vecs0.withColumn("sq", VectorFns.dotQ(col("qv"), col("qv")))
-    var cents = vecs.filter(col("id") < k)
+    var cents = vecs.filter(col("id") >= 0 && col("id") < k)
       .select(col("id").as("cid"), col("qv").as("cv"), col("sq").as("csq"))
-    // Seed-set guard: id<k must yield exactly k seeds or the very first
-    // iteration silently runs under-provisioned. The filter prunes to k
-    // rows before the count, so this is a cheap pushed scan, not a pass
-    // over the full table.
-    val nSeeds = cents.count()
-    require(nSeeds == k,
-      s"kmeansSummary seeds from id < $k but found $nSeeds such ids; " +
-        "ids 0..k-1 must all be present")
+    // Seed-set guard: the [0,k) filter must yield exactly k rows with k
+    // DISTINCT ids — count alone would admit duplicated ids (duplicate
+    // centroids) — or the first iteration silently runs degenerate. The
+    // filter prunes before the aggregate, so this is a cheap pushed
+    // scan, not a pass over the full table.
+    val seedRow = cents
+      .agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("nd")).head()
+    val (nSeeds, nDistinct) = (seedRow.getLong(0), seedRow.getLong(1))
+    require(nSeeds == k && nDistinct == k,
+      s"kmeansSummary seeds from ids 0..${k - 1} but found $nSeeds rows " +
+        s"($nDistinct distinct ids); each of 0..${k - 1} must appear exactly once")
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = assign(vecs, cents)

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract: every node must appear as a `src` (for undirected/bipartite
   * graphs pass both edge directions) — sinks would otherwise swallow
-  * their rank silently.
+  * their rank silently. Nodes with no IN-edges are kept: each iteration
+  * rebuilds the rank table from the node set with a left join, so a
+  * source-only node holds its teleport share (15·scale div 100) instead
+  * of silently vanishing after the first iteration.
   */
 object PageRank {
 
@@ -51,14 +54,17 @@ object PageRank {
     // with iteration count and scan cost.
     val ed = edges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
-      ranks = ed.join(ranks, col("src") === col("node"))
+      val contrib = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          expr(s"(15 * cast($scale as bigint) + 85 * s) div 100").as("rank"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"(15 * cast($scale as bigint) + 85 * coalesce(s, 0)) div 100")
+            .as("rank"))
     }
     ranks
   }

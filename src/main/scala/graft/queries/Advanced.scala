@@ -52,7 +52,11 @@ object Advanced {
       val iv = marked
         .groupBy(col("user_id"), col("event_type"), col("grp"))
         .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
-      val w2 = Window.partitionBy(col("user_id")).orderBy(col("vf"))
+      // lead() tie-break on grp: two runs of one user can share a start
+      // timestamp (vf), and grp is the chronological run number — without
+      // it the closing edge is tie-order dependent and the two engines
+      // could break the tie differently.
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("vf"), col("grp"))
       iv.withColumn("vt",
           coalesce(lead(col("vf"), 1).over(w2),
             to_timestamp(lit(SCD2_OPEN_END))))
@@ -60,7 +64,8 @@ object Advanced {
           tsUs(col("vf")).as("valid_from_us"),
           tsUs(col("vt")).as("valid_to_us"),
           col("n_events"))
-        .orderBy(col("user_id"), col("valid_from_us"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("valid_to_us"),
+          col("event_type"))
     }),
 
     // Heavy hitters via a mergeable Misra-Gries sketch (bounded state:
@@ -84,7 +89,9 @@ object Advanced {
         .toDF("sketch")
         .select(explode(col("sketch")).as(Seq("token", "est")))
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // n_total from the exact aggregate, not a third corpus scan —
+      // ReuseExchange would not dedupe another tokenize pass.
+      val total = exact.agg(sum(col("n_true")).as("n_total"))
       exact.crossJoin(total)
         .filter(col("n_true") * (K_MG + 1) > col("n_total"))
         .join(broadcast(sketch), Seq("token"), "left")
@@ -169,10 +176,12 @@ object Advanced {
           |  FROM g GROUP BY user_id, event_type, grp)
           |SELECT user_id, event_type,
           |  epoch_us(vf) AS valid_from_us,
-          |  epoch_us(coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+          |  epoch_us(coalesce(
+          |    lead(vf) OVER (PARTITION BY user_id ORDER BY vf, grp),
           |    TIMESTAMP '9999-12-31 00:00:00')) AS valid_to_us,
           |  n_events
-          |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+          |FROM iv
+          |ORDER BY user_id, valid_from_us, valid_to_us, event_type""".stripMargin,
 
       // The oracle derives the guaranteed-survivor set and pins
       // approx_ok = true: the Spark side computes approx_ok from the

@@ -199,7 +199,7 @@ object TextDedup {
       val und = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
       val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
       val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+        coalesce(sum(expr("(d * (d - 1)) div 2")), lit(0L)).as("n_wedges"))
         .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
       val tri = pairs.as("e1")
         .join(pairs.as("e2"), col("e1.b") === col("e2.a"))

@@ -33,6 +33,19 @@ class PageRankTest extends AnyFunSuite {
     assert(out(0L) > out(1L), "hub must outrank leaves")
   }
 
+  test("source-only nodes keep their teleport share instead of vanishing") {
+    // 1 -> 2 <-> 3: node 1 has no in-edges. It must stay in the output
+    // at the teleport-only fixed point (15*S div 100), still feeding its
+    // out-edge every iteration.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val s = 1000000L
+    val out = PageRank.ranks(edges, iters = 3, scale = s)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "node 1 dropped from the output")
+    assert(out(1L) == 15 * s / 100)
+    assert(out(2L) > out(1L), "node 2 receives two in-edges' rank")
+  }
+
   test("iteration count is validated") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     intercept[IllegalArgumentException](PageRank.ranks(edges, iters = 0))
