@@ -131,6 +131,48 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // Data-quality constraint profile — the engine-level form of the
+    // reference's schema contracts (ref: tests/test_connect.py:117-186
+    // pins per-entity column contracts, null rules and value domains;
+    // src/canvas.py:67-95 enforces them imperatively). One report row
+    // per declared constraint: primary-key uniqueness, FK integrity,
+    // value domains, null and range rules. Each table is profiled in a
+    // SINGLE aggregate pass (conditional sums + one distinct count);
+    // the FK check is one broadcast anti join probe. At 100 TB this is
+    // two fact scans + a dim broadcast — no per-constraint rescans.
+    "dq_profile" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val c = customer(s, dir)
+      val oAgg = o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("bad_status"),
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+          .otherwise(0L)).as("bad_price"))
+      val cAgg = c.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("pk_dup"),
+        sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"))
+      val fkViolations = o.join(broadcast(c.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      def report(src: org.apache.spark.sql.DataFrame, name: String,
+                 violations: org.apache.spark.sql.Column) =
+        src.select(lit(name).as("check_name"), col("n").as("n_checked"),
+          violations.as("n_violations"))
+      Seq(
+        report(cAgg, "customer_name_not_null", col("null_name")),
+        report(cAgg, "customer_pk_unique", col("pk_dup")),
+        report(oAgg.crossJoin(fkViolations), "orders_custkey_fk", col("v")),
+        report(oAgg, "orders_pk_unique", col("pk_dup")),
+        report(oAgg, "orders_status_domain", col("bad_status")),
+        report(oAgg, "orders_totalprice_positive", col("bad_price")))
+        .reduce(_ unionByName _)
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy(col("check_name"))
+    }),
+
     // Integer PageRank over the part<->supplier bipartite graph from
     // lineitem (who supplies what): dedup to distinct edges, add both
     // directions (undirected), 3 damped floor-division iterations, top
@@ -221,6 +263,37 @@ object Advanced {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM dev JOIN st USING (event_type)
           |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+      "dq_profile" ->
+        """WITH o AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS pk_dup,
+          |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+          |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+          |  FROM orders),
+          |c AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS pk_dup,
+          |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS null_name
+          |  FROM customer),
+          |fk AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+          |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+          |rep AS (
+          |  SELECT 'customer_name_not_null' AS check_name, c.n AS n_checked,
+          |    c.null_name AS n_violations FROM c
+          |  UNION ALL SELECT 'customer_pk_unique', c.n, c.pk_dup FROM c
+          |  UNION ALL SELECT 'orders_custkey_fk', o.n, fk.v FROM o, fk
+          |  UNION ALL SELECT 'orders_pk_unique', o.n, o.pk_dup FROM o
+          |  UNION ALL SELECT 'orders_status_domain', o.n, o.bad_status FROM o
+          |  UNION ALL SELECT 'orders_totalprice_positive', o.n, o.bad_price
+          |    FROM o)
+          |SELECT check_name, n_checked, n_violations,
+          |  n_violations = 0 AS passed
+          |FROM rep ORDER BY check_name""".stripMargin,
 
       "pagerank_bipartite" ->
         s"""WITH e0 AS (
