@@ -91,6 +91,36 @@ object SimilarityQ {
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
+    // Reciprocal-rank fusion of two ANN tiers (exact brute-force top-5
+    // and LSH top-3): the standard way to combine retrieval rankings
+    // without comparable scores. Points are exact integers
+    // (10^9 div (60 + rank), the classic RRF k=60), so the fused
+    // ranking hash-matches the oracle. The re-ranking window runs over
+    // at most 8 rows per query (the union of the two bounded lists) —
+    // the fusion step is free at any corpus size; the tiers' own
+    // shuffles stay bounded as asserted for the ann_* queries.
+    "ann_rrf_fusion" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < N_QUERIES)
+      val cs = e.filter(col("vec_id") >= N_QUERIES)
+      val bf = SimilaritySearch.bruteForceTopK(qs, cs, k = 5)
+        .select(col("q_vec"), col("c_vec"), col("rnk"))
+      val lsh = SimilaritySearch.lshTopK(qs, cs, k = 3,
+          nBits = LSH_BITS, dims = DIMS)
+        .select(col("q_vec"), col("c_vec"), col("rnk"))
+      val pts = bf.unionByName(lsh)
+        .select(col("q_vec"), col("c_vec"),
+          expr("cast(1000000000 as bigint) div (60 + rnk)").as("pts"))
+      val fused = pts.groupBy(col("q_vec"), col("c_vec"))
+        .agg(sum(col("pts")).as("rrf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_vec")).orderBy(col("rrf").desc, col("c_vec"))
+      fused.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_vec"), col("rnk"), col("c_vec"), col("rrf"))
+        .orderBy(col("q_vec"), col("rnk"))
+    }),
+
     // Lloyd k-means over quantized embeddings (k = 8 seeded from
     // vec_id < 8, two fixed iterations): broadcast centroids, map-side
     // exact integer distances via the codegen'd dot kernel, relational
@@ -191,6 +221,43 @@ object SimilarityQ {
          |    PARTITION BY q_vec ORDER BY cos DESC, c_vec) AS rnk
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    "ann_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |b AS (SELECT vec_id, q, ${bucketSql("q")} AS bucket FROM e),
+         |qlb AS (SELECT vec_id AS q_vec, q AS qq FROM e WHERE vec_id < $N_QUERIES),
+         |clb AS (SELECT vec_id AS c_vec, q AS cq FROM e WHERE vec_id >= $N_QUERIES),
+         |sb AS (
+         |  SELECT q_vec, c_vec, ${cosSql("qq", "cq")} AS cos
+         |  FROM clb CROSS JOIN qlb),
+         |rb AS (
+         |  SELECT q_vec, c_vec, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY cos DESC, c_vec) AS rnk
+         |  FROM sb),
+         |qll AS (SELECT bucket, vec_id AS q_vec, q AS qq FROM b WHERE vec_id < $N_QUERIES),
+         |cll AS (SELECT bucket, vec_id AS c_vec, q AS cq FROM b WHERE vec_id >= $N_QUERIES),
+         |sl AS (
+         |  SELECT q_vec, c_vec, ${cosSql("qq", "cq")} AS cos
+         |  FROM cll JOIN qll USING (bucket)),
+         |rl AS (
+         |  SELECT q_vec, c_vec, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY cos DESC, c_vec) AS rnk
+         |  FROM sl),
+         |u AS (
+         |  SELECT q_vec, c_vec, 1000000000 // (60 + rnk) AS pts
+         |  FROM rb WHERE rnk <= 5
+         |  UNION ALL
+         |  SELECT q_vec, c_vec, 1000000000 // (60 + rnk)
+         |  FROM rl WHERE rnk <= 3),
+         |f AS (
+         |  SELECT q_vec, c_vec, CAST(sum(pts) AS BIGINT) AS rrf
+         |  FROM u GROUP BY q_vec, c_vec),
+         |r AS (
+         |  SELECT q_vec, c_vec, rrf, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY rrf DESC, c_vec) AS rnk
+         |  FROM f)
+         |SELECT q_vec, rnk, c_vec, rrf FROM r
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
 
     "ann_lsh_multiprobe_top3" -> {
