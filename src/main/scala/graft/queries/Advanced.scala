@@ -131,6 +131,50 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // NTILE + value window functions (§2.5 completeness): quartile
+    // assignment by price within each priority class plus the
+    // partition's 2nd-lowest order key via nth_value over an explicit
+    // full frame (the default frame stops at CURRENT ROW and would be
+    // order-dependent until row 2). Total deterministic order inside
+    // each partition: (price, key).
+    "window_ntile_nth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_cheapest_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Time-series gap fill: hourly per-type activity with explicit zero
+    // rows for silent hours — the resample step every monitoring/
+    // feature pipeline needs (missing buckets otherwise vanish from
+    // grouped aggregates). The hour spine is generated from the global
+    // [min, max] range (sequence + explode, no driver loop) and
+    // cross-joined with the tiny type dimension; the fact side
+    // aggregates BEFORE the join, so the spine join touches one row per
+    // (type, hour), never raw events.
+    "events_gapfill" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          (d2(col("value")) * 100).cast("long").as("v"))
+      val agg = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+      val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(types)
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), tsUs(col("h")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+
     // Data-quality constraint profile — the engine-level form of the
     // reference's schema contracts (ref: tests/test_connect.py:117-186
     // pins per-entity column contracts, null rules and value domains;
@@ -263,6 +307,37 @@ object Advanced {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM dev JOIN st USING (event_type)
           |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+      "window_ntile_nth" ->
+        """SELECT o_orderkey, o_orderpriority,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+          |    ORDER BY o_totalprice, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS second_cheapest_key
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |  ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "events_gapfill" ->
+        """WITH ev AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS h,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events),
+          |agg AS (
+          |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(v) AS BIGINT) AS cents
+          |  FROM ev GROUP BY event_type, h),
+          |spine AS (
+          |  SELECT unnest(generate_series(min(h), max(h),
+          |    INTERVAL 1 HOUR)) AS h FROM ev),
+          |types AS (SELECT DISTINCT event_type FROM ev)
+          |SELECT t.event_type, epoch_us(s.h) AS hour_us,
+          |  coalesce(a.n, 0) AS n, coalesce(a.cents, 0) AS cents
+          |FROM spine s CROSS JOIN types t
+          |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+          |ORDER BY t.event_type, hour_us""".stripMargin,
 
       "dq_profile" ->
         """WITH o AS (
