@@ -62,11 +62,43 @@ object PromoteDotProduct extends Rule[LogicalPlan] {
   }
 }
 
-/** spark.sql.extensions entry point: injects [[PromoteDotProduct]] into
+/** spark.sql.extensions entry point: injects [[PromoteDotProduct]] and
+  * registers the native kernel as the SQL function `graft_dotq` into
   * every session built with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
+  * SQL-only users get both the automatic promotion of the HOF pattern
+  * and a direct spelling.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PromoteDotProduct)
+    ext.injectFunction(GraftExtensions.dotqFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.internal.SQLConf
+
+  /** The `graft_dotq` SQL registration triple (identifier, info,
+    * builder) — shared between the extensions entry point and direct
+    * `functionRegistry.registerFunction` callers.
+    */
+  val dotqFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dotq"),
+    new ExpressionInfo(classOf[DotProductQ].getName, "graft_dotq",
+      "graft_dotq(a, b) - exact BIGINT dot product of two ARRAY<BIGINT>; " +
+        "NULL on null arrays, length mismatch or null elements; " +
+        "overflow follows the session ANSI mode"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_dotq expects 2 arguments, got ${children.size}")
+      // Bind the overflow contract at resolution time from the session
+      // ANSI mode — the same contract the promotion rule derives from
+      // the matched arithmetic's eval mode.
+      DotProductQ(children.head, children(1),
+        failOnError = SQLConf.get.ansiEnabled)
+    })
 }

@@ -97,4 +97,30 @@ class PromoteDotProductTest extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ == PromoteDotProduct)
     }
   }
+
+  test("graft_dotq is callable from SQL via the registered function") {
+    // getOrCreate on the shared test session cannot re-run extensions,
+    // so register the same triple the extensions entry point injects.
+    val (ident, info, builder) = GraftExtensions.dotqFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val d = spark.sql(
+      "SELECT graft_dotq(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .as[Long].head()
+    assert(d == 32L)
+    val n = spark.sql(
+      "SELECT graft_dotq(array(1L), array(1L, 2L)) IS NULL AS isnull")
+      .as[Boolean].head()
+    assert(n, "length mismatch must yield NULL")
+    // ANSI overflow contract rides the session conf (the kernel throws
+    // the same SparkArithmeticException ANSI Multiply would; depending
+    // on where it fires it may arrive bare or task-wrapped).
+    val e = intercept[Throwable] {
+      spark.sql(
+        s"SELECT graft_dotq(array(${Long.MaxValue}L, 1L), array(2L, 1L)) AS d")
+        .as[Long].head()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("; ")
+    assert(msgs.contains("ARITHMETIC_OVERFLOW"), msgs)
+  }
 }
