@@ -131,6 +131,42 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // BM25 search (Robertson k1=1.2, b=0.75, Lucene +0.5 idf smoothing):
+    // rank documents for a fixed query-term set. The whole scorer is
+    // cleared of doubles by cross-multiplying into one integer fraction
+    //
+    //   score(d,t) = (2N-2df+1) * 22 * tf * SUMDL
+    //              / ((2df+1) * (10*tf*SUMDL + 3*SUMDL + 9*dl*N))
+    //
+    // floored to permille per term and summed per doc — exact on both
+    // engines (numerator stays < 2^63 up to ~50k docs * 2M tokens;
+    // beyond that, lift to decimal(38,0)). Dataflow: the token stream is
+    // filtered to the query terms at the scan (a 3-term semi filter —
+    // map-side, no shuffle), so tf/df are aggregates over a sliver of
+    // the corpus; dl/N/SUMDL come from one unfiltered count pass.
+    "bm25_search" -> ((s, dir) => {
+      val qTerms = Seq("spark", "window", "table")
+      val toks = documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("term"))
+        .join(broadcast(dl), Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"),
+          expr("""(1000 * (2*n_docs - 2*df + 1) * 22 * tf * sumdl) div
+                 ((2*df + 1) * (10*tf*sumdl + 3*sumdl + 9*dl*n_docs))""")
+            .as("pts"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("pts")).as("bm25_permille"))
+        .orderBy(col("bm25_permille").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // NTILE + value window functions (§2.5 completeness): quartile
     // assignment by price within each priority class plus the
     // partition's 2nd-lowest order key via nth_value over an explicit
@@ -307,6 +343,30 @@ object Advanced {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM dev JOIN st USING (event_type)
           |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+
+      "bm25_search" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          |  FROM documents),
+          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          |       FROM tok GROUP BY doc_id),
+          |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |                  CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |       FROM tok WHERE term IN ('spark', 'window', 'table')
+          |       GROUP BY doc_id, term),
+          |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          |       FROM tf GROUP BY term),
+          |scored AS (
+          |  SELECT tf.doc_id,
+          |    CAST((1000 * (2*c.n_docs - 2*df.df + 1) * 22 * tf.tf * c.sumdl) //
+          |      ((2*df.df + 1) * (10*tf.tf*c.sumdl + 3*c.sumdl + 9*dl.dl*c.n_docs))
+          |      AS BIGINT) AS pts
+          |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          |  CROSS JOIN corpus c)
+          |SELECT doc_id, CAST(sum(pts) AS BIGINT) AS bm25_permille
+          |FROM scored GROUP BY doc_id
+          |ORDER BY bm25_permille DESC, doc_id LIMIT 20""".stripMargin,
 
       "window_ntile_nth" ->
         """SELECT o_orderkey, o_orderpriority,
