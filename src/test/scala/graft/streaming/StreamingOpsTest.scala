@@ -152,6 +152,32 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(perBucket.forall(_ <= 8))
   }
 
+  test("heavyHittersStream state survives a query restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val chk = java.nio.file.Files.createTempDirectory("hh-chk").toString
+    val mem = MemoryStream[String]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+    def start() = StreamingOps.heavyHittersStream(
+        mem.toDF.toDF("token"), k = 8, buckets = 4)
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("token", "est").as[(String, Long)].collect()
+          .foreach(seen.add)
+      }
+      .start()
+    mem.addData(Seq.fill(5)("hot") ++ Seq("cold1"): _*)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the state store (not the stream
+    // replay) must carry the sketch — batch 2 alone would give est=3
+    mem.addData(Seq.fill(3)("hot"): _*)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val hotEsts = seen.toArray(Array.empty[(String, Long)])
+      .collect { case ("hot", e) => e }.sorted
+    assert(hotEsts.toSeq == Seq(5L, 8L),
+      s"expected 5 pre-restart and 8 post-restart, got ${hotEsts.toSeq}")
+  }
+
   test("purchaseViewJoin pairs purchases with in-horizon views only") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
