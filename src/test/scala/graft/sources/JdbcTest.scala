@@ -46,6 +46,25 @@ class JdbcTest extends AnyFunSuite {
     assert(got.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("federated join: filter pushes into the database scan, dim side broadcasts") {
+    val users = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"), (4L, "dan"))
+      .toDF("id_num", "login_id")
+    Jdbc.overwriteMirror(users, conn, "RPC_RE_CANVAS_USERS", allowed)
+    val dbSide = Jdbc.readTable(spark, conn, "RPC_RE_CANVAS_USERS")
+      .filter(col("id_num") >= 3)
+    val local = Seq((3L, "active"), (4L, "deleted"), (9L, "active"))
+      .toDF("id_num", "status")
+    val joined = dbSide.join(local, Seq("id_num"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the predicate must reach the JDBC scan (run remotely, not on the
+    // fetched rows) — the property that keeps a federated dim probe from
+    // dragging the whole table over the wire
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(id_num,3)"), plan)
+    assert(joined.select("login_id").as[String].collect().sorted.toSeq ==
+      Seq("carol", "dan"))
+  }
+
   test("append adds rows without truncating") {
     val base = Seq((10L, "dave")).toDF("id_num", "login_id")
     Jdbc.overwriteMirror(base, conn, "RPC_RE_CANVAS_USERS", allowed)
