@@ -117,6 +117,94 @@ object SimilaritySearch {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization ANN (IVF-PQ's compression half): each candidate
+    * is stored as `m` small codeword ids instead of its full vector, and
+    * query-candidate distance is approximated by table lookup — the
+    * memory tier that makes billion-vector search fit a cluster.
+    *
+    * Pipeline (one Lloyd round per subspace, all exact int64 L2):
+    *   1. slice every vector into m contiguous subvectors (dims/m each);
+    *   2. train a per-subspace codebook: seed from `seeds` (ksub vectors,
+    *      cid = position), assign candidates, floor-mean update — the
+    *      same relational Lloyd as [[Clustering]], keyed by (sub, cid);
+    *   3. encode candidates: nearest updated codeword per subspace
+    *      (m * log2(ksub) bits per vector — here 4 codes vs 64 dims);
+    *   4. ADC: each query precomputes its distance to every codeword
+    *      (m * ksub rows per query — tiny, broadcast), and a candidate's
+    *      approximate distance is the sum of m table lookups on its codes.
+    *
+    * Scale shape: training/encoding broadcast the (m * ksub)-row codebook
+    * against the candidates — no shuffle of the big side beyond the
+    * (vec_id, sub)-keyed argmin aggregates; scoring joins the candidate
+    * CODE table (m small ints per vector, not the vectors) against the
+    * broadcast ADC table, then the bounded [[TopKAgg]] pre-reduces per
+    * partition, so the exchange carries <= k rows per query per partition.
+    * Ties break on (adist, c_vec) — deterministic, oracle-matched.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, seeds: DataFrame,
+             m: Int, dims: Int, k: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val subDim = dims / m
+    // (vec_id, sub, sv, svv): contiguous subvector slices + self-dot
+    def slices(df: DataFrame) = df
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          slice(col("q"), i * subDim + 1, subDim).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .withColumn("svv", VectorFns.dotQ(col("sv"), col("sv")))
+
+    // nearest codeword per (vector, subspace) against a broadcast codebook
+    // (cb: sub, cid, cv, cvv): argmin via struct ordering, ties to low cid
+    def nearest(sv: DataFrame, cb: DataFrame) = sv
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("dist",
+        col("svv") - lit(2L) * VectorFns.dotQ(col("sv"), col("cv")) + col("cvv"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"))
+
+    val candSv = slices(candidates)
+    val seedCb = slices(seeds.select(col("cid").as("vec_id"), col("embedding")))
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"),
+        col("svv").as("cvv"))
+    // one Lloyd round: assign to seeds, floor-mean update (exact < 2^53)
+    val assigned = nearest(candSv, seedCb)
+    val cb = assigned
+      .join(candSv.select(col("vec_id"), col("sub"), col("sv")),
+        Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("sub"), col("cid"), col("dim"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("cv1"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv1")))),
+        s => s.getField("cv1")).as("cv"))
+      .withColumn("cvv", VectorFns.dotQ(col("cv"), col("cv")))
+
+    val codes = nearest(candSv, cb)
+      .select(col("vec_id").as("c_vec"), col("sub"), col("cid").as("code"))
+    // ADC tables: every (query, sub, codeword) distance — m*ksub rows/query
+    val adc = slices(queries)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_vec"), col("sub"), col("cid"),
+        (col("svv") - lit(2L) * VectorFns.dotQ(col("sv"), col("cv")) +
+          col("cvv")).as("qd"))
+    val scored = codes
+      .join(broadcast(adc),
+        codes("sub") === adc("sub") && codes("code") === adc("cid"))
+      .groupBy(col("q_vec"), col("c_vec"))
+      .agg(sum(col("qd")).as("adist"))
+      // reuse the bounded top-k reducer (orders score DESC): negate the
+      // integer distance into the score slot, recover it after (exact —
+      // adist < 2^35 for 64-dim 1e4-quantized vectors, doubles are exact
+      // to 2^53)
+      .withColumn("cos", -col("adist").cast("double"))
+    topKPerQuery(scored, k)
+      .select(col("q_vec"), col("rnk"), col("c_vec"),
+        (-col("cos")).cast("long").as("adist"))
+  }
+
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
     * bucket at Hamming distance 1 (one sign bit flipped) — the standard
     * recall fix for sign-random-projection LSH, where a true neighbor

@@ -20,6 +20,8 @@ object SimilarityQ {
   private val LSH_BITS = 4
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
   private val KMEANS_K = 8   // Lloyd seed: the k lowest vec_ids
+  private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
+  private val PQ_KSUB = 8    // codewords per subspace; seeds vec_id [8,16)
   private val FRAME_STRIDE = 3
   private val RESIZE_BOX = 64
 
@@ -88,6 +90,25 @@ object SimilarityQ {
         e.filter(col("vec_id") >= N_QUERIES + IVF_NLIST),
         e.filter(col("vec_id") >= N_QUERIES && col("vec_id") < N_QUERIES + IVF_NLIST),
         k = 3, nprobe = 2)
+        .orderBy(col("q_vec"), col("rnk"))
+    }),
+
+    // Product-quantization ANN (ADC): candidates stored as 4 codeword ids
+    // (vs 64 dims), query-candidate distance approximated by summing 4
+    // lookups in the query's precomputed codeword-distance table. The
+    // compression tier below IVF: at 100 TB the code table is ~1/16th of
+    // the vector table and the scoring join never touches raw candidate
+    // vectors. Codebooks are one relational Lloyd round per subspace
+    // seeded from vec_id [8, 16); exact int64 L2 throughout.
+    "ann_pq_adc_top3" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.pqTopK(
+        e.filter(col("vec_id") < N_QUERIES),
+        e.filter(col("vec_id") >= N_QUERIES + PQ_KSUB),
+        e.filter(col("vec_id") >= N_QUERIES &&
+            col("vec_id") < N_QUERIES + PQ_KSUB)
+          .select((col("vec_id") - N_QUERIES).as("cid"), col("embedding")),
+        m = PQ_M, dims = DIMS, k = 3)
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
@@ -222,6 +243,56 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    // PQ-ADC mirrored at (id, dim) granularity: sub = dim // subDim; the
+    // train/encode argmins and the ADC sums are the same exact-integer
+    // Σ(v-cv)^2 as the Spark side's svv - 2<sv,cv> + cvv.
+    "ann_pq_adc_top3" -> {
+      val subDim = DIMS / PQ_M
+      def nearestSql(src: String, cb: String, name: String) =
+        s"""$name AS (
+           |  SELECT id, sub, cid FROM (
+           |    SELECT s.id, s.sub, c.cid,
+           |      row_number() OVER (PARTITION BY s.id, s.sub
+           |        ORDER BY CAST(sum((s.v - c.cv) * (s.v - c.cv)) AS BIGINT),
+           |                 c.cid) AS rn
+           |    FROM $src s JOIN $cb c ON s.sub = c.sub AND s.dim = c.dim
+           |    GROUP BY s.id, s.sub, c.cid)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |sd AS (
+         |  SELECT vec_id AS id,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
+         |    CAST((generate_subscripts(q, 1) - 1) // $subDim AS BIGINT) AS sub,
+         |    unnest(q) AS v
+         |  FROM e),
+         |cand AS (SELECT * FROM sd WHERE id >= ${N_QUERIES + PQ_KSUB}),
+         |qry AS (SELECT * FROM sd WHERE id < $N_QUERIES),
+         |c0 AS (SELECT id - $N_QUERIES AS cid, sub, dim, v AS cv FROM sd
+         |       WHERE id >= $N_QUERIES AND id < ${N_QUERIES + PQ_KSUB}),
+         |${nearestSql("cand", "c0", "a1")},
+         |cb AS (
+         |  SELECT a1.sub, a1.cid, cand.dim,
+         |    CAST(floor(CAST(sum(cand.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM cand JOIN a1 ON cand.id = a1.id AND cand.sub = a1.sub
+         |  GROUP BY a1.sub, a1.cid, cand.dim),
+         |${nearestSql("cand", "cb", "enc")},
+         |adc AS (
+         |  SELECT qry.id AS q_vec, qry.sub, cb.cid,
+         |    CAST(sum((qry.v - cb.cv) * (qry.v - cb.cv)) AS BIGINT) AS qd
+         |  FROM qry JOIN cb ON qry.sub = cb.sub AND qry.dim = cb.dim
+         |  GROUP BY qry.id, qry.sub, cb.cid),
+         |scored AS (
+         |  SELECT adc.q_vec, enc.id AS c_vec, CAST(sum(adc.qd) AS BIGINT) AS adist
+         |  FROM enc JOIN adc ON enc.sub = adc.sub AND enc.cid = adc.cid
+         |  GROUP BY adc.q_vec, enc.id),
+         |ranked AS (
+         |  SELECT q_vec, c_vec, adist, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY adist, c_vec) AS rnk
+         |  FROM scored)
+         |SELECT q_vec, rnk, c_vec, adist FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin
+    },
 
     "ann_rrf_fusion" ->
       s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
