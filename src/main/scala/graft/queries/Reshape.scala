@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Util._
+
+/** Relational reshape + order-statistics surface (SURVEY §2.4/§2.5
+  * completeness): unpivot (the inverse of pivot_orders), grouped mode
+  * with deterministic tie-break, and the running-record-low frontier
+  * (2-D Pareto skyline over (date, price) after the daily pre-aggregate).
+  */
+object Reshape {
+
+  /** Long.MaxValue sentinel for "no earlier record" on both engines. */
+  private val NO_PRIOR = Long.MaxValue
+
+  def queries: Map[String, Q] = Map(
+
+    // Unpivot / melt — the inverse of pivot_orders: one wide aggregate
+    // row per priority becomes one (metric, value) row per measure.
+    // Spark's native unpivot (no UDTF, no explode-of-struct shim) keeps
+    // the rewrite inside Catalyst: the plan is the same single hash
+    // aggregate plus a local Expand, nothing re-shuffles on the metric
+    // axis.
+    "unpivot_orders" -> ((s, dir) => {
+      val wide = orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((d2(col("o_totalprice")) * 100).cast("long")).as("sum_cents"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+            .as("n_open"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("sum_cents"), col("n_open")),
+          "metric", "value")
+        .orderBy(col("o_orderpriority"), col("metric"))
+    }),
+
+    // Grouped mode with deterministic ties: the most frequent cents
+    // value per event type, lowest value winning a frequency tie.
+    // argmax as min(struct(-n, cents)) — two hash aggregates keyed by
+    // bounded-cardinality keys, no ranking window, no skew (the struct
+    // min combines map-side like any other agg).
+    "mode_event_cents" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), (d2(col("value")) * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          struct((-col("n")).as("nn"), col("cents").as("c")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(min(col("s")).as("m"))
+        .select(col("event_type"), (-col("m.nn")).as("n_mode"),
+          col("m.c").as("mode_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Running record lows — the 2-D Pareto frontier of (order date,
+    // price): days whose cheapest order undercuts every earlier day.
+    // The raw fact table pre-aggregates to one row per day FIRST (one
+    // hash aggregate, map-side combined), so the prefix-min window runs
+    // over a calendar-bounded set (one row per distinct day — tens of
+    // thousands of rows after decades of data), not over the orders;
+    // the single-partition window is bounded by the calendar, never by
+    // data volume.
+    "price_record_lows" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(min((d2(col("o_totalprice")) * 100).cast("long")).as("min_cents"))
+      val w = Window.orderBy(col("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("prior_low",
+          coalesce(min(col("min_cents")).over(w), lit(NO_PRIOR)))
+        .filter(col("min_cents") < col("prior_low"))
+        .select(tsUs(col("o_orderdate")).as("date_us"), col("min_cents"))
+        .orderBy(col("date_us"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "unpivot_orders" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sum_cents,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_open
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+        |  FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'sum_cents', sum_cents FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_open', n_open FROM wide)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "mode_event_cents" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, cents)
+        |SELECT event_type, n AS n_mode, cents AS mode_cents FROM (
+        |  SELECT event_type, cents, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, cents) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "price_record_lows" ->
+      s"""WITH daily AS (
+         |  SELECT o_orderdate,
+         |    CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS min_cents
+         |  FROM orders GROUP BY o_orderdate),
+         |f AS (
+         |  SELECT o_orderdate, min_cents,
+         |    coalesce(min(min_cents) OVER (ORDER BY o_orderdate
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      ${NO_PRIOR}) AS prior_low
+         |  FROM daily)
+         |SELECT epoch_us(o_orderdate) AS date_us, min_cents FROM f
+         |WHERE min_cents < prior_low ORDER BY date_us""".stripMargin
+  )
+}

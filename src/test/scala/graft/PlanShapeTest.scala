@@ -102,6 +102,29 @@ class PlanShapeTest extends AnyFunSuite {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
 
+  test("unpivot_orders is one hash aggregate plus a local Expand — no metric-axis shuffle") {
+    val p = plan("unpivot_orders")
+    assert(p.contains("Expand"), p)
+    // the only exchanges: the priority-keyed agg + the final total order
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
+  }
+
+  test("mode_event_cents is two hash aggregates, no ranking window") {
+    val p = plan("mode_event_cents")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ann_pq_adc_top3 scores code lookups against a broadcast ADC table, top-k pre-reduced") {
+    val p = plan("ann_pq_adc_top3")
+    // the scoring join is broadcast (codes never shuffle by q_vec)...
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ...and the final reduction is the bounded TopKAgg, not a window
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and
