@@ -59,4 +59,28 @@ object Tables {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** ORC scan (SURVEY §2.1 format coverage beyond the reference's
+    * CSV-only staging). Spark's native ORC reader gives the same
+    * vectorization + predicate pushdown + column pruning as parquet —
+    * the interchange format when an upstream warehouse emits ORC.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** JSON-lines scan with a contracted schema — like [[csv]], never
+    * `inferSchema` on a production path (inference is a full extra pass
+    * over 100 TB). Malformed rows surface in the PERMISSIVE default's
+    * corrupt-record column rather than killing the job; callers that
+    * need fail-fast set mode=FAILFAST at the call site.
+    */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
