@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.functions.MisraGriesAgg
+import graft.functions.{CountMin, CountMinAgg, MisraGriesAgg}
 import graft.operators.PageRank
 import Util._
 
@@ -26,6 +26,15 @@ object Advanced {
 
   /** Open-interval sentinel for the current SCD2 row on both engines. */
   private val SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+  /** CMS width: 150 distinct users into 64 buckets per row forces real
+    * collisions, so the sketch is demonstrably approximate while every
+    * estimate still reconstructs exactly.
+    */
+  private val CM_WIDTH = 64
+
+  /** Probe set bound for count_min_users (user_id < this). */
+  private val CM_PROBE = 15
 
   def queries: Map[String, Q] = Map(
 
@@ -100,6 +109,31 @@ object Advanced {
             (col("n_true") - col("est")) * (K_MG + 1) <= col("n_total"))
             .as("approx_ok"))
         .orderBy(col("token"))
+    }),
+
+    // Count-min sketch per-user frequency estimates — the overestimating
+    // twin of heavy_hitters_mg (CMS never undercounts, MG never
+    // overcounts). Counters are plain sums over a fixed 4x64 array, so
+    // unlike MG the finished sketch is partition/merge-order INDEPENDENT
+    // and the oracle rebuilds the exact counter array relationally
+    // (same fixed hash family) — the est values themselves hash-match,
+    // not just a bound check. One pass + a broadcast of the 256-long
+    // sketch to the probe rows; the shuffle carries 4x64 longs per
+    // partition regardless of input size.
+    "count_min_users" -> ((s, dir) => {
+      import s.implicits._
+      val uid = events(s, dir).select(col("user_id"))
+        .filter(col("user_id").isNotNull)
+      val sketch = uid.as[Long]
+        .select(new CountMinAgg(CM_WIDTH).toColumn)
+        .toDF("sk")
+      val truth = uid.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+      truth.filter(col("user_id") < CM_PROBE)
+        .crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("n_true"),
+          CountMin.estimateCol(col("sk"), col("user_id"), CM_WIDTH).as("est"))
+        .withColumn("no_undercount", col("est") >= col("n_true"))
+        .orderBy(col("user_id"))
     }),
 
     // Robust outliers: median/MAD sigma-clip (the heavy-tail-safe twin
@@ -319,6 +353,35 @@ object Advanced {
            |FROM cnt, tot
            |WHERE n_true * ${K_MG + 1} > n_total
            |ORDER BY token""".stripMargin,
+
+      // Relational CMS reconstruction: counter (i, b) = Σ n_true of keys
+      // hashing there (same fixed hash constants via CountMin.bucketSql);
+      // est = min over rows — value-identical to the Aggregator's array.
+      "count_min_users" -> {
+        def rows(src: String) = (0 until CountMin.DEPTH).map { i =>
+          s"""SELECT user_id, n_true, CAST($i AS BIGINT) AS i,
+             |    CAST(${CountMin.bucketSql(i, "user_id", CM_WIDTH)} AS BIGINT) AS b
+             |  FROM $src""".stripMargin
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH cnt AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_true
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+           |hashed AS (
+           |  ${rows("cnt")}),
+           |bk AS (
+           |  SELECT i, b, CAST(sum(n_true) AS BIGINT) AS c
+           |  FROM hashed GROUP BY i, b),
+           |probe AS (SELECT user_id, n_true FROM cnt WHERE user_id < $CM_PROBE),
+           |pd AS (
+           |  ${rows("probe")}),
+           |est AS (
+           |  SELECT pd.user_id, min(bk.c) AS est
+           |  FROM pd JOIN bk USING (i, b) GROUP BY pd.user_id)
+           |SELECT p.user_id, p.n_true, e.est,
+           |  e.est >= p.n_true AS no_undercount
+           |FROM probe p JOIN est e USING (user_id)
+           |ORDER BY user_id""".stripMargin
+      },
 
       "mad_outliers" ->
         """WITH ev AS (
