@@ -164,7 +164,11 @@ object SimilaritySearch {
       .agg(min(struct(col("dist"), col("cid"))).as("mn"))
       .select(col("vec_id"), col("sub"), col("mn.cid").as("cid"))
 
+    // persisted: the candidate slice table feeds three consumers (train
+    // assign, codebook update, encode) and would otherwise re-quantize
+    // and re-explode the corpus per consumer
     val candSv = slices(candidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedCb = slices(seeds.select(col("cid").as("vec_id"), col("embedding")))
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"),
         col("svv").as("cvv"))
@@ -181,6 +185,9 @@ object SimilaritySearch {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv1")))),
         s => s.getField("cv1")).as("cv"))
       .withColumn("cvv", VectorFns.dotQ(col("cv"), col("cv")))
+      // m*ksub rows, but its lineage embeds the full training crossJoin —
+      // persist so encode and ADC don't re-train the codebooks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val codes = nearest(candSv, cb)
       .select(col("vec_id").as("c_vec"), col("sub"), col("cid").as("code"))
