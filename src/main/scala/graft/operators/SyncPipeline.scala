@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
 
 /** The reference's full sync run as one composable pipeline
   * (SURVEY §3.3): ERP truth vs Canvas mirror per entity → missing-row
@@ -41,5 +42,28 @@ object SyncPipeline {
     val updates = computeUpdates(entities)
     val sunk = SyncSink.uploadAll(updates, order)(sink)
     (sunk, SyncSink.changeReport(updates))
+  }
+
+  /** [[run]] with in-flight telemetry: each entity's update set carries a
+    * Spark [[Observation]], so per-entity row and null-key counts are
+    * collected DURING the sink write — no second pass over the data (a
+    * separate count() would re-execute the whole diff per entity, and at
+    * 100 TB the re-scan costs more than the sync itself). Returned
+    * metrics cover exactly the sunk entities (an observation only
+    * resolves after an action has run on its dataset).
+    */
+  def runObserved(entities: Seq[Entity], order: Seq[String])
+                 (sink: (String, DataFrame) => Unit)
+      : (Seq[String], DataFrame, Map[String, Map[String, Any]]) = {
+    val obs = entities.map(e => e.name -> Observation(s"sync_${e.name}")).toMap
+    val keyOf = entities.map(e => e.name -> e.keys.head).toMap
+    val updates = computeUpdates(entities).map { case (name, df) =>
+      name -> df.observe(obs(name),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(keyOf(name)).isNull, 1L).otherwise(0L)).as("n_null_key"))
+    }
+    val sunk = SyncSink.uploadAll(updates, order)(sink)
+    val metrics = sunk.map(n => n -> obs(n).get).toMap
+    (sunk, SyncSink.changeReport(updates), metrics)
   }
 }

@@ -56,6 +56,27 @@ class SyncPipelineTest extends AnyFunSuite {
       ("daily_enrollment", "deleted", 1L)))
   }
 
+  test("runObserved collects per-entity row metrics during the sink write, no re-scan") {
+    val faculty = Seq((1L, "prof.a"), (2L, "prof.b")).toDF("id_num", "login_id")
+    val facMirror = Seq((1L, "prof.a")).toDF("id_num", "login_id")
+    val courses = Seq(("c1", "Intro"), ("c2", "Algo")).toDF("crs_cde", "title")
+    val crsMirror = spark.emptyDataset[(String, String)]
+      .toDF("crs_cde", "title")
+    val entities = Seq(
+      SyncPipeline.Entity("faculty_users", faculty, facMirror, Seq("id_num")),
+      SyncPipeline.Entity("courses", courses, crsMirror, Seq("crs_cde")))
+
+    val (sunk, _, metrics) =
+      SyncPipeline.runObserved(entities, SyncSink.FK_ORDER) { (_, df) =>
+        df.collect(); ()
+      }
+    assert(sunk == Seq("faculty_users", "courses"))
+    assert(metrics("faculty_users")("n_rows") == 1L)
+    assert(metrics("courses")("n_rows") == 2L)
+    assert(metrics("faculty_users")("n_null_key") == 0L)
+    assert(metrics("courses")("n_null_key") == 0L)
+  }
+
   test("all seven reference datasets flow through the FK-ordered sink") {
     // One entity per name in the reference's update_queries map
     // (reference src/jenzabar.py:51-59); the sink loop must emit them in
