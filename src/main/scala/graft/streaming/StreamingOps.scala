@@ -210,6 +210,27 @@ object StreamingOps {
       .toDF("bucket", "token", "est")
   }
 
+  /** Streaming count-min sketch — the incremental twin of the batch
+    * `count_min_users` query: a global streaming aggregate whose state
+    * is ONE depth x width counter array. Because CMS counters are plain
+    * sums, Spark's streaming aggregation gives exactly the batch
+    * semantics: each micro-batch folds map-side partial sketches, the
+    * stateful final merge adds them to the running array, and after any
+    * prefix of the stream the sketch EQUALS the batch fold over the
+    * same rows (order/merge independence — the property MG lacks).
+    * The single final group is not a scale bottleneck: what crosses the
+    * wire per batch is depth*width longs per partition, and the state
+    * store holds one such array total.
+    *
+    * Input must expose a long column `key`. Output: one row with the
+    * current sketch (use complete/update mode).
+    */
+  def countMinStream(keys: DataFrame, width: Int = 64): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAgg(width),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    keys.agg(cms(col("key")).as("sketch"))
+  }
+
   /** Idempotent micro-batch sink preserving the reference's
     * truncate-reload mirror semantics: every batch fully overwrites the
     * target (same result on replay — exactly-once effective semantics).

@@ -152,6 +152,27 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(perBucket.forall(_ <= 8))
   }
 
+  test("countMinStream sketch after N micro-batches equals the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val width = 16
+    val out = StreamingOps.countMinStream(mem.toDF.toDF("key"), width)
+    val sq = out.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cms_stream").start()
+    val b1 = (0L until 40L).map(_ % 7)
+    val b2 = (0L until 60L).map(_ % 11)
+    val b3 = Seq.fill(25)(3L)
+    mem.addData(b1: _*); sq.processAllAvailable()
+    mem.addData(b2: _*); sq.processAllAvailable()
+    mem.addData(b3: _*); sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("cms_stream").select("sketch")
+      .as[Array[Long]].head()
+    val agg = new graft.functions.CountMinAgg(width)
+    val want = (b1 ++ b2 ++ b3).foldLeft(agg.zero)(agg.reduce)
+    assert(got.sameElements(want))
+  }
+
   test("heavyHittersStream state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val chk = java.nio.file.Files.createTempDirectory("hh-chk").toString
