@@ -97,6 +97,27 @@ object Dedup {
       .filter(col("n_shared") >= minHits)
   }
 
+  /** Graded contamination score — the continuous form of
+    * [[decontaminate]]: every train doc's distinct-shingle overlap with
+    * the eval set as integer permille (0 = clean, 1000 = fully
+    * contained). Pipelines threshold this instead of a binary hit count
+    * when deciding drop-vs-downweight. Same scale shape as
+    * decontaminate: eval shingles broadcast, corpus side never shuffles
+    * by shingle, one doc_id-keyed aggregate; permille by integer floor
+    * division (portable, no doubles).
+    */
+  def contaminationScore(train: DataFrame, evalSet: DataFrame, n: Int): DataFrame = {
+    val evalShingles = shingleRows(evalSet, n).select(col("s"))
+      .distinct().withColumn("hit", lit(1L))
+    shingleRows(train, n)
+      .join(broadcast(evalShingles), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("overlap_permille",
+        expr("(1000 * n_shared) div n_shingles"))
+  }
+
   /** Per-doc repetition signals (the Gopher-style quality filters):
     * total vs distinct n-gram occurrence counts, the duplicate-gram
     * share, and the hottest single gram's share — both shares as integer

@@ -234,6 +234,18 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Graded contamination: every train doc's distinct-shingle overlap
+    // with the eval slice as permille — the downweight-vs-drop signal
+    // the binary decontaminate gate can't express.
+    "contamination_score" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminationScore(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        evalSet = docs.filter(col("doc_id") % 50 === 0),
+        n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: duplicate-3-gram and hottest-
     // 3-gram shares per doc, as integer permille (portable, no doubles).
     "doc_repetition" -> ((s, dir) => {
@@ -573,6 +585,19 @@ object TextDedup {
            |GROUP BY i.doc_id
            |HAVING count(*) >= 2
            |ORDER BY doc_id""".stripMargin,
+
+      "contamination_score" ->
+        s"""WITH $docsSql,
+           |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+           |ev AS (SELECT DISTINCT s FROM inv WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, s FROM inv WHERE doc_id % 50 <> 0)
+           |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_shared,
+           |  (1000 * CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS overlap_permille
+           |FROM tr LEFT JOIN ev USING (s)
+           |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
 
       "doc_repetition" ->
         """WITH occ AS (
