@@ -57,6 +57,27 @@ object Reshape {
         .orderBy(col("event_type"))
     }),
 
+    // SQL front end: the same engine surface through spark.sql over
+    // registered views, with correlated EXISTS / NOT EXISTS subqueries —
+    // customers holding a >400k order but no completed ('F') one.
+    // Catalyst decorrelates both into semi/anti joins (pinned in
+    // PlanShapeTest): the declarative SQL path and the DataFrame path
+    // land on identical physical plans, which is the point.
+    "sql_exists_customers" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("graft_sql_customer")
+      orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name
+        FROM graft_sql_customer c
+        WHERE EXISTS (SELECT 1 FROM graft_sql_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM graft_sql_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c.c_custkey""")
+    }),
+
     // Running record lows — the 2-D Pareto frontier of (order date,
     // price): days whose cheapest order undercuts every earlier day.
     // The raw fact table pre-aggregates to one row per day FIRST (one
@@ -111,6 +132,17 @@ object Reshape {
         |    PARTITION BY event_type ORDER BY n DESC, cents) AS rn
         |  FROM c)
         |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "sql_exists_customers" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "price_record_lows" ->
       s"""WITH daily AS (

@@ -125,6 +125,12 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("sql_exists_customers decorrelates EXISTS/NOT EXISTS into semi + anti joins") {
+    val p = plan("sql_exists_customers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("dotQ similarity kernel is the native expression, computed pre-join where possible") {
     val p = plan("embed_near_dup")
     // the custom expression (not the HOF formulation) is in the plan, and
