@@ -98,10 +98,65 @@ object Reshape {
         .filter(col("min_cents") < col("prior_low"))
         .select(tsUs(col("o_orderdate")).as("date_us"), col("min_cents"))
         .orderBy(col("date_us"))
+    }),
+
+    // Association mining over user behavior: for every event-type pair,
+    // how many users did both, and the lift vs independence as exact
+    // integer permille — lift = P(a,b) / (P(a)P(b)) cross-multiplied to
+    // (1000 * n_ab * n_users) div (n_a * n_b), no doubles. Dataflow: one
+    // distinct (user, type) projection, a self-join keyed by user_id
+    // (per-user fan-out is bounded by the type-alphabet, C(|T|,2) pairs
+    // max — never quadratic in events), then a pair-keyed aggregate with
+    // the tiny per-type totals broadcast back. int64 headroom: n_ab and
+    // n_users below ~3e9 keep the cross product under 2^63.
+    "event_cooccurrence" -> ((s, dir) => {
+      val ut = events(s, dir).select(col("user_id"), col("event_type"))
+        .distinct()
+      val pairs = ut.as("x")
+        .join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val nUsers = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      pairs
+        .join(broadcast(totals.select(col("event_type").as("a"),
+          col("n").as("n_a"))), Seq("a"))
+        .join(broadcast(totals.select(col("event_type").as("b"),
+          col("n").as("n_b"))), Seq("b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("n_ab"),
+          expr("(1000 * n_ab * n_users) div (n_a * n_b)").as("lift_permille"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
+  private val cooccurrenceSql =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b,
+      |    CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |    AND x.event_type < y.event_type
+      |  GROUP BY x.event_type, y.event_type),
+      |totals AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM ut GROUP BY event_type),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut)
+      |SELECT p.a, p.b, p.n_ab,
+      |  (1000 * p.n_ab * u.n_users) // (ta.n * tb.n) AS lift_permille
+      |FROM pairs p
+      |JOIN totals ta ON ta.event_type = p.a
+      |JOIN totals tb ON tb.event_type = p.b
+      |CROSS JOIN u
+      |ORDER BY p.a, p.b""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "event_cooccurrence" -> cooccurrenceSql,
 
     "unpivot_orders" ->
       """WITH wide AS (
