@@ -212,6 +212,105 @@ object SimilaritySearch {
         (-col("cos")).cast("long").as("adist"))
   }
 
+  /** IVF-PQ ANN — the production composition of [[ivfTopK]] and
+    * [[pqTopK]]: a coarse quantizer routes every candidate to one
+    * inverted list, PQ encodes the RESIDUAL (vector minus its list's
+    * centroid — residuals cluster much tighter than raw vectors, so the
+    * same codebook budget quantizes them with far less error), and each
+    * query probes its `nprobe` nearest lists, scoring only those lists'
+    * codes through its per-list ADC tables. This is the memory/recall
+    * tier a billion-vector corpus actually ships.
+    *
+    * Everything runs at (vector, dim) relational granularity — exact
+    * int64 squared distances, floor-mean codebook updates, cid/pcid
+    * tie-breaks — so the full pipeline hash-matches a SQL oracle.
+    *
+    * Scale shape: both assign steps broadcast dim-level centroid rows
+    * against the candidates (shuffles keyed by (vec_id[, sub]) — the
+    * fan-out is nlist resp. ksub per dim row, the standard O(N*d*k)
+    * assign cost); the scoring join is keyed by (list, sub, code)
+    * against the broadcast ADC tables and carries code rows, never raw
+    * vectors; [[TopKAgg]] pre-reduces per partition.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, coarse: DataFrame,
+                m: Int, dims: Int, ksub: Int, k: Int, nprobe: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val subDim = dims / m
+    def dimsOf(df: DataFrame) = df
+      .select(col("vec_id"),
+        posexplode(VectorFns.quantize(col("embedding"))).as(Seq("dim", "v")))
+    // coarse centroids at dim granularity: (ccid, dim, cv)
+    val centD = dimsOf(coarse.select(col("ccid").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("ccid"), col("dim"), col("v").as("cv"))
+    // nearest `keep` coarse centroids per vector, exact L2, ties to low ccid
+    def coarseAssign(d: DataFrame, keep: Int) = {
+      val dist = d.join(broadcast(centD), Seq("dim"))
+        .withColumn("sq", (col("v") - col("cv")) * (col("v") - col("cv")))
+        .groupBy(col("vec_id"), col("ccid")).agg(sum(col("sq")).as("dist"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("ccid"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+        .select(col("vec_id"), col("ccid"))
+    }
+    val candD = dimsOf(candidates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = coarseAssign(candD, 1)
+    // residuals vs the assigned centroid, tagged with the subspace
+    val rD = candD.join(ca, Seq("vec_id")).join(broadcast(centD), Seq("ccid", "dim"))
+      .select(col("vec_id"), col("ccid"), col("dim"),
+        (col("dim") / subDim).cast("int").as("sub"),
+        (col("v") - col("cv")).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PQ seeds: the ksub lowest candidate ids' residuals, pcid by rank
+    // (TakeOrderedAndProject + a window over ksub rows — constant-size)
+    val seedIds = candidates.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(ksub)
+      .withColumn("pcid",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    val cw0 = rD.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("pcid"), col("sub"), col("dim"), col("rv").as("cw"))
+    // nearest codeword per (vector, subspace) against a broadcast codebook
+    def pqAssign(cb: DataFrame) = {
+      val dist = rD.join(broadcast(cb.drop("sub")), Seq("dim"))
+        .withColumn("sq", (col("rv") - col("cw")) * (col("rv") - col("cw")))
+        .groupBy(col("vec_id"), col("sub"), col("pcid"))
+        .agg(sum(col("sq")).as("dist"))
+      dist.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("pcid"))).as("mn"))
+        .select(col("vec_id"), col("sub"), col("mn.pcid").as("pcid"))
+    }
+    // one Lloyd round on residuals: assign to seeds, floor-mean update
+    val cb = rD.join(pqAssign(cw0), Seq("vec_id", "sub"))
+      .groupBy(col("pcid"), col("dim"), col("sub"))
+      .agg(floor(sum(col("rv")).cast("double") / count(lit(1)))
+        .cast("long").as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqAssign(cb)
+      .join(ca, Seq("vec_id"))
+      .select(col("vec_id").as("c_vec"), col("ccid"), col("sub"),
+        col("pcid").as("code"))
+    // query residuals vs EACH probed centroid, then per-list ADC tables
+    val qa = coarseAssign(dimsOf(queries), nprobe)
+    val qrD = dimsOf(queries).join(qa, Seq("vec_id"))
+      .join(broadcast(centD), Seq("ccid", "dim"))
+      .select(col("vec_id"), col("ccid"), col("dim"),
+        (col("dim") / subDim).cast("int").as("sub"),
+        (col("v") - col("cv")).as("rvq"))
+    val adc = qrD.join(broadcast(cb.drop("sub")), Seq("dim"))
+      .withColumn("sq", (col("rvq") - col("cw")) * (col("rvq") - col("cw")))
+      .groupBy(col("vec_id").as("q_vec"), col("ccid"), col("sub"),
+        col("pcid").as("code"))
+      .agg(sum(col("sq")).as("qd"))
+    val scored = codes
+      .join(broadcast(adc), Seq("ccid", "sub", "code"))
+      .groupBy(col("q_vec"), col("c_vec"))
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("cos", -col("adist").cast("double"))
+    topKPerQuery(scored, k)
+      .select(col("q_vec"), col("rnk"), col("c_vec"),
+        (-col("cos")).cast("long").as("adist"))
+  }
+
   /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
     * bucket at Hamming distance 1 (one sign bit flipped) — the standard
     * recall fix for sign-random-projection LSH, where a true neighbor

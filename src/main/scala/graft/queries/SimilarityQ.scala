@@ -112,6 +112,23 @@ object SimilarityQ {
         .orderBy(col("q_vec"), col("rnk"))
     }),
 
+    // IVF-PQ: coarse quantizer (the 16 IVF centroids) routes candidates
+    // to lists, PQ encodes the RESIDUAL against the list centroid, each
+    // query probes its 2 nearest lists and scores only their codes via
+    // per-list ADC tables — the full billion-vector index recipe with
+    // exact int64 arithmetic end to end.
+    "ann_ivfpq_top3" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      SimilaritySearch.ivfPqTopK(
+        e.filter(col("vec_id") < N_QUERIES),
+        e.filter(col("vec_id") >= N_QUERIES + IVF_NLIST),
+        e.filter(col("vec_id") >= N_QUERIES &&
+            col("vec_id") < N_QUERIES + IVF_NLIST)
+          .select(col("vec_id").as("ccid"), col("embedding")),
+        m = PQ_M, dims = DIMS, ksub = PQ_KSUB, k = 3, nprobe = 2)
+        .orderBy(col("q_vec"), col("rnk"))
+    }),
+
     // Reciprocal-rank fusion of two ANN tiers (exact brute-force top-5
     // and LSH top-3): the standard way to combine retrieval rankings
     // without comparable scores. Points are exact integers
@@ -243,6 +260,87 @@ object SimilarityQ {
          |  FROM scored)
          |SELECT q_vec, rnk, c_vec, cos FROM ranked
          |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin,
+
+    // IVF-PQ mirrored at (id, dim) granularity: coarse assign -> residual
+    // -> seed codebook -> one Lloyd round -> encode -> per-list ADC ->
+    // rank. Same exact-integer Σ(v-cv)^2 / floor-mean steps as Spark.
+    "ann_ivfpq_top3" -> {
+      val subDim = DIMS / PQ_M
+      val centLo = N_QUERIES
+      val centHi = N_QUERIES + IVF_NLIST
+      def pqNearest(cb: String, name: String) =
+        s"""$name AS (
+           |  SELECT id, sub, pcid FROM (
+           |    SELECT rd.id, rd.sub, c.pcid,
+           |      row_number() OVER (PARTITION BY rd.id, rd.sub
+           |        ORDER BY CAST(sum((rd.rv - c.cw) * (rd.rv - c.cw)) AS BIGINT),
+           |                 c.pcid) AS rn
+           |    FROM rd JOIN $cb c USING (dim)
+           |    GROUP BY rd.id, rd.sub, c.pcid)
+           |  WHERE rn = 1)""".stripMargin
+      def coarseNearest(src: String, name: String, keep: String) =
+        s"""$name AS (
+           |  SELECT id, ccid FROM (
+           |    SELECT s.id, ct.ccid,
+           |      row_number() OVER (PARTITION BY s.id
+           |        ORDER BY CAST(sum((s.v - ct.cv) * (s.v - ct.cv)) AS BIGINT),
+           |                 ct.ccid) AS rn
+           |    FROM $src s JOIN cent ct USING (dim)
+           |    GROUP BY s.id, ct.ccid)
+           |  WHERE $keep)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
+         |sd AS (
+         |  SELECT vec_id AS id,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
+         |    CAST((generate_subscripts(q, 1) - 1) // $subDim AS BIGINT) AS sub,
+         |    unnest(q) AS v
+         |  FROM e),
+         |cent AS (SELECT id AS ccid, dim, v AS cv FROM sd
+         |         WHERE id >= $centLo AND id < $centHi),
+         |cand AS (SELECT * FROM sd WHERE id >= $centHi),
+         |qry AS (SELECT * FROM sd WHERE id < $N_QUERIES),
+         |${coarseNearest("cand", "ca", "rn = 1")},
+         |rd AS (
+         |  SELECT cand.id, ca.ccid, cand.dim, cand.sub, cand.v - cent.cv AS rv
+         |  FROM cand JOIN ca USING (id)
+         |  JOIN cent ON cent.ccid = ca.ccid AND cent.dim = cand.dim),
+         |seeds AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS pcid
+         |  FROM (SELECT DISTINCT id FROM cand ORDER BY id LIMIT $PQ_KSUB)),
+         |cw0 AS (SELECT s.pcid, rd.sub, rd.dim, rd.rv AS cw
+         |        FROM rd JOIN seeds s USING (id)),
+         |${pqNearest("cw0", "a1")},
+         |cb AS (
+         |  SELECT a1.pcid, rd.dim, rd.sub,
+         |    CAST(floor(CAST(sum(rd.rv) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+         |  FROM rd JOIN a1 ON rd.id = a1.id AND rd.sub = a1.sub
+         |  GROUP BY a1.pcid, rd.dim, rd.sub),
+         |${pqNearest("cb", "enc")},
+         |codes AS (
+         |  SELECT enc.id AS c_vec, ca.ccid, enc.sub, enc.pcid AS code
+         |  FROM enc JOIN ca ON ca.id = enc.id),
+         |${coarseNearest("qry", "qa", "rn <= 2")},
+         |qrd AS (
+         |  SELECT qry.id, qa.ccid, qry.dim, qry.sub, qry.v - cent.cv AS rvq
+         |  FROM qry JOIN qa USING (id)
+         |  JOIN cent ON cent.ccid = qa.ccid AND cent.dim = qry.dim),
+         |adc AS (
+         |  SELECT qrd.id AS q_vec, qrd.ccid, qrd.sub, c.pcid AS code,
+         |    CAST(sum((qrd.rvq - c.cw) * (qrd.rvq - c.cw)) AS BIGINT) AS qd
+         |  FROM qrd JOIN cb c USING (dim)
+         |  GROUP BY qrd.id, qrd.ccid, qrd.sub, c.pcid),
+         |scored AS (
+         |  SELECT adc.q_vec, codes.c_vec, CAST(sum(adc.qd) AS BIGINT) AS adist
+         |  FROM codes JOIN adc ON adc.ccid = codes.ccid
+         |    AND adc.sub = codes.sub AND adc.code = codes.code
+         |  GROUP BY adc.q_vec, codes.c_vec),
+         |ranked AS (
+         |  SELECT q_vec, c_vec, adist, row_number() OVER (
+         |    PARTITION BY q_vec ORDER BY adist, c_vec) AS rnk
+         |  FROM scored)
+         |SELECT q_vec, rnk, c_vec, adist FROM ranked
+         |WHERE rnk <= 3 ORDER BY q_vec, rnk""".stripMargin
+    },
 
     // PQ-ADC mirrored at (id, dim) granularity: sub = dim // subDim; the
     // train/encode argmins and the ADC sums are the same exact-integer

@@ -125,6 +125,12 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("ann_ivfpq_top3 scores via broadcast ADC + code tables, top-k pre-reduced") {
+    val p = plan("ann_ivfpq_top3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sql_exists_customers decorrelates EXISTS/NOT EXISTS into semi + anti joins") {
     val p = plan("sql_exists_customers")
     assert(p.contains("LeftSemi"), p)

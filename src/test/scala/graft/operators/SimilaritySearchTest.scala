@@ -63,6 +63,29 @@ class SimilaritySearchTest extends AnyFunSuite {
     assert(pq.map(_.toSeq).toSet == pq2.map(_.toSeq).toSet)
   }
 
+  test("IVF-PQ: probed-list routing bounds the scored set; ranks are deterministic") {
+    val q = embs.filter(col("vec_id") < 4)
+    val coarse = embs.filter(col("vec_id") >= 100 && col("vec_id") < 104)
+      .select(col("vec_id").as("ccid"), col("embedding"))
+    val c = embs.filter(col("vec_id") >= 104)
+    def run() = SimilaritySearch.ivfPqTopK(q, c, coarse,
+      m = 2, dims = DIMS, ksub = 4, k = 3, nprobe = 2).collect()
+    val r1 = run()
+    // <= k rows per query (a probed list can hold fewer than k candidates),
+    // adist >= 0 and non-decreasing in rank
+    assert(r1.nonEmpty && r1.length <= 4 * 3)
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val d = rows.sortBy(_.getAs[Number](1).longValue).map(_.getLong(3))
+      assert(d.forall(_ >= 0L))
+      assert(d.sameElements(d.sorted))
+    }
+    assert(r1.map(_.toSeq).toSet == run().map(_.toSeq).toSet)
+    // nprobe = all lists scores at least as many pairs as nprobe = 2
+    val all = SimilaritySearch.ivfPqTopK(q, c, coarse,
+      m = 2, dims = DIMS, ksub = 4, k = 3, nprobe = 4).collect()
+    assert(all.length >= r1.length)
+  }
+
   test("PQ-ADC matches a transparent per-pair recomputation of the quantized pipeline") {
     // independent reconstruction: encode each candidate by scanning the
     // updated codebook per subspace, then sum the query's table entries —
