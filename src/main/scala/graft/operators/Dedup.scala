@@ -97,6 +97,38 @@ object Dedup {
       .filter(col("n_shared") >= minHits)
   }
 
+  /** Chunk-level (passage) dedup — the "line-level dedup" of corpus
+    * pipelines (CCNet-style), at fixed token granularity since the
+    * synthetic docs carry no newlines: documents split into disjoint
+    * `chunkTokens`-token windows, each fingerprinted, and every chunk
+    * appearing in 2+ documents reported. Catches boilerplate shared
+    * across otherwise-distinct pages, which document-level dedup never
+    * sees. Incomplete tail chunks drop (deterministic membership).
+    *
+    * Scale shape: one posexplode + two hash aggregates — first keyed
+    * (doc_id, chunk_idx) to rebuild chunk text (8-element order-struct
+    * sort per group, no window over the corpus), then keyed by the
+    * fingerprint, both map-side combinable; no pair join anywhere.
+    */
+  def chunkDupes(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("ci", expr(s"pos div $chunkTokens"))
+      .groupBy(col("doc_id"), col("ci"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk"))
+      .filter(col("n") === chunkTokens)
+    chunks
+      .groupBy(md5(col("chunk")).as("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Graded contamination score — the continuous form of
     * [[decontaminate]]: every train doc's distinct-shingle overlap with
     * the eval set as integer permille (0 = clean, 1000 = fully

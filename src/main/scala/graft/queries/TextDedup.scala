@@ -234,6 +234,14 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-level (passage) dedup: disjoint 8-token windows fingerprinted
+    // and reported when shared across 2+ docs — boilerplate detection
+    // below document granularity, no pair join.
+    "chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDupes(documents(s, dir), chunkTokens = 8)
+        .orderBy(col("chunk_fp"))
+    }),
+
     // Graded contamination: every train doc's distinct-shingle overlap
     // with the eval slice as permille — the downweight-vs-drop signal
     // the binary decontaminate gate can't express.
@@ -585,6 +593,24 @@ object TextDedup {
            |GROUP BY i.doc_id
            |HAVING count(*) >= 2
            |ORDER BY doc_id""".stripMargin,
+
+      "chunk_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id, i // 8 AS ci,
+          |    string_agg(t[i+1], ' ' ORDER BY i) AS chunk
+          |  FROM toks, UNNEST(range(0, len(t))) AS u(i)
+          |  GROUP BY doc_id, i // 8
+          |  HAVING count(*) = 8)
+          |SELECT md5(chunk) AS chunk_fp,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(count(*) AS BIGINT) AS n_occ,
+          |  CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+          |FROM ch GROUP BY md5(chunk)
+          |HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY chunk_fp""".stripMargin,
 
       "contamination_score" ->
         s"""WITH $docsSql,
