@@ -245,6 +245,33 @@ object Advanced {
         .orderBy(col("event_type"), col("hour_us"))
     }),
 
+    // LOCF imputation (last observation carried forward) — the other
+    // standard resample fill next to events_gapfill's zeros: silent
+    // hours take the most recent observed hourly total, hours before
+    // the first observation stay NULL (imputed vs never-seen are
+    // distinguishable). Same pre-aggregated spine shape as gapfill —
+    // the carry-forward window runs per event_type over one row per
+    // (type, hour), never raw events.
+    "events_locf" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          (d2(col("value")) * 100).cast("long").as("v"))
+      val agg = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
+      val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.crossJoin(types)
+        .join(agg, Seq("event_type", "h"), "left")
+        .withColumn("cents_locf", last(col("cents"), ignoreNulls = true).over(w))
+        .select(col("event_type"), tsUs(col("h")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"), col("cents_locf"))
+        .orderBy(col("event_type"), col("hour_us"))
+    }),
+
     // Data-quality constraint profile — the engine-level form of the
     // reference's schema contracts (ref: tests/test_connect.py:117-186
     // pins per-entity column contracts, null rules and value domains;
@@ -461,6 +488,31 @@ object Advanced {
           |FROM spine s CROSS JOIN types t
           |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
           |ORDER BY t.event_type, hour_us""".stripMargin,
+
+      "events_locf" ->
+        """WITH ev AS (
+          |  SELECT event_type, date_trunc('hour', ts) AS h,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM events),
+          |agg AS (
+          |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(v) AS BIGINT) AS cents
+          |  FROM ev GROUP BY event_type, h),
+          |spine AS (
+          |  SELECT unnest(generate_series(min(h), max(h),
+          |    INTERVAL 1 HOUR)) AS h FROM ev),
+          |types AS (SELECT DISTINCT event_type FROM ev),
+          |joined AS (
+          |  SELECT t.event_type, s.h, a.n, a.cents
+          |  FROM spine s CROSS JOIN types t
+          |  LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h)
+          |SELECT event_type, epoch_us(h) AS hour_us,
+          |  coalesce(n, 0) AS n,
+          |  last_value(cents IGNORE NULLS) OVER (
+          |    PARTITION BY event_type ORDER BY h
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+          |FROM joined
+          |ORDER BY event_type, hour_us""".stripMargin,
 
       "dq_profile" ->
         """WITH o AS (
