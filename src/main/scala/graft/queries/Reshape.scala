@@ -100,6 +100,30 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // Anti-entropy table checksum — the distributed mirror-validation
+    // primitive (the reference trusts truncate-and-load; a checksum
+    // catches silent divergence without moving rows): each row renders
+    // to a canonical string (explicit decimal/timestamp formatting — no
+    // engine-dependent double/date rendering), md5's first 10 hex digits
+    // become an int < 2^40, and the per-group SUM is order- and
+    // partition-independent. int64 headroom to ~8M rows per group; a
+    // 100 TB run lifts the sum to decimal(38,0) — same shape, one cast.
+    // One map-side pass + one tiny grouped aggregate; mirrors compare
+    // (n_rows, checksum) per group instead of shipping data.
+    "mirror_checksum" -> ((s, dir) => {
+      val rowStr = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        d2(col("o_totalprice")).cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority"))
+      orders(s, dir)
+        .select(col("o_orderstatus"),
+          conv(substring(md5(rowStr), 1, 10), 16, 10).cast("long").as("rh"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Association mining over user behavior: for every event-type pair,
     // how many users did both, and the lift vs independence as exact
     // integer permille — lift = P(a,b) / (P(a)P(b)) cross-multiplied to
@@ -154,9 +178,37 @@ object Reshape {
       |CROSS JOIN u
       |ORDER BY p.a, p.b""".stripMargin
 
+  /** hex digit b (1-based) of md5 string m as its integer value —
+    * DuckDB-side twin of Spark's conv(); mirrors TextDedup.hexValSql.
+    */
+  private def hexDigitSql(m: String, b: Int) =
+    s"(CASE WHEN ascii(substr($m, $b, 1)) >= 97 THEN ascii(substr($m, $b, 1)) - 87 ELSE ascii(substr($m, $b, 1)) - 48 END)"
+
+  private val checksumSql = {
+    val digits = (1 to 10)
+      .map(b => s"CAST(${hexDigitSql("h", b)} AS BIGINT) * ${1L << (4 * (10 - b))}")
+      .mkString(" +\n      ")
+    s"""WITH r AS (
+       |  SELECT o_orderstatus,
+       |    md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+       |      strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)) AS h
+       |  FROM orders),
+       |v AS (
+       |  SELECT o_orderstatus, CAST(
+       |      $digits
+       |    AS BIGINT) AS rh
+       |  FROM r)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(rh) AS BIGINT) AS checksum
+       |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     "event_cooccurrence" -> cooccurrenceSql,
+
+    "mirror_checksum" -> checksumSql,
 
     "unpivot_orders" ->
       """WITH wide AS (
