@@ -100,6 +100,25 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // FULL OUTER reconciliation (§2.3 completeness — the one join type
+    // the diff operators' anti/semi forms don't exercise): per-customer
+    // order counts from two disjoint order slices, keeping customers
+    // present in either side; the join coalesces the key, missing sides
+    // count 0. One shuffle per pre-aggregate + the key-coalesced join.
+    "full_outer_reconcile" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_even"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_odd"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_even"), lit(0L)).as("n_even"),
+          coalesce(col("n_odd"), lit(0L)).as("n_odd"))
+        .withColumn("delta", col("n_even") - col("n_odd"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Anti-entropy table checksum — the distributed mirror-validation
     // primitive (the reference trusts truncate-and-load; a checksum
     // catches silent divergence without moving rows): each row renders
@@ -209,6 +228,19 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    "full_outer_reconcile" ->
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_even
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_odd
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  coalesce(n_even, 0) AS n_even, coalesce(n_odd, 0) AS n_odd,
+        |  coalesce(n_even, 0) - coalesce(n_odd, 0) AS delta
+        |FROM a FULL JOIN b USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "unpivot_orders" ->
       """WITH wide AS (
