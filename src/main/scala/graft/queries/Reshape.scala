@@ -100,6 +100,30 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // Incremental view maintenance: a materialized monthly aggregate is
+    // kept current by MERGING the delta batch's partial aggregate into
+    // the base — sum/count partials re-aggregate by key, so the merged
+    // view is value-identical to a full recompute (which is exactly what
+    // the oracle does). At 100 TB the nightly delta touches one day of
+    // data instead of re-scanning the fact table; same shape for any
+    // algebraic aggregate (sum/count/min/max), exact long cents here.
+    "ivm_monthly_revenue" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      val o = orders(s, dir).select(
+        tsUs(date_trunc("month", col("o_orderdate"))).as("month_us"),
+        (d2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("month_us"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val base = partial(o.filter(col("o_orderdate") < cutoff))
+      val delta = partial(o.filter(col("o_orderdate") >= cutoff))
+      base.unionByName(delta)
+        .groupBy(col("month_us"))
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+        .orderBy(col("month_us"))
+    }),
+
     // FULL OUTER reconciliation (§2.3 completeness — the one join type
     // the diff operators' anti/semi forms don't exercise): per-customer
     // order counts from two disjoint order slices, keeping customers
@@ -228,6 +252,14 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    // full recompute — the IVM merge must be value-identical to this
+    "ivm_monthly_revenue" ->
+      """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders GROUP BY month_us ORDER BY month_us""".stripMargin,
 
     "full_outer_reconcile" ->
       """WITH a AS (
