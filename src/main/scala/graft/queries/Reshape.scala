@@ -100,6 +100,31 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // Rolling active users — distinct users in the trailing 4 ISO weeks,
+    // per week: the sliding-window DISTINCT that a frame spec can't
+    // express (distinct doesn't decompose over frames). Relational form:
+    // the distinct (user, week) table fans out to the <=4 window-ends
+    // each activity week feeds (explode over a 4-element sequence — a
+    // constant fan-out, not a self-join), then one exact countDistinct
+    // keyed by week. Phantom weeks past the data's horizon are dropped
+    // by a semi join against the observed weeks.
+    "rolling_active_users" -> ((s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val weeks = uw.select(col("w")).distinct()
+      uw.select(col("user_id"), explode(sequence(lit(0), lit(3))).as("k"),
+          col("w"))
+        .select(col("user_id"),
+          expr("w + k * interval '7' day").as("week_end"))
+        .join(weeks.select(col("w").as("week_end")), Seq("week_end"),
+          "left_semi")
+        .groupBy(col("week_end"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(tsUs(col("week_end")).as("week_us"), col("active_users"))
+        .orderBy(col("week_us"))
+    }),
+
     // Incremental view maintenance: a materialized monthly aggregate is
     // kept current by MERGING the delta batch's partial aggregate into
     // the base — sum/count partials re-aggregate by key, so the merged
@@ -252,6 +277,19 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    "rolling_active_users" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |weeks AS (SELECT DISTINCT w FROM uw),
+        |fan AS (
+        |  SELECT uw.user_id, uw.w + k * INTERVAL 7 DAY AS week_end
+        |  FROM uw, UNNEST([0, 1, 2, 3]) AS t(k))
+        |SELECT epoch_us(week_end) AS week_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM fan
+        |WHERE week_end IN (SELECT w FROM weeks)
+        |GROUP BY week_end ORDER BY week_us""".stripMargin,
 
     // full recompute — the IVM merge must be value-identical to this
     "ivm_monthly_revenue" ->
