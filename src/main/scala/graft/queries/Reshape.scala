@@ -100,6 +100,38 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // Ratio-to-report: each priority class's share of total order value
+    // as exact integer permille — the share-of-total analytic without a
+    // global window: one grouped aggregate plus a broadcast of the
+    // 1-row total (a Window.orderBy(nothing) sum would single-partition
+    // the whole table).
+    "ratio_to_report_priority" -> ((s, dir) => {
+      val byP = orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum((d2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val total = byP.agg(sum(col("cents")).as("total_cents"))
+      byP.crossJoin(broadcast(total))
+        .select(col("o_orderpriority"), col("cents"),
+          expr("(1000 * cents) div total_cents").as("share_permille"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact weighted mean: quantity-weighted average unit price per
+    // return flag — numerator and denominator as exact decimal/long
+    // sums, ONE correctly-rounded division at the edge (the only
+    // double), so the result is bit-portable.
+    "weighted_avg_price" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum((d2(col("l_extendedprice")) * 100).cast("long") *
+            col("l_quantity").cast("long")).as("wsum_cents"),
+          sum(col("l_quantity").cast("long")).as("wtotal"))
+        .withColumn("wavg_cents",
+          (col("wsum_cents").cast("double") / col("wtotal")).as("wavg_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Rolling active users — distinct users in the trailing 4 ISO weeks,
     // per week: the sliding-window DISTINCT that a frame spec can't
     // express (distinct doesn't decompose over frames). Relational form:
@@ -277,6 +309,27 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    "ratio_to_report_priority" ->
+      """WITH byp AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_orderpriority),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM byp)
+        |SELECT o_orderpriority, cents,
+        |  (1000 * cents) // total_cents AS share_permille
+        |FROM byp, t ORDER BY o_orderpriority""".stripMargin,
+
+    "weighted_avg_price" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtotal,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS DOUBLE) / sum(CAST(l_quantity AS BIGINT))
+        |    AS wavg_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "rolling_active_users" ->
       """WITH uw AS (
