@@ -132,6 +132,41 @@ class PropertyTest extends AnyFunSuite {
     }
   }
 
+  test("IVM merge equals full recompute for ANY split point") {
+    // algebraic aggregates (count, sum) re-aggregate from partials, so
+    // base(<cut) merged with delta(>=cut) must match the one-shot
+    // aggregate regardless of where the cut lands
+    val rows = samples(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(-100L, 100L))), 3)
+    for (data <- rows if data.nonEmpty; cut <- Seq(-1L, 0L, 2L, 99L)) {
+      val df = data.toDF("k", "v")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val merged = agg(df.filter($"v" < cut))
+        .unionByName(agg(df.filter($"v" >= cut)))
+        .groupBy($"k").agg(sum($"n").as("n"), sum($"s").as("s"))
+        .as[(Long, Long, Long)].collect().toSet
+      val full = agg(df).as[(Long, Long, Long)].collect().toSet
+      assert(merged == full, s"cut=$cut")
+    }
+  }
+
+  test("mirror checksum is invariant under repartitioning and row order") {
+    val data = samples(Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(8)))), 3)
+    for (rows <- data if rows.nonEmpty) {
+      def checksum(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+        .select($"k",
+          conv(substring(md5(concat_ws("|", $"k", $"s")), 1, 10), 16, 10)
+            .cast("long").as("rh"))
+        .groupBy($"k").agg(sum($"rh").as("c"))
+        .as[(Long, Long)].collect().toMap
+      val base = checksum(rows.toDF("k", "s"))
+      assert(checksum(rows.toDF("k", "s").repartition(7)) == base)
+      assert(checksum(rows.reverse.toDF("k", "s").repartition(3)) == base)
+    }
+  }
+
   test("components: every rep is the true min of its component; labels closed under edges") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
       .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
