@@ -289,14 +289,72 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    // |A ∩ B| for candidate pairs only: expand each pair by a's shingles,
-    // keep those that exist in b (semi join), count per pair.
-    val inter = cand
+    jaccardFromCounts(interCounts(cand, inv),
+      sigs.select(col("doc_id"), col("sz")), threshold)
+  }
+
+  /** |A ∩ B| for candidate pairs only: expand each pair by a's shingles,
+    * keep those that exist in b (semi join), count per pair — the shared
+    * verify stage of every candidate-generating tier (LSH bands, prefix
+    * filter). Touches cand × |shingles(a)| rows, never a full self-join.
+    */
+  private def interCounts(cand: DataFrame, inv: DataFrame): DataFrame =
+    cand
       .join(inv.select(col("doc_id").as("a"), col("s")), "a")
       .join(inv.select(col("doc_id").as("b"), col("s")), Seq("b", "s"), "left_semi")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sigs.select(col("doc_id"), col("sz")), threshold)
+
+  /** Prefix rows for the prefix-filtered Jaccard join (the AllPairs /
+    * PPJoin candidate rule, Bayardo et al. WWW'07): order every doc's
+    * shingles by a GLOBAL canonical order (df ascending — rarest first —
+    * then shingle text) and keep only the first
+    * |A| - ceil(t·|A|) + 1 of them. If J(A,B) ≥ t then |A∩B| ≥ ceil(t·|A|)
+    * (J ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·|A|, and the count is an integer), so
+    * a pair sharing NO prefix shingle has all its shared shingles among
+    * A's last ceil(t·|A|)-1 — too few; prefixes of true pairs must
+    * collide. Ordering rarest-first makes the surviving index as cold as
+    * possible: the hottest shingles sit at the END of every doc's
+    * ordering and mostly fall OUT of the prefix, so the candidate join
+    * fans out on rare shingles instead of stop-phrases.
+    *
+    * The ceiling ceil(t·|A|) is computed in decimal (t recovered via
+    * toString), not double — same rounding hazard as
+    * [[dfCeilingFraction]].
+    */
+  private[operators] def prefixRows(inv: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val wsz = Window.partitionBy(col("doc_id"))
+    inv.join(dfreq, "s")
+      .withColumn("sz", count(lit(1)).over(wsz))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <=
+        col("sz") - ceil(col("sz").cast("decimal(20,6)") *
+          lit(BigDecimal(threshold.toString))) + 1)
+      .select(col("s"), col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard pairs with PREFIX-FILTERED candidate
+    * generation — same output as [[ngramJaccardPairs]] (the filter is
+    * lossless), different physical strategy: instead of self-joining the
+    * FULL inverted index (every shingle with df f contributes f² pair
+    * rows), only each doc's (1-t)·|A|+1 rarest shingles are indexed for
+    * candidates. At threshold 0.8 that's 5× fewer index rows, and the
+    * joined rows concentrate on LOW-df shingles, so per-key fan-out
+    * collapses — the standard similarity-join candidate rule at corpus
+    * scale. Verification still reads the full index, so scores are exact.
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                         maxDf: Option[Int] = None): DataFrame = {
+    val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
+    val pre = prefixRows(inv, threshold)
+    val cand = pre.select(col("s"), col("doc_id").as("a"))
+      .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    jaccardFromCounts(interCounts(cand, inv), shingleSizes(inv), threshold)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join — the

@@ -172,6 +172,18 @@ object TextDedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Exact Jaccard again, but candidates come from the PREFIX FILTER
+    // (AllPairs/PPJoin rule): only each doc's rarest (1-t)|A|+1 shingles
+    // are indexed for the candidate join, so per-shingle fan-out
+    // collapses onto cold keys while the verify stage keeps scores
+    // exact. Hash-matches the dedup_ngram_jaccard oracle — lossless
+    // pruning, same result, strictly smaller pair space.
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(documents(s, dir), n = 3, threshold = 0.5,
+        maxDf = Some(MAX_DF))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Dup clusters: connected components over the MinHash-LSH pairs —
     // every clustered doc mapped to its component's min doc_id.
     "dedup_clusters" -> ((s, dir) => {
@@ -553,6 +565,11 @@ object TextDedup {
       "dedup_minhash_lsh" -> minhashSql,
       "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
+      // Prefix filtering is lossless, so the prefix-filtered tier is
+      // pinned to the SAME oracle as the full inverted-index join — any
+      // false negative from a wrong prefix bound shows up as a hash
+      // mismatch here.
+      "dedup_jaccard_prefix" -> ngramSql,
       "dupgraph_triangles" -> trianglesSql,
       "dedup_simhash" -> simhashSql,
 

@@ -92,6 +92,32 @@ class DedupTest extends AnyFunSuite {
     assert(lsh.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
   }
 
+  test("prefixJaccardPairs equals the full inverted-index join (lossless pruning)") {
+    // Same pairs, same scores, on both the plain corpus and the hot
+    // stop-phrase corpus, at two thresholds — the prefix filter must
+    // never lose a pair the full self-join finds.
+    for (corpus <- Seq(docs, hotDocs); t <- Seq(0.3, 0.5)) {
+      val full = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val pref = Dedup.prefixJaccardPairs(corpus, n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(pref == full, s"threshold $t")
+    }
+  }
+
+  test("prefixRows index is strictly smaller and drops the hottest shingles first") {
+    val inv = Dedup.shingleRows(hotDocs, n = 3)
+    val pre = Dedup.prefixRows(inv, threshold = 0.8)
+    // |A| - ceil(0.8|A|) + 1 < |A| whenever |A| >= 2: strictly fewer rows
+    assert(pre.count() < inv.count())
+    // The planted df=7 stop-phrase orders LAST in every doc (rarest-first
+    // puts the hottest shingle at the end), and at t=0.8 the 2-shingle
+    // hot docs keep a 1-shingle prefix — the hot key vanishes from the
+    // candidate index entirely, before any df ceiling.
+    val hotRows = pre.filter(col("s") === "click here now").count()
+    assert(hotRows == 0)
+  }
+
   test("componentsFromPairs labels chains and keeps components separate") {
     // chain 1-2-3 (transitive), separate pair 7-8, isolated pair 10-20
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 20L)).toDF("a", "b")
