@@ -100,6 +100,23 @@ object Reshape {
         .orderBy(col("date_us"))
     }),
 
+    // 2-D Pareto skyline: the cheap-and-big part frontier (minimize
+    // price, maximize size — size negated into the min-min operator).
+    // The oracle is the O(n²) NOT EXISTS dominance definition; the plan
+    // is operators/Skyline.scala's bucket-parallel two-phase pass — one
+    // (min,max) broadcast, one bucket-keyed shuffle, windows partitioned
+    // by bucket, and a B-row cumulative-min side table.
+    "skyline_parts" -> ((s, dir) => {
+      val pts = part(s, dir)
+        .select(col("p_partkey"),
+          (d2(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("p_size"),
+          (-col("p_size")).cast("long").as("neg_size"))
+      graft.operators.Skyline.skylineMinMin(pts, "price_cents", "neg_size")
+        .select(col("p_partkey"), col("price_cents"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Ratio-to-report: each priority class's share of total order value
     // as exact integer permille — the share-of-total analytic without a
     // global window: one grouped aggregate plus a broadcast of the
@@ -309,6 +326,20 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    "skyline_parts" ->
+      """WITH pts AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM pts q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts p
+        |  WHERE p.price_cents <= q.price_cents AND p.p_size >= q.p_size
+        |    AND (p.price_cents < q.price_cents OR p.p_size > q.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     "ratio_to_report_priority" ->
       """WITH byp AS (
