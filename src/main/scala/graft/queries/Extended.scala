@@ -107,6 +107,24 @@ object Extended {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Sorted-neighborhood blocking (merge/purge): fuzzy-match candidates
+    // from a w=3 sliding window over the (p_name, p_partkey) sort order —
+    // catches near-misses that straddle dedup_levenshtein's equality
+    // blocks. The global sort index comes from Blocking.globalIndex
+    // (range partitions + per-partition ranks + broadcast offsets), so
+    // no corpus-wide single-partition window exists anywhere in the plan.
+    "sorted_neighborhood_pairs" -> ((s, dir) => {
+      val pairs = graft.operators.Blocking.sortedNeighborhood(
+        part(s, dir).select(col("p_partkey"), col("p_name")),
+        Seq(col("p_name"), col("p_partkey")), w = 3)
+      pairs
+        .withColumn("lev", levenshtein(col("p_name_a"), col("p_name_b")))
+        .filter(col("lev") <= 10)
+        .select(col("p_partkey_a").as("a"), col("p_partkey_b").as("b"),
+          col("lev").cast("long").as("lev"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Rolling-hash document fingerprint: position-weighted polynomial
     // hash over token hashes (weight 31^(pos mod 8)), exact long
     // arithmetic — an order-sensitive complement to the md5 fingerprint.
@@ -387,6 +405,17 @@ object Extended {
           |  ON substr(x.c_name, 15, 4) = substr(y.c_name, 15, 4)
           | AND x.c_custkey < y.c_custkey
           |WHERE levenshtein(x.c_name, y.c_name) <= 2
+          |ORDER BY a, b""".stripMargin,
+
+      "sorted_neighborhood_pairs" ->
+        """WITH s AS (
+          |  SELECT p_partkey, p_name,
+          |    row_number() OVER (ORDER BY p_name, p_partkey) AS idx
+          |  FROM part)
+          |SELECT a.p_partkey AS a, b.p_partkey AS b,
+          |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+          |FROM s a JOIN s b ON b.idx - a.idx BETWEEN 1 AND 2
+          |WHERE levenshtein(a.p_name, b.p_name) <= 10
           |ORDER BY a, b""".stripMargin,
 
       "rolling_hash_docs" ->

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BlockingTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def people = Seq(
+    (1L, "smith john"), (2L, "smyth john"), (3L, "smith jon"),
+    (4L, "adams kate"), (5L, "adamz kate"), (6L, "zheng li")
+  ).toDF("id", "name")
+
+  test("globalIndex reproduces the driver-side total order at any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(100000).toString))
+    val want = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val df = rows.toDF("id", "key").repartition(13) // scrambled input
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Blocking.globalIndex(df, Seq(col("key"), col("id")), parts)
+        .orderBy(col("idx"))
+        .select("id").as[Long].collect().toSeq
+      assert(got == want, s"numParts=$parts")
+      // idx is a 1..n permutation
+      val idxs = Blocking.globalIndex(df, Seq(col("key"), col("id")), parts)
+        .select("idx").as[Long].collect().sorted
+      assert(idxs.toSeq == (1L to 500L))
+    }
+  }
+
+  test("sortedNeighborhood pairs cross equality-block boundaries") {
+    // name order: adams kate, adamz kate, smith john, smith jon,
+    //             smyth john, zheng li
+    val pairs = Blocking.sortedNeighborhood(people,
+      Seq(col("name"), col("id")), w = 2)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L), (5L, 1L), (1L, 3L), (3L, 2L), (2L, 6L)))
+    // (4,5) and (3,2) are exactly the near-misses a first-letter
+    // equality block keeps, while (5,1)/(2,6) are the junk a distance
+    // filter then removes — the SNM contract.
+  }
+
+  test("sortedNeighborhood w=3 adds the skip-one pairs") {
+    val w2 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 2)
+    val w3 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 3)
+    assert(w2.count() == 5) // n-1
+    assert(w3.count() == 9) // (n-1) + (n-2)
+  }
+}
