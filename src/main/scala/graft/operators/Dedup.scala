@@ -394,6 +394,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** Sparse weighted cosine pairs over shingle tf vectors — the
+    * bag-of-words member of the similarity family (Jaccard = set
+    * overlap, this = weighted multiset angle, embeddingNearDup = dense
+    * angle). Every doc is a sparse vector of per-shingle term
+    * frequencies, weighted rare-heavy by the LINEAR rarity weight
+    * w(s) = maxDf + 1 - df(s) ∈ [1, maxDf] — a pure per-row function of
+    * df, deliberately NOT a vocabulary-wide rank window (which would
+    * single-partition the vocab; the round-5 oov_rate lesson).
+    *
+    * The cosine threshold is enforced EXACTLY in integers: for t =
+    * num/den, cos(A,B) ≥ t ⟺ dot ≥ 0 ∧ den²·dot² ≥ num²·‖A‖²·‖B‖²,
+    * evaluated in decimal(38,0) — no square roots, no doubles, no
+    * portability edge. Output carries (dot, na2, nb2) so callers can
+    * re-derive any score downstream.
+    *
+    * Scale shape: two hash aggregates (tf keyed by (doc,s), df keyed by
+    * s), the df ceiling bounds the shingle-keyed self-join fan-out at
+    * maxDf² exactly like [[ngramJaccardPairs]], and norms ride a
+    * doc_id-keyed aggregate.
+    */
+  def sparseCosinePairs(docs: DataFrame, n: Int, num: Int, den: Int,
+                        maxDf: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= $num/$den <= 1")
+    val tf = shingleOccurrences(docs, n)
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val vec = materialized(
+      tf.join(dfreq.filter(col("df") <= maxDf), "s")
+        .withColumn("tfw", col("tf") * (lit(maxDf + 1) - col("df")))
+        .select(col("doc_id"), col("s"), col("tfw")))
+    val norms = vec.groupBy(col("doc_id"))
+      .agg(sum(col("tfw") * col("tfw")).as("n2"))
+    val dots = vec.select(col("s"), col("doc_id").as("a"), col("tfw").as("wa"))
+      .join(vec.select(col("s"), col("doc_id").as("b"), col("tfw").as("wb")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val d38 = "decimal(38,0)"
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+      .filter(col("dot") >= 0 &&
+        lit(den.toLong * den) * col("dot").cast(d38) * col("dot") >=
+          lit(num.toLong * num) * col("na2").cast(d38) * col("nb2"))
+      .select(col("a"), col("b"), col("dot"), col("na2"), col("nb2"))
+  }
+
   /** (doc_id, simhash): 16-bit SimHash signature over the shingle rows —
     * bit b is the sign of sum over shingles of (2*bit_b(md5(s)) - 1),
     * where bit_b is the lowest bit of the b-th hex digit.

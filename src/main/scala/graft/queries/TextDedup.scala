@@ -226,6 +226,16 @@ object TextDedup {
             .as("cc_permille"))
     }),
 
+    // Sparse weighted cosine pairs (bag-of-words angle, rare-heavy
+    // linear weights, df-ceilinged): the cosine >= 0.9 gate runs as an
+    // EXACT integer comparison (100·dot² >= 81·‖A‖²·‖B‖² in decimal),
+    // so the result is bit-portable with no sqrt anywhere.
+    "cosine_sparse_pairs" -> ((s, dir) => {
+      Dedup.sparseCosinePairs(documents(s, dir), n = 3, num = 9, den = 10,
+        maxDf = MAX_DF)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // 16-bit SimHash signatures, deduped on signature equality — one
     // linear hash-agg, so no df ceiling needed (no pair join).
     "dedup_simhash" -> ((s, dir) => {
@@ -572,6 +582,33 @@ object TextDedup {
       "dedup_jaccard_prefix" -> ngramSql,
       "dupgraph_triangles" -> trianglesSql,
       "dedup_simhash" -> simhashSql,
+
+      // Weighted sparse cosine with the integer gate: occ keeps duplicate
+      // shingles (multiset tf), weights are the linear rarity form
+      // maxDf+1-df, and the 0.9 threshold is 100·dot² >= 81·na2·nb2.
+      "cosine_sparse_pairs" ->
+        s"""WITH occ AS (
+           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+           |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents),
+           |       UNNEST(range(1, len(toks)-1)) AS t(i)),
+           |tf AS (SELECT doc_id, s, count(*) AS tf FROM occ GROUP BY doc_id, s),
+           |dfreq AS (SELECT s, count(*) AS df FROM tf GROUP BY s),
+           |vec AS (SELECT doc_id, tf.s, tf * (${MAX_DF + 1} - df) AS tfw
+           |        FROM tf JOIN dfreq ON tf.s = dfreq.s WHERE df <= $MAX_DF),
+           |norms AS (SELECT doc_id, CAST(sum(tfw * tfw) AS BIGINT) AS n2
+           |          FROM vec GROUP BY doc_id),
+           |dots AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b,
+           |    CAST(sum(x.tfw * y.tfw) AS BIGINT) AS dot
+           |  FROM vec x JOIN vec y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  GROUP BY x.doc_id, y.doc_id)
+           |SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+           |FROM dots d JOIN norms na ON na.doc_id = d.a
+           |            JOIN norms nb ON nb.doc_id = d.b
+           |WHERE 100 * CAST(d.dot AS DECIMAL(38,0)) * d.dot >=
+           |      81 * CAST(na.n2 AS DECIMAL(38,0)) * nb.n2
+           |ORDER BY a, b""".stripMargin,
 
       "dedup_incremental" ->
         s"""WITH $docsSql,

@@ -118,6 +118,37 @@ class DedupTest extends AnyFunSuite {
     assert(hotRows == 0)
   }
 
+  test("sparseCosinePairs: exact integer gate admits the near-dup, rejects the rest") {
+    // 9 shared shingles (df=2, weight 19) + 3 unique each (df=1, weight
+    // 20): dot = 9·19² = 3249, n2 = 3249 + 3·20² = 4449 each side,
+    // cos = 3249/4449 ≈ 0.730 — passes t=0.7, fails t=0.8.
+    val pairs = Dedup.sparseCosinePairs(docs, n = 3, num = 7, den = 10,
+      maxDf = 20).as[(Long, Long, Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    val (_, _, dot, na2, nb2) = pairs.head
+    assert((dot, na2, nb2) == (3249L, 4449L, 4449L))
+    // gate really held: 100·dot² >= 49·na2·nb2 in exact arithmetic
+    assert(BigInt(100) * BigInt(dot) * BigInt(dot) >=
+      BigInt(49) * BigInt(na2) * BigInt(nb2))
+    assert(Dedup.sparseCosinePairs(docs, n = 3, num = 8, den = 10,
+      maxDf = 20).count() == 0)
+  }
+
+  test("sparseCosinePairs weights repeated rare shingles heavier than tf=1") {
+    // doc 10 repeats its text twice -> same shingle SET as doc 11 but
+    // doubled tf on the wrap-around grams; cosine vs the single copy
+    // stays high (parallel-ish vectors), and dot carries the multiset
+    // signal (> set-intersection size).
+    val rep = Seq(
+      (10L, "alpha beta gamma delta alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sparseCosinePairs(rep, n = 3, num = 8, den = 10, maxDf = 20)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((10L, 11L)))
+    assert(got.head._3 > 2) // dot uses tf products, not shared-set size
+  }
+
   test("componentsFromPairs labels chains and keeps components separate") {
     // chain 1-2-3 (transitive), separate pair 7-8, isolated pair 10-20
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 20L)).toDF("a", "b")
