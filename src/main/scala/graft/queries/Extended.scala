@@ -305,6 +305,36 @@ object Extended {
     //   (n*x - s)^2 > 9 * (n*s2 - s^2)
     // (decimal(38,0) products; no doubles, so the flag is bit-portable
     // and immune to partial-aggregation order at any scale).
+    // Grouped OLS regression (price-on-quantity per return flag) from
+    // the five exact moment sums: slope = (nΣxy - ΣxΣy)/(nΣx² - (Σx)²),
+    // everything up to the final division in decimal(38,0) (mirroring
+    // DuckDB's HUGEINT), then exactly TWO correctly-rounded double
+    // divisions (slope, intercept) at the edge — the regression analogue
+    // of the zscore/weighted-mean determinism pattern. One hash
+    // aggregate, map-side combinable; the moment sums are the classic
+    // distributed-OLS sufficient statistics (merge = add), which is why
+    // this shape scales to any row count. Headroom: nΣxy ~ n²·x_max·y_max
+    // stays inside 38 digits up to n ~ 10^12 rows per group.
+    "ols_price_on_qty" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"),
+          (d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sx2"))
+        .withColumn("slope",
+          (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (dec(col("n")) * col("sx2") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "zscore_outliers" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_type"),
         (d2(col("value")) * 100).cast("long").as("v"))
@@ -534,6 +564,27 @@ object Extended {
       // Exact integer sigma-clip: HUGEINT (int128) mirrors Spark's
       // decimal(38,0) products bit-for-bit — no doubles anywhere, so the
       // cross-multiplied test (n*x-s)^2 > 9*(n*s2-s^2) is engine-portable.
+      "ols_price_on_qty" ->
+        """WITH li AS (
+          |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+          |  FROM lineitem),
+          |st AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+          |    sum(CAST(x AS HUGEINT) * x) AS sx2
+          |  FROM li GROUP BY l_returnflag),
+          |sl AS (
+          |  SELECT l_returnflag, n, sx, sy,
+          |    CAST(n * sxy - sx * sy AS DOUBLE) /
+          |      CAST(n * sx2 - sx * sx AS DOUBLE) AS slope
+          |  FROM st)
+          |SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+          |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+          |    AS intercept
+          |FROM sl ORDER BY l_returnflag""".stripMargin,
+
       "zscore_outliers" ->
         """WITH ev AS (
           |  SELECT event_type,
