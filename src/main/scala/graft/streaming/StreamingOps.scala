@@ -106,10 +106,19 @@ object StreamingOps {
     *
     * Inputs must expose (user_id, ts, event_id); output is one row per
     * (purchase, qualifying view) pair.
+    *
+    * joinType "left_outer" additionally emits every UNMATCHED purchase
+    * (view columns null) — but only once the view-side watermark passes
+    * the purchase's horizon, i.e. once no future view could still
+    * qualify. That deferral is exactly why both watermarks are
+    * mandatory: the unmatched row is a negative claim ("no view
+    * attributed"), and it becomes safe to emit only when late data is
+    * provably excluded.
     */
   def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
                        watermark: String = "10 minutes",
-                       horizon: String = "1 hour"): DataFrame = {
+                       horizon: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
       col("event_id").as("purchase_id")).withWatermark("p_ts", watermark)
     val v = views.select(col("user_id"), col("ts").as("v_ts"),
@@ -118,7 +127,7 @@ object StreamingOps {
       p("user_id") === v("user_id") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
-      "inner")
+      joinType)
       .select(p("user_id"), col("purchase_id"), col("p_ts"),
         col("view_id"), col("v_ts"))
   }

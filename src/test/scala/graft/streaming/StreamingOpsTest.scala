@@ -220,6 +220,35 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(got == Set((10L, 2L)))
   }
 
+  test("purchaseViewJoin left-outer emits the unmatched purchase after watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val vMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    vMem.addData((1L, ts(50), 1L, "view", 0.0))
+    pMem.addData((10L, ts(55), 1L, "purchase", 9.0), (11L, ts(58), 2L, "purchase", 1.0))
+    val out = StreamingOps.purchaseViewJoin(df(pMem), df(vMem),
+      watermark = "10 minutes", horizon = "30 minutes",
+      joinType = "left_outer")
+    val sq = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pvjoin_outer").start()
+    sq.processAllAvailable()
+    // matched pair flows immediately; the unmatched purchase may not:
+    // "no view for purchase 11" is only provable once the VIEW watermark
+    // passes its horizon. Feed both streams far-future rows to advance
+    // the watermarks, then drain again.
+    vMem.addData((3L, ts(500), 9L, "view", 0.0))
+    pMem.addData((12L, ts(500), 9L, "purchase", 0.0))
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.table("pvjoin_outer")
+      .select("purchase_id", "view_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((10L, Some(1L)))) // in-horizon match
+    assert(got.contains((11L, None))) // unmatched, emitted post-watermark
+  }
+
   test("AvailableNow trigger: the recurring daily batch as incremental catch-up") {
     // the reference reruns the whole pipeline on a daily cron
     // (main.py:1-9); the streaming upgrade processes exactly the files
