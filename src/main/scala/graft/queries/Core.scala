@@ -183,6 +183,23 @@ object Core {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Bloom-gated exact semi join: "new-batch" orders (orderkey % 10 >=
+    // 8) from customers already seen in the base slice. The bloom
+    // pre-filter (operators/BloomGate.scala) cuts never-seen keys before
+    // the semi-join shuffle; the verify join makes the result exact, so
+    // the oracle is the plain EXISTS with no bloom anywhere.
+    "bloom_semi_orders" -> ((s, dir) => {
+      val o = orders(s, dir)
+      graft.operators.BloomGate.semiJoin(
+        probe = o.filter(col("o_orderkey") % 10 >= 8),
+        build = o.filter(col("o_orderkey") % 10 < 8)
+          .select(col("o_custkey")),
+        key = "o_custkey",
+        expectedItems = 100000L, numBits = 800000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -322,6 +339,15 @@ object Core {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "bloom_semi_orders" ->
+      """SELECT n.o_orderkey, n.o_custkey
+        |FROM orders n
+        |WHERE n.o_orderkey % 10 >= 8
+        |  AND EXISTS (SELECT 1 FROM orders e
+        |              WHERE e.o_orderkey % 10 < 8
+        |                AND e.o_custkey = n.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
