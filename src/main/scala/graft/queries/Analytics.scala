@@ -142,6 +142,17 @@ object Analytics {
       high.intersect(fin).orderBy(col("o_custkey"))
     }),
 
+    // INTERSECT ALL (bag semantics): multiplicity = min of the two
+    // sides' counts — one hash aggregate per side under the hood, vs
+    // set_intersect's distinct semantics.
+    "set_intersect_all" -> ((s, dir) => {
+      val high = orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"))
+      val fin = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      high.intersectAll(fin).orderBy(col("o_custkey"))
+    }),
+
     // A5: distinct aggregation (two-phase distinct under the hood).
     "count_distinct_segment" -> ((s, dir) => {
       customer(s, dir)
@@ -336,6 +347,12 @@ object Analytics {
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |INTERSECT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
 

@@ -49,6 +49,23 @@ object WindowsQ {
         .orderBy(col("user_id"), col("s_start_us"))
     }),
 
+    // RANGE-frame moving aggregate: each event's trailing-30-minute spend
+    // per user, frame bounded by VALUE distance (micros), not row count —
+    // the frame type rows-frames can't express when events arrive
+    // irregularly. Tie timestamps are frame PEERS (all included), so the
+    // result is deterministic without a unique-ts assumption; cents keep
+    // the sum exact.
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-US_30M, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+          (d2(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("mov_cents", sum(col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("mov_cents"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // Lag-based sessionization (gaps-and-islands by hand): session count +
     // mean session length per user. Complements window_session by
     // exercising the analytic-window formulation.
@@ -103,6 +120,15 @@ object WindowsQ {
          |  MAX(ts_us) + $US_30M AS s_end_us, COUNT(*) AS n_events
          |FROM islands GROUP BY user_id, sess_id
          |ORDER BY user_id, s_start_us""".stripMargin,
+
+    "window_range_frame" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts)
+         |    RANGE BETWEEN $US_30M PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS mov_cents
+         |FROM events
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH flagged AS (

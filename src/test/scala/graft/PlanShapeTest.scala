@@ -39,6 +39,18 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("topk_orders_per_cust pushes the rank filter into WindowGroupLimit") {
+    // rnk <= 3 over a per-customer window must become a
+    // WindowGroupLimit(Partial) BELOW the shuffle: each map task keeps
+    // its local top-3 per customer, so the exchange carries at most
+    // 3·customers·tasks rows instead of every order — the window twin
+    // of partial aggregation, and the property that makes per-entity
+    // top-k affordable on a 100 TB fact table.
+    val p = plan("topk_orders_per_cust")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("q1_pricing_summary partially aggregates before the shuffle") {
     val p = plan("q1_pricing_summary")
     // map-side partial agg: two HashAggregates around one Exchange
