@@ -238,6 +238,22 @@ object Analytics {
         .orderBy(col("event_type"))
     }),
 
+    // The VARIANT twin of json_extract_events: parse the JSON ONCE into
+    // Spark 4's binary variant encoding, then typed variant_get access —
+    // the parse-once/access-many shape for semi-structured columns at
+    // scale (get_json_object re-parses the string per extraction).
+    // try_parse_json nulls malformed rows instead of failing the job.
+    "variant_extract_events" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("v", try_parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // F5/F6/F7: timestamp format / parse / path-safe char replace.
     "ts_roundtrip" -> ((s, dir) => {
       events(s, dir)
@@ -399,6 +415,15 @@ object Analytics {
     "json_extract_events" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "variant_extract_events" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
