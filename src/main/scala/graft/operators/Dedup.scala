@@ -348,7 +348,10 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                          maxDf: Option[Int] = None): DataFrame = {
     val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
-    val pre = prefixRows(inv, threshold)
+    // persisted: both sides of the candidate self-join consume the
+    // prefix rows — without this the df-join + ranking-window chain that
+    // builds them runs twice.
+    val pre = materialized(prefixRows(inv, threshold))
     val cand = pre.select(col("s"), col("doc_id").as("a"))
       .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
       .filter(col("a") < col("b"))

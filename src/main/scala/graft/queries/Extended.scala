@@ -125,6 +125,41 @@ object Extended {
         .orderBy(col("a"), col("b"))
     }),
 
+    // End-to-end entity resolution: candidates from TWO generators —
+    // equality blocking (dedup_levenshtein's block) ∪ sorted-neighborhood
+    // (cross-block near-misses) — verified with an exact edit-distance
+    // gate, then clustered with the same O(log d) connected components
+    // the dedup family uses. One canonical merge/purge pipeline, each
+    // stage already proven separately; the oracle recomputes the whole
+    // chain including the recursive closure.
+    "er_clusters" -> ((s, dir) => {
+      val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val blk = c.withColumn("blk", substring(col("c_name"), 15, 4))
+      val bp = blk
+        .select(col("blk"), col("c_custkey").as("a"), col("c_name").as("na"))
+        .join(blk.select(col("blk"), col("c_custkey").as("b"),
+          col("c_name").as("nb")), Seq("blk"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("na"), col("b"), col("nb"))
+      val snmRaw = graft.operators.Blocking.sortedNeighborhood(
+        c, Seq(col("c_name"), col("c_custkey")), w = 3)
+      // canonicalize to a < b (SNM emits in name order, not key order)
+      val snm = snmRaw.select(
+        least(col("c_custkey_a"), col("c_custkey_b")).as("a"),
+        when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_a"))
+          .otherwise(col("c_name_b")).as("na"),
+        greatest(col("c_custkey_a"), col("c_custkey_b")).as("b"),
+        when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
+          .otherwise(col("c_name_a")).as("nb"))
+      val pairs = bp.unionByName(snm).distinct()
+        .filter(levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("a"), col("b"))
+      graft.operators.Dedup.componentsFromPairs(pairs)
+        .select(col("doc_id").as("c_custkey"),
+          col("rep_doc_id").as("rep_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Rolling-hash document fingerprint: position-weighted polynomial
     // hash over token hashes (weight 31^(pos mod 8)), exact long
     // arithmetic — an order-sensitive complement to the md5 fingerprint.
@@ -436,6 +471,42 @@ object Extended {
           | AND x.c_custkey < y.c_custkey
           |WHERE levenshtein(x.c_name, y.c_name) <= 2
           |ORDER BY a, b""".stripMargin,
+
+      "er_clusters" ->
+        """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer),
+          |bp AS (
+          |  SELECT x.c_custkey AS a, x.c_name AS na,
+          |         y.c_custkey AS b, y.c_name AS nb
+          |  FROM c x JOIN c y
+          |    ON substr(x.c_name, 15, 4) = substr(y.c_name, 15, 4)
+          |   AND x.c_custkey < y.c_custkey),
+          |s AS (SELECT c_custkey, c_name,
+          |        row_number() OVER (ORDER BY c_name, c_custkey) AS idx
+          |      FROM c),
+          |snm0 AS (
+          |  SELECT x.c_custkey AS ka, x.c_name AS kna,
+          |         y.c_custkey AS kb, y.c_name AS knb
+          |  FROM s x JOIN s y ON y.idx - x.idx BETWEEN 1 AND 2),
+          |snm AS (
+          |  SELECT CASE WHEN ka < kb THEN ka ELSE kb END AS a,
+          |         CASE WHEN ka < kb THEN kna ELSE knb END AS na,
+          |         CASE WHEN ka < kb THEN kb ELSE ka END AS b,
+          |         CASE WHEN ka < kb THEN knb ELSE kna END AS nb
+          |  FROM snm0),
+          |cand AS (SELECT DISTINCT a, na, b, nb FROM
+          |  (SELECT * FROM bp UNION ALL SELECT * FROM snm)),
+          |pairsq AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
+          |edges AS (SELECT a AS u, b AS v FROM pairsq
+          |          UNION ALL SELECT b AS u, a AS v FROM pairsq),
+          |nodes AS (SELECT DISTINCT u AS node FROM edges),
+          |reach(node, root) AS (
+          |  SELECT node, node FROM nodes
+          |  UNION
+          |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+          |comp AS (
+          |  SELECT node AS c_custkey, CAST(MIN(root) AS BIGINT) AS rep_custkey
+          |  FROM reach GROUP BY node)
+          |SELECT c_custkey, rep_custkey FROM comp ORDER BY c_custkey""".stripMargin,
 
       "sorted_neighborhood_pairs" ->
         """WITH s AS (

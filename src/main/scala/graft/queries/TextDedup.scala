@@ -176,10 +176,14 @@ object TextDedup {
     // (AllPairs/PPJoin rule): only each doc's rarest (1-t)|A|+1 shingles
     // are indexed for the candidate join, so per-shingle fan-out
     // collapses onto cold keys while the verify stage keeps scores
-    // exact. Hash-matches the dedup_ngram_jaccard oracle — lossless
-    // pruning, same result, strictly smaller pair space.
+    // exact. Runs at t=0.8 — the high-threshold regime the prefix rule
+    // exists for, where the candidate index shrinks to ~20% of the
+    // inverted index (at t=0.5 the prefix is half the index and the
+    // extra df-join/window work outweighs the pruning — measured 5x
+    // slower than the plain self-join; losslessness at BOTH regimes is
+    // pinned by the DedupTest equality test).
     "dedup_jaccard_prefix" -> ((s, dir) => {
-      Dedup.prefixJaccardPairs(documents(s, dir), n = 3, threshold = 0.5,
+      Dedup.prefixJaccardPairs(documents(s, dir), n = 3, threshold = 0.8,
         maxDf = Some(MAX_DF))
         .orderBy(col("a"), col("b"))
     }),
@@ -512,13 +516,14 @@ object TextDedup {
          |${clusterTailSql(0.5)}
          |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
-    val ngramSql =
+    def ngramSqlAt(threshold: Double) =
       s"""WITH $docsSql,
          |$dfShingledSql,
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
-         |${verifySql(0.5)}""".stripMargin
+         |${verifySql(threshold)}""".stripMargin
+    val ngramSql = ngramSqlAt(0.5)
 
     // Triangle census over the verified LSH pairs (mirrors the
     // dupgraph_triangles two-hop canonical-order enumeration).
@@ -576,10 +581,10 @@ object TextDedup {
       "dedup_clusters" -> clustersSql,
       "dedup_ngram_jaccard" -> ngramSql,
       // Prefix filtering is lossless, so the prefix-filtered tier is
-      // pinned to the SAME oracle as the full inverted-index join — any
-      // false negative from a wrong prefix bound shows up as a hash
-      // mismatch here.
-      "dedup_jaccard_prefix" -> ngramSql,
+      // pinned to the full-inverted-index oracle at ITS threshold (0.8)
+      // — any false negative from a wrong prefix bound shows up as a
+      // hash mismatch here.
+      "dedup_jaccard_prefix" -> ngramSqlAt(0.8),
       "dupgraph_triangles" -> trianglesSql,
       "dedup_simhash" -> simhashSql,
 

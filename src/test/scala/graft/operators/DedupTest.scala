@@ -96,7 +96,7 @@ class DedupTest extends AnyFunSuite {
     // Same pairs, same scores, on both the plain corpus and the hot
     // stop-phrase corpus, at two thresholds — the prefix filter must
     // never lose a pair the full self-join finds.
-    for (corpus <- Seq(docs, hotDocs); t <- Seq(0.3, 0.5)) {
+    for (corpus <- Seq(docs, hotDocs); t <- Seq(0.3, 0.5, 0.8)) {
       val full = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = t)
         .as[(Long, Long, Double)].collect().sorted.toSeq
       val pref = Dedup.prefixJaccardPairs(corpus, n = 3, threshold = t)
