@@ -45,6 +45,21 @@ object ProbeDedup10x {
       Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
         maxDf = Some(cap)).count()
     }
+    // Prefix-filter tier vs the full inverted-index join at its
+    // high-threshold regime (t=0.8): same result by construction — the
+    // number that matters is the wall-clock gap once the corpus is 10x
+    // and the candidate index is ~20% of the inverted index. Both run
+    // against the same warmed shingle cache, so the delta isolates the
+    // candidate-join cost.
+    val (nJf8, tJf8) = timed {
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8,
+        maxDf = Some(cap)).count()
+    }
+    val (nJp8, tJp8) = timed {
+      Dedup.prefixJaccardPairs(docs, n = 3, threshold = 0.8,
+        maxDf = Some(cap)).count()
+    }
+
     val (nCc, tCc) = timed {
       val pairs = Dedup.minhashLshPairs(docs, n = 3, bands = 4,
         rowsPerBand = 2, threshold = 0.5, maxDf = Some(cap))
@@ -55,6 +70,8 @@ object ProbeDedup10x {
     println(s"""{"probe":"dedup10x","n_docs":$nDocs,"df_cap":$cap,""" +
       s""""lsh_pairs":$nLsh,"lsh_sec":${f(tLsh)},""" +
       s""""jaccard_pairs":$nJac,"jaccard_sec":${f(tJac)},""" +
+      s""""full08_pairs":$nJf8,"full08_sec":${f(tJf8)},""" +
+      s""""prefix08_pairs":$nJp8,"prefix08_sec":${f(tJp8)},""" +
       s""""clustered_docs":$nCc,"cc_sec":${f(tCc)}}""")
     spark.stop()
   }
