@@ -39,8 +39,16 @@ object Blocking {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // Persisted: the ranked rows AND the per-partition count table below
+    // both consume this range partitioning, and RangePartitioner's
+    // sample seed derives from the RDD id — two independent executions
+    // could pick DIFFERENT boundaries, making offsets inconsistent with
+    // ranks. Without the persist, correctness would silently ride on
+    // Spark's exchange-reuse rule collapsing the two exchanges; pinning
+    // one physical partitioning removes that dependency.
     val parted = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     val ranked = parted.withColumn("_rnk", row_number().over(wLocal).cast("long"))
     // numPartitions rows: the cumulative count window is constant-size.

@@ -41,10 +41,17 @@ object Skyline {
                     buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val stats = pts.agg(min(col(x)).as("_xmin"), max(col(x)).as("_xmax"))
+    // Width and offset in decimal(38,0): `_xmax - _xmin + 1` (and
+    // `$x - _xmin`) overflow Long when x spans an extreme range (xmin
+    // near Long.MinValue), which would wrap into negative bucket ids and
+    // a silently wrong frontier. decimal(38,0) holds any difference of
+    // two longs exactly; `div` (integral divide) brings the bucket id
+    // back to long, bounded by `buckets`.
     val bucketed = pts.crossJoin(broadcast(stats))
       .withColumn("_w",
-        greatest(lit(1L), expr(s"(_xmax - _xmin + 1) div $buckets")))
-      .withColumn("_bkt", expr(s"($x - _xmin) div _w"))
+        greatest(lit(1L), expr(
+          s"(cast(_xmax as decimal(38,0)) - _xmin + 1) div $buckets")))
+      .withColumn("_bkt", expr(s"(cast($x as decimal(38,0)) - _xmin) div _w"))
       .drop("_xmin", "_xmax", "_w")
     // Cumulative min of y over STRICTLY EARLIER buckets: B rows, so the
     // unpartitioned window is a constant-size step no matter the corpus.

@@ -119,6 +119,12 @@ object StreamingOps {
                        watermark: String = "10 minutes",
                        horizon: String = "1 hour",
                        joinType: String = "inner"): DataFrame = {
+    // Only these two are semantically supported: the select below takes
+    // user_id/purchase_id from the PURCHASE side, so "right_outer" /
+    // "full_outer" would type-check but surface unmatched view rows with
+    // null user_id/purchase_id — silently wrong output, not an error.
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer (purchase-side projection), got $joinType")
     val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
       col("event_id").as("purchase_id")).withWatermark("p_ts", watermark)
     val v = views.select(col("user_id"), col("ts").as("v_ts"),

@@ -48,7 +48,10 @@ class PlanShapeTest extends AnyFunSuite {
     // top-k affordable on a 100 TB fact table.
     val p = plan("topk_orders_per_cust")
     assert(p.contains("WindowGroupLimit"), p)
-    assert(p.contains("Partial"), p)
+    // Match "Partial" ADJACENT to the WindowGroupLimit node: a bare
+    // contains("Partial") passes vacuously on any partial HashAggregate
+    // elsewhere in the plan, hiding a regression to Final-only mode.
+    assert("WindowGroupLimit[^\\n]*Partial".r.findFirstIn(p).isDefined, p)
   }
 
   test("q1_pricing_summary partially aggregates before the shuffle") {
