@@ -119,6 +119,46 @@ object Core {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MERGE upsert pipeline: changeSet detects the day's churn (inserts,
+    // updates, deletes) against yesterday's mirror; applyChanges folds it
+    // back in. The synthetic mirror has all three churn classes: keys
+    // %10==3 missing (inserts), %10==5 stale-priced (updates), plus
+    // retired negative-key rows (deletes). The oracle is the FULL
+    // RECOMPUTE — plain truth — so a hash match proves the incremental
+    // path reproduces truncate-reload exactly without rewriting the
+    // mirror.
+    "mirror_apply" -> ((s, dir) => {
+      val truth = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val mirror = truth.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(truth.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      val changes = Diff.changeSet(truth, mirror, Seq("o_orderkey"))
+      Diff.applyChanges(mirror, changes, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // The change set itself, oracle-gated: churn-proportional output
+    // (only keys %10 in {3,5} as upserts and the retired negative keys
+    // as deletes — identical rows produce nothing).
+    "mirror_changeset" -> ((s, dir) => {
+      val truth = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val mirror = truth.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(truth.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      Diff.changeSet(truth, mirror, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // J6: symmetric diff with status derivation (DailyEnrollment).
     "daily_enrollment_diff" -> ((s, dir) => {
       val truth = lineitem(s, dir).filter(col("l_quantity") <= 45)
@@ -274,6 +314,36 @@ object Core {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders m
         |  WHERE m.o_orderkey % 10 <> 0 AND m.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mirror_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "mirror_changeset" ->
+      """WITH truth AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |mirror AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+        |  'upsert' AS op
+        |FROM truth t LEFT JOIN mirror m ON t.o_orderkey = m.o_orderkey
+        |WHERE m.o_orderkey IS NULL
+        |   OR t.o_custkey IS DISTINCT FROM m.o_custkey
+        |   OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+        |   OR t.o_totalprice IS DISTINCT FROM m.o_totalprice
+        |UNION ALL
+        |SELECT m.o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS DOUBLE), 'delete' AS op
+        |FROM mirror m LEFT JOIN truth t ON m.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
         |ORDER BY o_orderkey""".stripMargin,
 
     "daily_enrollment_diff" ->

@@ -34,6 +34,21 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("mirror_apply anti-joins the mirror against broadcast touched keys") {
+    // The MERGE scale contract: the mirror side is pruned by a BROADCAST
+    // anti-join on the churn-sized key set — the snapshot itself is
+    // never shuffled, so at 100 TB only churn-proportional data moves.
+    // The change-set side is a join output whose size is unknown at plan
+    // time, so the conversion is AQE's runtime call: execute, then
+    // assert on the final adaptive plan.
+    val df = SparkEntry.queries("mirror_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert("BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("missing_orders is an anti join, not a filter over a full outer") {
     val p = plan("missing_orders")
     assert(p.contains("LeftAnti"), p)

@@ -45,6 +45,50 @@ class DiffTest extends AnyFunSuite {
     assert(stats == Set(("Enrollment", "active", 2L), ("Enrollment", "deleted", 1L)))
   }
 
+  test("changeSet classifies insert/update/delete and skips identical rows") {
+    // mirror: key 2 identical, key 3 stale value, key 9 retired; truth
+    // additionally has 1 and 4 (inserts).
+    val stale = Seq((2L, "b"), (3L, "OLD"), (9L, "z")).toDF("id", "v")
+    val cs = Diff.changeSet(truth, stale, Seq("id"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(cs == Set(
+      (1L, Some("a"), "upsert"), (4L, Some("d"), "upsert"),
+      (3L, Some("c"), "upsert"), (9L, None, "delete")))
+  }
+
+  test("changeSet is empty when truth == mirror") {
+    assert(Diff.changeSet(truth, truth, Seq("id")).count() == 0)
+  }
+
+  test("changeSet compares null-safely (null -> value and value -> null are updates)") {
+    val t = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("id", "v")
+    val m = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("id", "v")
+    val cs = Diff.changeSet(t, m, Seq("id"))
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(cs == Set((1L, Some("a"), "upsert"), (2L, None, "upsert")))
+  }
+
+  test("applyChanges . changeSet round-trips the mirror to truth (MERGE invariant)") {
+    val stale = Seq((2L, "b"), (3L, "OLD"), (9L, "z")).toDF("id", "v")
+    val next = Diff.applyChanges(stale, Diff.changeSet(truth, stale, Seq("id")), Seq("id"))
+    assert(next.as[(Long, String)].collect().toSet ==
+      truth.as[(Long, String)].collect().toSet)
+  }
+
+  test("applyChanges with an empty change set is the identity") {
+    val empty = Diff.changeSet(truth, truth, Seq("id"))
+    val next = Diff.applyChanges(truth, empty, Seq("id"))
+    assert(next.as[(Long, String)].collect().toSet ==
+      truth.as[(Long, String)].collect().toSet)
+  }
+
+  test("applyChanges applies a delete-only change set") {
+    val cs = Seq((2L, Option.empty[String], "delete")).toDF("id", "v", "op")
+    val next = Diff.applyChanges(truth, cs, Seq("id"))
+    assert(next.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
   test("dimLookup broadcasts and resolves the term id (J1, canvas.py:19-27)") {
     val fact = Seq(("211S", 100L), ("212S", 101L), ("999X", 102L))
       .toDF("term", "payload")

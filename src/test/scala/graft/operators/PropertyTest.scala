@@ -38,6 +38,23 @@ class PropertyTest extends AnyFunSuite {
     }
   }
 
+  test("MERGE invariant: applyChanges(mirror, changeSet(truth, mirror)) == truth") {
+    // Generators can put the same key in both sides with different
+    // values (updates), one side only (insert/delete), or equal rows
+    // (no-op); rows are deduped to one-per-key to meet the contract.
+    for ((t, m) <- samples(Gen.zip(rowsGen, rowsGen), 8)) {
+      val truth = t.groupBy(_._1).map(_._2.head).toSeq.toDF("id", "v")
+      val mirror = m.groupBy(_._1).map(_._2.head).toSeq.toDF("id", "v")
+      val cs = Diff.changeSet(truth, mirror, Seq("id"))
+      val next = Diff.applyChanges(mirror, cs, Seq("id"))
+      assert(next.count() == truth.count())
+      assert(next.exceptAll(truth).count() == 0)
+      // Churn-proportional: unchanged keys never appear in the set.
+      val unchanged = truth.intersect(mirror).select("id")
+      assert(cs.join(unchanged, Seq("id"), "left_semi").count() == 0)
+    }
+  }
+
   test("changedRows: active ⊆ truth, deleted ⊆ mirror, disjoint, adds exact") {
     for ((t, m) <- samples(Gen.zip(rowsGen, rowsGen))) {
       val truth = t.map(_._1).distinct.toDF("id")
