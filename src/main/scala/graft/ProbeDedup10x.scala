@@ -66,13 +66,32 @@ object ProbeDedup10x {
       Dedup.componentsFromPairs(pairs.select(col("a"), col("b"))).count()
     }
 
+    // Banded-LSH embedding near-dup at the declared query's parameters
+    // (2 tables x 8 bits, t=0.95, planted scaled copies). On the
+    // replicated corpus every replica group is a genuine duplicate
+    // clique, so PAIR OUTPUT grows quadratically per group by
+    // construction; the number that matters is wall-clock vs the n²/2
+    // all-pairs baseline the LSH banding avoids.
+    val (nNd, tNd) = timed {
+      import org.apache.spark.sql.functions.{lit, transform}
+      val base = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(100000000L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+      Dedup.embeddingNearDupLsh(corpus, threshold = 0.95, dims = 64,
+        nTables = 2, nBits = 8).count()
+    }
+
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"probe":"dedup10x","n_docs":$nDocs,"df_cap":$cap,""" +
       s""""lsh_pairs":$nLsh,"lsh_sec":${f(tLsh)},""" +
       s""""jaccard_pairs":$nJac,"jaccard_sec":${f(tJac)},""" +
       s""""full08_pairs":$nJf8,"full08_sec":${f(tJf8)},""" +
       s""""prefix08_pairs":$nJp8,"prefix08_sec":${f(tJp8)},""" +
-      s""""clustered_docs":$nCc,"cc_sec":${f(tCc)}}""")
+      s""""clustered_docs":$nCc,"cc_sec":${f(tCc)},""" +
+      s""""embed_nd_pairs":$nNd,"embed_nd_sec":${f(tNd)}}""")
     spark.stop()
   }
 }

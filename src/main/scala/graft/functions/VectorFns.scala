@@ -54,14 +54,17 @@ object VectorFns {
     (1103515245L * (j.toLong * dims + i) + 12345L) % 2001L - 1000L
 
   /** Sign-random-projection LSH bucket id over a quantized vector:
-    * bit_j = [sum_i q(i) * w(j,i) > 0], bucket = sum_j bit_j << j.
+    * bit_j = [sum_i q(i) * w(offset+j,i) > 0], bucket = sum_j bit_j << j.
     * At 100 TB this is the blocking key that turns an O(n^2) similarity
-    * scan into a per-bucket join.
+    * scan into a per-bucket join. `offset` selects a disjoint projection
+    * family, so `offset = t * nBits` yields independent hash tables for
+    * banded (multi-table) LSH.
     */
-  def lshBucket(q: Column, nBits: Int, dims: Int): Column = {
+  def lshBucket(q: Column, nBits: Int, dims: Int, offset: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
-        zip_with(q, typedLit((0 until dims).map(i => projWeight(j, i, dims))),
+        zip_with(q,
+          typedLit((0 until dims).map(i => projWeight(offset + j, i, dims))),
           (x, w) => x * w),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, lit(1L) * (1L << j)).otherwise(lit(0L))

