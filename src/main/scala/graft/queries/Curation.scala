@@ -45,10 +45,18 @@ object Curation {
 
   /** Context length for the packing planner (tokens per pack). */
   private val CTX = 512
-  /** Shard fan-out for packing: at cluster scale this is O(executors),
-    * here small so packs are non-trivial at every SF.
+  /** Shard fan-out for packing — WIRED TO CLUSTER PARALLELISM so the
+    * declared query demonstrates the scaling shape: every core packs its
+    * own shard. Capped at 256 (two content-hash hex digits drive the
+    * shard assignment). The oracle reads the same value through the
+    * active session at dump time, so both sides always agree.
     */
-  private val SHARDS = 4
+  private def shardsOf(parallelism: Int): Int = math.min(parallelism, 256)
+
+  private def activeShards: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => shardsOf(s.sparkContext.defaultParallelism))
+      .getOrElse(4)
 
   def queries: Map[String, Q] = Map(
 
@@ -60,8 +68,11 @@ object Curation {
     // the per-shard running sum is the sequential scan a packer does
     // anyway, parallel ACROSS shards.
     "pack_sequences" -> ((s, dir) => {
-      val shard = TextFns.hexVal(
-        substring(TextFns.fingerprint(col("text")), 1, 1)) % SHARDS
+      val nShards = shardsOf(s.sparkContext.defaultParallelism)
+      val shard = (TextFns.hexVal(
+        substring(TextFns.fingerprint(col("text")), 1, 1)) * 16 +
+        TextFns.hexVal(
+          substring(TextFns.fingerprint(col("text")), 2, 1))) % nShards
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       documents(s, dir)
@@ -180,7 +191,9 @@ object Curation {
            |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
            |  FROM documents),
            |sh AS (
-           |  SELECT doc_id, n_tokens, ${TextDedup.hexValSql("fp", 1)} % $SHARDS AS shard
+           |  SELECT doc_id, n_tokens,
+           |    (${TextDedup.hexValSql("fp", 1)} * 16
+           |      + ${TextDedup.hexValSql("fp", 2)}) % $activeShards AS shard
            |  FROM base),
            |c AS (
            |  SELECT shard, n_tokens,
