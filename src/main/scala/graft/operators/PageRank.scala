@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * the degree-annotated edge list on src, one hash aggregate keyed by
   * dst with map-side partial sums. The edge list is the big side and is
   * scanned once per iteration; ranks are |V| rows. Nothing collects to
-  * the driver and the lineage stays `iters` levels deep (callers running
-  * many iterations should checkpoint, as [[Dedup.componentsFromPairs]]
-  * does — at the fixed small iteration counts used here the plain
-  * lineage is cheaper).
+  * the driver, and the rank lineage is CUT every `checkpointEvery`
+  * iterations (eager checkpoint, the [[Dedup.componentsFromPairs]]
+  * pattern) — without the cut the plan tree nests one join + aggregate
+  * per iteration and analysis/optimization cost explodes at tens of
+  * iterations even though each executed stage is cheap.
   *
   * Contract: every node must appear as a `src` (for undirected/bipartite
   * graphs pass both edge directions) — sinks would otherwise swallow
@@ -40,9 +41,24 @@ object PageRank {
   /** `edges`: (src: long, dst: long), pre-deduplicated. Returns
     * (node: long, rank: long) after `iters` damped updates from a
     * uniform start of `scale` per node.
+    *
+    * `checkpointEvery`: cut the rank lineage after this many iterations
+    * (eager; `checkpointDir` selects a reliable checkpoint for real
+    * clusters, otherwise localCheckpoint). Checkpoints change no values
+    * — only the plan depth — so any cadence yields identical ranks.
     */
-  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+            checkpointEvery: Int = 8,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "PageRank needs at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = edges.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    try {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Persist the degree-annotated edge list: iteration i's lineage
     // nests iterations 1..i-1, so the final plan otherwise embeds (and
@@ -56,7 +72,7 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst"))
@@ -65,7 +81,16 @@ object PageRank {
         .select(col("node"),
           expr(s"(15 * cast($scale as bigint) + 85 * coalesce(s, 0)) div 100")
             .as("rank"))
+      // Cut the growing lineage; the LAST iteration stays lazy so the
+      // caller's downstream plan composes with it as usual.
+      if (i % checkpointEvery == 0 && i < iters) ranks = save(ranks)
     }
     ranks
+    } finally {
+      // every checkpoint is eager, so restoring the dir here is safe —
+      // no lazy checkpoint of ours can fire after the call returns
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 }

@@ -51,6 +51,28 @@ class PageRankTest extends AnyFunSuite {
     intercept[IllegalArgumentException](PageRank.ranks(edges, iters = 0))
   }
 
+  test("checkpoint cadence changes no values (8 vs never)") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val cut = PageRank.ranks(edges, iters = 10, checkpointEvery = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val plain = PageRank.ranks(edges, iters = 10, checkpointEvery = 1000)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cut == plain)
+  }
+
+  test("24 iterations complete with a bounded plan (lineage cut every 8)") {
+    // Without the checkpoint the plan nests 24 join+agg levels and
+    // analysis cost explodes superlinearly; with the cut this stays
+    // seconds. Fixed point of the symmetric cycle pins correctness.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = PageRank.ranks(edges, iters = 24, scale = 1000000L)
+      .orderBy("node").as[(Long, Long)].collect()
+    // symmetric 3-cycle, deg 2: rank' = (15S + 85*(2*(S div 2))) div 100 = S
+    assert(out.toSeq == Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)))
+  }
+
   test("rank mass stays bounded by the teleport/damping envelope") {
     // Chain with both directions: 1<->2<->3. Sum of ranks can only
     // shrink from floor-division leakage, never grow past N*scale.
