@@ -130,13 +130,19 @@ object Curation {
       val kept = withQuality(documents(s, dir))
         .filter(col("score") >= QUALITY_MIN)
         .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
-      // 2. exact dedup (min doc_id per fingerprint)
+      // 2. exact dedup (min doc_id per fingerprint). Persisted: this
+      // frame feeds BOTH the LSH pair subtree and the final anti-join +
+      // split summary, and per-consumer pruning/aliasing defeats
+      // ReuseExchange — without the persist the quality scoring (regex
+      // tokenization over every doc) and the fingerprint window dedup
+      // run once per consumer. Same lifecycle notes as Dedup.materialized.
       val fpw = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
       val exactKept = kept
         .withColumn("fp", TextFns.fingerprint(col("text")))
         .withColumn("rn", row_number().over(fpw))
         .filter(col("rn") === 1)
         .drop("rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // 3. near-dup drop: LSH pairs -> components -> drop non-reps
       val pairs = Dedup.minhashLshPairs(exactKept.select(col("doc_id"), col("text")),
         n = 3, bands = 4, rowsPerBand = 2, threshold = JACCARD_MIN,
