@@ -57,6 +57,43 @@ object Bench {
           None
       }
     }
+    // Streaming surface: end-to-end curation ingest → truncate-reload
+    // mirror under Trigger.AvailableNow, timed as one BENCH entry so
+    // streaming regressions surface in the artifacts, not just tests.
+    // Source = the documents table replayed as a file stream (ts
+    // synthesized deterministically from doc_id); sink = the idempotent
+    // overwrite mirror. Deliberately outside the warmup/retry machinery:
+    // one cold end-to-end run (source listing + state store + commit
+    // log) is the realistic unit for a batch-boundary streaming job.
+    def timeStreaming(): (String, Option[Double]) = {
+      val name = "streaming_curate_mirror"
+      val t0 = System.nanoTime()
+      try {
+        import org.apache.spark.sql.functions.{col, timestamp_seconds}
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stream_bench").toString
+        // File-stream source requires a directory; the sf dir holds one
+        // file per table, so scope the listing with a glob filter.
+        val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+        val docs = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
+        val q = graft.streaming.StreamingOps.overwriteMirrorEachBatch(
+            graft.streaming.StreamingOps.curationIngest(docs), s"$dir/mirror")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (name, Some((System.nanoTime() - t0) / 1e9))
+      } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          (name, None)
+      }
+    }
+
     val p1 = names.map(n => n -> timeOne(n)).toMap
     val okTimes = p1.values.flatten.toSeq.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
@@ -67,7 +104,7 @@ object Bench {
     val results = names.map { n =>
       val runs = p1(n).toSeq ++ p2.get(n).flatten.toSeq
       n -> (if (runs.isEmpty) None else Some(runs.min))
-    }
+    } :+ timeStreaming()
     // 3-decimal seconds (1 ms granularity — an order below the shared
     // host's jitter) keep the one-line JSON as short as possible; full
     // 17-digit doubles overflowed the driver's log-tail capture in
