@@ -87,6 +87,47 @@ class JdbcTest extends AnyFunSuite {
     assert(got.select(sum(col("ID_NUM"))).as[Long].head() == 97L * 98 / 2)
   }
 
+  test("federated pipeline at 10x: partitioned scan, every range does work, no row loss") {
+    // The readPartitioned path with the toy 97-row table exercises the
+    // plumbing but not the shape that matters at scale: multiple range
+    // partitions each streaming a real slice over its own connection.
+    // Load the sf0.01 orders table (15k rows, ~150x the toy) into Derby
+    // and drive the full federated pipeline: partitioned JDBC fact scan
+    // -> broadcast parquet dim join -> aggregate, checksummed against
+    // the same pipeline run purely on parquet.
+    val sf = "/root/testdata/sf0.01"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val n = orders.count()
+    val t = "BIG_ORDERS"
+    Jdbc.overwriteMirror(orders, conn, t, Set(t), batchSize = 1000)
+    val (lo, hi) = orders
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .as[(Long, Long)].head()
+    val db = Jdbc.readPartitioned(spark, conn, t,
+      partitionColumn = "o_orderkey", lower = lo, upper = hi + 1,
+      numPartitions = 8)
+    assert(db.rdd.getNumPartitions == 8)
+    // every range partition streams real rows (orderkeys are dense
+    // enough that no stride is empty) — the property that makes the
+    // partitioned read a parallel scan rather than one hot connection
+    val perPart = db.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.forall(_ > 0), perPart.toSeq.toString)
+    assert(db.count() == n)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def pipeline(fact: org.apache.spark.sql.DataFrame) = fact
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        // decimal-exact sum: a double sum is order-dependent and the
+        // JDBC and parquet scans feed partitions in different orders
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .orderBy(col("c_mktsegment"))
+      .collect().toSeq
+    assert(pipeline(db) == pipeline(orders))
+  }
+
   test("overwriteMirror refuses tables outside the allow-list") {
     val df = Seq((1L, "x")).toDF("id_num", "login_id")
     assertThrows[IllegalArgumentException] {
