@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Analytics, Core, Curation, Extended, Reshape, SimilarityQ, TemporalQ, TextDedup, WindowsQ}
+import graft.queries.{Advanced, Analytics, Core, Curation, Extended, Olap, Reshape, SimilarityQ, TemporalQ, TextDedup, TokenizerQ, WindowsQ}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with an ANSI-SQL
@@ -25,7 +25,9 @@ object SparkEntry {
       (TemporalQ.queries, TemporalQ.oracles),
       (Extended.queries, Extended.oracles),
       (Advanced.queries, Advanced.oracles),
-      (Reshape.queries, Reshape.oracles))
+      (Reshape.queries, Reshape.oracles),
+      (Olap.queries, Olap.oracles),
+      (TokenizerQ.queries, TokenizerQ.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational BPE-style pair-merge training (SURVEY §2.9 [EXT]) — the
+  * tokenizer-induction step of an LLM data pipeline: repeatedly find the
+  * most frequent adjacent symbol pair in the corpus and merge its
+  * non-overlapping occurrences left-to-right, exactly the BPE/word2phrase
+  * vocabulary-learning loop (applied here over word symbols; the
+  * character-level variant is the same algebra over a char-exploded seq).
+  *
+  * Everything is windows + hash aggregates over the (doc_id, pos, sym)
+  * sequence relation — no per-doc UDF loops, no driver-side strings:
+  *
+  *  1. pair counts: one `lead` window (doc-keyed) + one hash aggregate.
+  *  2. top pair: orderBy(count desc, pair).limit(1) — a
+  *     TakeOrderedAndProject, broadcast to every row via crossJoin.
+  *  3. greedy left-to-right overlap resolution: overlapping matches are
+  *     EXACTLY the runs of consecutive match positions, so a
+  *     run-grouping (pos - row_number) plus an odd-parity filter inside
+  *     each run keeps the 1st, 3rd, … match — the classic
+  *     gaps-and-islands trick standing in for a sequential scan.
+  *  4. rebuild: merged rows swap in the fused symbol, consumed rows
+  *     (position right after a kept merge) drop, positions re-number
+  *     with one more doc-keyed window.
+  *
+  * Scale shape: every window partitions by doc_id (bounded by document
+  * length, never corpus size); the only global structure is the pair
+  * count aggregate and its 1-row top pair. Each round's output is
+  * persisted — K rounds chain K plans deep otherwise (the PageRank
+  * lineage lesson).
+  */
+object BpeMerge {
+
+  /** One merge round over seq(doc_id, pos:long 1-based dense, sym).
+    * Returns (next sequence, the 1-row merge table (l, r, cnt)).
+    */
+  def mergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withNext = seq.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+    val top = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("sym"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+      .limit(1)
+      .select(col("sym").as("l"), col("nxt").as("r"), col("cnt"))
+
+    val marked = withNext.crossJoin(broadcast(top))
+    // greedy non-overlap: matches overlap iff their positions are
+    // adjacent, so runs of consecutive match positions resolve by
+    // keeping the odd-indexed members of each run
+    val wRun = Window.partitionBy(col("doc_id"), col("run")).orderBy(col("pos"))
+    val kept = marked
+      .filter(col("sym") === col("l") && col("nxt") === col("r"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("run", col("pos") - col("rn"))
+      .withColumn("rir", row_number().over(wRun))
+      .filter(col("rir") % 2 === 1)
+      .select(col("doc_id"), col("pos"), lit(true).as("k"))
+
+    val next = marked
+      .join(kept, Seq("doc_id", "pos"), "left")
+      .join(kept.select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("k").as("consumed")), Seq("doc_id", "pos"), "left")
+      .filter(col("consumed").isNull)
+      .withColumn("sym2",
+        when(col("k"), concat(col("sym"), lit("_"), col("nxt")))
+          .otherwise(col("sym")))
+      .withColumn("pos2", row_number().over(wDoc).cast("long"))
+      .select(col("doc_id"), col("pos2").as("pos"), col("sym2").as("sym"))
+    (next, top)
+  }
+
+  /** K merge rounds; returns the merge table (round, l, r, cnt) ordered
+    * by round — the learned vocabulary additions. Each intermediate
+    * sequence persists (two window passes + two joins per round would
+    * otherwise recompute the whole chain per consumer).
+    */
+  def trainMerges(seq0: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var seq = seq0.persist(lvl)
+    val merges = (1 to k).map { round =>
+      val (next, top) = mergeRound(seq)
+      seq = next.persist(lvl)
+      top.withColumn("round", lit(round.toLong))
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("round"), col("l"), col("r"), col("cnt"))
+      .orderBy(col("round"))
+  }
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Util._
+
+/** Classic multi-join OLAP surface (SURVEY §2.3 J8 / §2.4 A5 widened):
+  * the TPC-H-shaped reporting queries expressible over the trimmed
+  * synthetic schema (no partsupp / shipmode / container columns), each
+  * chosen to exercise a distinct plan shape at scale:
+  *
+  *  - q7:  two-dimension-role join (the same nation dim joined twice
+  *         under different roles) with a disjunctive cross-dim predicate
+  *         — the dims are pre-filtered to the two-nation set BEFORE the
+  *         fact join, so the fact side shrinks at the scan, not at the
+  *         end.
+  *  - q8:  market-share ratio — semi-join reductions (region-filtered
+  *         customers, type-filtered parts) prune the fact rows before
+  *         the one wide join; the share itself is exact integer permille.
+  *  - q10: revenue-ranked top-k over a filtered fact join →
+  *         TakeOrderedAndProject, never a global sort.
+  *  - q14: conditional-share aggregate (promo revenue) — one pass, the
+  *         CASE rides inside the same partial aggregate.
+  *  - q19: disjunction of (brand, size, quantity) triples — the
+  *         OR-of-conjuncts predicate that punishes engines which can't
+  *         keep selective disjunctions next to the join.
+  *
+  * All money math follows the determinism toolkit: exact decimal/long
+  * units internally, one cast to double (or an integer permille) at the
+  * output edge, total-order sorts.
+  */
+object Olap {
+
+  /** Revenue term in exact 10^-4 units (price scale 2 x discount scale 2). */
+  private def revU(price: org.apache.spark.sql.Column,
+                   discount: org.apache.spark.sql.Column) =
+    (d2(price) * (lit(1) - d2(discount)) * 10000).cast("long")
+
+  def queries: Map[String, Q] = Map(
+
+    // Q7-shape: bilateral shipping volume between two nations by year.
+    // Both nation roles are filtered to the 2-nation set and broadcast
+    // BEFORE touching the fact tables — the supplier/customer sides
+    // arrive at the big join already reduced ~2/25, and the remaining
+    // disjunctive pair predicate runs over 4 surviving combinations.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pairNations = Seq("NATION_1", "NATION_2")
+      val n1 = nation(s, dir).filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val supp = supplier(s, dir)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = customer(s, dir)
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8-shape: NATION_3 suppliers' share of PROMO-part revenue sold to
+    // AMERICA-region customers, by order year, as exact integer
+    // permille. The region and part filters become broadcast semi-joins
+    // that prune the fact before the wide join; the supplier nation
+    // rides in as a broadcast dim for the CASE.
+    "q8_market_share" -> ((s, dir) => {
+      val amNations = nation(s, dir)
+        .join(broadcast(region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = customer(s, dir)
+        .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("c_custkey"))
+      val promoParts = part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val supp = supplier(s, dir)
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      lineitem(s, dir)
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev_u", revU(col("l_extendedprice"), col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_u"))
+          .otherwise(0L)).as("nat_u"),
+          sum(col("rev_u")).as("tot_u"))
+        // decimal(38,0) before the scale-up: 1000x a 100 TB revenue sum
+        // must not wrap a long
+        .select(col("o_year"),
+          expr("(CAST(nat_u AS DECIMAL(38,0)) * 1000) div CAST(tot_u AS DECIMAL(38,0))")
+            .as("mkt_share_permille"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q10-shape: top 20 customers by revenue lost to returns in one
+    // order year. orderBy+limit plans TakeOrderedAndProject — each
+    // partition ships only its local top 20, never a global sort.
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = customer(s, dir)
+        .join(broadcast(nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q14-shape: promo-part revenue share by ship year — the CASE sum
+    // and the total ride in ONE partial aggregate (no second pass, no
+    // self-join), share emitted as exact integer permille.
+    "q14_promo_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rev_u", revU(col("l_extendedprice"), col("l_discount")))
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L))
+          .as("promo_u"),
+          sum(col("rev_u")).as("tot_u"))
+        .select(col("l_year"),
+          expr("(CAST(promo_u AS DECIMAL(38,0)) * 1000) div CAST(tot_u AS DECIMAL(38,0))")
+            .as("promo_permille"),
+          col("tot_u"))
+        .orderBy(col("l_year"))
+    }),
+
+    // Q19-shape: revenue under a disjunction of (brand, size-range,
+    // quantity-range) conjunct triples. The OR can't split across the
+    // join, but the part side IS reducible: only the three brands'
+    // rows survive the dim filter, so the broadcast carries 3/16 of
+    // the part table and the fact-side residual runs codegen'd.
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+            col("l_quantity").between(20, 50)))
+        .groupBy(col("p_brand"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // §2.5 distribution windows: percent_rank + cume_dist per segment.
+    // Both are a single int/int division per row (rank-1)/(n-1) and
+    // rank/n — one correctly-rounded double each, bit-portable. The
+    // (acctbal, custkey) order is tie-free, so cume_dist has no
+    // peer-group ambiguity.
+    "window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Equi-width histogram with data-driven bounds: one tiny min/max
+    // aggregate broadcasts into a map-side bucket assignment — two scans,
+    // zero shuffles before the 20-row result. All bucket math in exact
+    // cent longs (ceil width, last bucket clamps the max), the same
+    // overflow-safe shape as Skyline's decimal buckets.
+    "histogram_prices" -> ((s, dir) => {
+      val NB = 20
+      val cents = (d2(col("o_totalprice")) * 100).cast("long")
+      val stats = orders(s, dir).agg(min(cents).as("lo"), max(cents).as("hi"))
+      orders(s, dir).select(cents.as("c"))
+        .crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          expr(s"least((c - lo) div greatest((hi - lo + $NB) div $NB, 1), ${NB - 1})"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_cents"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_u,
+        |    n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE o_custkey IN (
+        |      SELECT c_custkey FROM customer WHERE c_nationkey IN (
+        |        SELECT n_nationkey FROM nation JOIN region
+        |          ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'))
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO'))
+        |SELECT o_year,
+        |  CAST((1000 * CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u ELSE 0 END) AS HUGEINT))
+        |    // CAST(SUM(rev_u) AS HUGEINT) AS BIGINT) AS mkt_share_permille
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH f AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_u,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT l_year,
+        |  CAST((1000 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS HUGEINT))
+        |    // CAST(SUM(rev_u) AS HUGEINT) AS BIGINT) AS promo_permille,
+        |  CAST(SUM(rev_u) AS BIGINT) AS tot_u
+        |FROM f GROUP BY l_year ORDER BY l_year""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 15)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |    AND l_quantity BETWEEN 20 AND 50)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "window_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "histogram_prices" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |s AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+        |SELECT least((c - lo) // greatest((hi - lo + 20) // 20, 1), 19) AS bucket,
+        |  count(*) AS n_orders, CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM c, s GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

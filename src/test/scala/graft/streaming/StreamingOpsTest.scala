@@ -314,4 +314,37 @@ class StreamingOpsTest extends AnyFunSuite {
     val last = spark.read.parquet(s"$dir/mirror").select("id").as[Long].collect().toSet
     assert(last == Set(3L))
   }
+
+  test("upsertMirrorEachBatch MERGE-applies change batches to the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_mirror").toString
+    val path = s"$dir/mirror"
+    val mem = MemoryStream[(String, Long, String)]
+    val changes = mem.toDF.toDF("op", "id", "status")
+    val sq = StreamingOps.upsertMirrorEachBatch(changes, Seq("id"), path).start()
+
+    // batch 1: pure inserts into an empty mirror
+    mem.addData(("upsert", 1L, "a"), ("upsert", 2L, "b"))
+    sq.processAllAvailable()
+    assert(spark.read.parquet(path).select("id", "status").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // batch 2: update 2, delete 1, insert 3 — MERGE semantics, applied
+    // incrementally, never a truncate-reload of untouched rows
+    mem.addData(("upsert", 2L, "b2"), ("delete", 1L, "a"), ("upsert", 3L, "c"))
+    sq.processAllAvailable()
+    sq.stop()
+    assert(spark.read.parquet(path).select("id", "status").as[(Long, String)]
+      .collect().toSet == Set((2L, "b2"), (3L, "c")))
+
+    // replay-idempotence: re-applying the last batch converges to the
+    // same snapshot (the failure/restart contract)
+    val batch2 = Seq(("upsert", 2L, "b2"), ("delete", 1L, "a"), ("upsert", 3L, "c"))
+      .toDF("op", "id", "status")
+    graft.operators.Diff.applyChanges(
+        spark.read.parquet(path), batch2, Seq("id"))
+      .localCheckpoint(true).write.mode("overwrite").parquet(path)
+    assert(spark.read.parquet(path).select("id", "status").as[(Long, String)]
+      .collect().toSet == Set((2L, "b2"), (3L, "c")))
+  }
 }
