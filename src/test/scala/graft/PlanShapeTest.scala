@@ -175,4 +175,33 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("graft_dotq"), p)
     assert(p.contains("SQRT(cast(graft_dotq"), p)
   }
+
+  test("q10_returned_items ships per-partition top-20, never a global sort") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the nation dim rides in broadcast, the returnflag filter reaches
+    // the lineitem scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q8_market_share prunes the fact through broadcast semi joins") {
+    val p = plan("q8_market_share")
+    // both reductions (PROMO parts, AMERICA customers) must be
+    // broadcast LeftSemi — the fact side is never shuffled to be pruned
+    assert("BroadcastHashJoin[^\\n]*LeftSemi".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q7_volume_shipping filters both nation roles before the fact join") {
+    val p = plan("q7_volume_shipping")
+    // the 2-nation filter lands on the nation dim scans (pushed), not
+    // as a post-join residual over the full fact output
+    assert("PushedFilters: \\[[^\\]]*In\\(n_name".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("histogram_prices broadcasts the 1-row bounds — no pre-agg shuffle") {
+    val p = plan("histogram_prices")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
