@@ -39,7 +39,12 @@ object BpeMerge {
     */
   def mergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // persisted: the lead-window frame feeds three subtrees (pair
+    // counts, match selection, rebuild) that prune differently, so
+    // ReuseExchange can't collapse them — without this the window runs
+    // three times per round
     val withNext = seq.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = withNext.filter(col("nxt").isNotNull)
       .groupBy(col("sym"), col("nxt"))
       .agg(count(lit(1)).as("cnt"))
