@@ -241,6 +241,75 @@ object Reshape {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // 3-way quorum reconciliation — anti-entropy's REPAIR step next to
+    // mirror_checksum's detection step: three replica mirrors (derived
+    // deterministically — replica i corrupts o_orderstatus where a
+    // keyed md5 digit fires, ~1/8 of rows each, independent per
+    // replica) vote per key. Vote counts can only be {3}, {2,1} or
+    // {1,1,1}: all_agree / majority-repairable / conflict. The
+    // resolved-value checksum (mirror_checksum's rendering) proves
+    // WHAT the repair converges to without shipping any rows. Shape:
+    // one union of three map-side projections, two key-grouped hash
+    // aggregates, a 3-row result.
+    "mirror_quorum" -> ((s, dir) => {
+      val base = orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      val reps = (0 to 2).map { i =>
+        base.select(col("o_orderkey"),
+          when(graft.functions.TextFns.hexVal(
+            substring(md5(concat_ws("#", col("o_orderkey"), lit(i))), 1, 1)) < 2,
+            concat(col("o_orderstatus"), lit(s"_X$i")))
+            .otherwise(col("o_orderstatus")).as("v"))
+      }.reduce(_ unionByName _)
+      val votes = reps.groupBy(col("o_orderkey"), col("v"))
+        .agg(count(lit(1)).as("n"))
+      votes.groupBy(col("o_orderkey"))
+        // argmax by (votes, value) — deterministic even in the
+        // all-distinct conflict case (where the winner is unused)
+        .agg(max(struct(col("n"), col("v"))).as("t"))
+        .select(col("o_orderkey"), col("t.n").as("n_top"), col("t.v").as("v_top"))
+        .withColumn("class",
+          when(col("n_top") === 3, "all_agree")
+            .when(col("n_top") === 2, "majority")
+            .otherwise("conflict"))
+        .withColumn("rh",
+          when(col("n_top") >= 2,
+            conv(substring(md5(concat_ws("|", col("o_orderkey"), col("v_top"))),
+              1, 10), 16, 10).cast("long"))
+            .otherwise(0L))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("rh")).as("resolved_checksum"))
+        .orderBy(col("class"))
+    }),
+
+    // Exact proportional allocation (largest-remainder method): split a
+    // fixed integer budget across segments proportionally to revenue so
+    // the rounded parts sum EXACTLY to the budget — floor quotas, then
+    // +1 to the largest remainders until the shortfall is spent. The
+    // only window runs over the segment alphabet (bounded, never data-
+    // sized); the two scalar aggregates broadcast. decimal(38,0) quota
+    // math so a 100 TB revenue total times the budget cannot wrap.
+    "allocate_budget" -> ((s, dir) => {
+      val B = 1000000L
+      val seg = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum((d2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val tot = seg.agg(sum(col("cents")).as("total"))
+      val f = seg.crossJoin(broadcast(tot))
+        .withColumn("alloc_floor",
+          expr(s"(CAST($B AS DECIMAL(38,0)) * cents) div total"))
+        .withColumn("rem",
+          expr(s"CAST((CAST($B AS DECIMAL(38,0)) * cents) % total AS BIGINT)"))
+      val short = f.agg((lit(B) - sum(col("alloc_floor"))).as("short"))
+      f.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("c_mktsegment"))))
+        .select(col("c_mktsegment"), col("cents"),
+          (col("alloc_floor") +
+            when(col("rk") <= col("short"), 1L).otherwise(0L)).as("alloc"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Association mining over user behavior: for every event-type pair,
     // how many users did both, and the lift vs independence as exact
     // integer permille — lift = P(a,b) / (P(a)P(b)) cross-multiplied to
@@ -321,7 +390,61 @@ object Reshape {
        |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  private val quorumSql = {
+    val digits = (1 to 10)
+      .map(b => s"CAST(${hexDigitSql("h", b)} AS BIGINT) * ${1L << (4 * (10 - b))}")
+      .mkString(" +\n      ")
+    def rep(i: Int) =
+      s"SELECT o_orderkey, CASE WHEN ${hexDigitSql(s"md5(concat_ws('#', o_orderkey, $i))", 1)} < 2 " +
+        s"THEN o_orderstatus || '_X$i' ELSE o_orderstatus END AS v FROM orders"
+    s"""WITH reps AS (
+       |  ${rep(0)}
+       |  UNION ALL ${rep(1)}
+       |  UNION ALL ${rep(2)}),
+       |votes AS (
+       |  SELECT o_orderkey, v, count(*) AS n FROM reps GROUP BY o_orderkey, v),
+       |top AS (
+       |  SELECT o_orderkey, n AS n_top, v AS v_top FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |      ORDER BY n DESC, v DESC) AS rk
+       |    FROM votes) WHERE rk = 1),
+       |cls AS (
+       |  SELECT
+       |    CASE WHEN n_top = 3 THEN 'all_agree'
+       |         WHEN n_top = 2 THEN 'majority' ELSE 'conflict' END AS class,
+       |    CASE WHEN n_top >= 2
+       |         THEN md5(concat_ws('|', o_orderkey, v_top)) END AS h
+       |  FROM top),
+       |v2 AS (
+       |  SELECT class,
+       |    CASE WHEN h IS NULL THEN 0 ELSE CAST(
+       |      $digits
+       |    AS BIGINT) END AS rh
+       |  FROM cls)
+       |SELECT class, count(*) AS n_keys, CAST(sum(rh) AS BIGINT) AS resolved_checksum
+       |FROM v2 GROUP BY class ORDER BY class""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "mirror_quorum" -> quorumSql,
+
+    "allocate_budget" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM seg),
+        |f AS (SELECT c_mktsegment, cents,
+        |    CAST((1000000 * CAST(cents AS HUGEINT)) // total AS BIGINT) AS alloc_floor,
+        |    CAST((1000000 * CAST(cents AS HUGEINT)) % total AS BIGINT) AS rem
+        |  FROM seg, t),
+        |s AS (SELECT CAST(1000000 - sum(alloc_floor) AS BIGINT) AS short FROM f),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, c_mktsegment) AS rk FROM f)
+        |SELECT c_mktsegment, cents,
+        |  CAST(alloc_floor + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, s ORDER BY c_mktsegment""".stripMargin,
 
     "event_cooccurrence" -> cooccurrenceSql,
 
