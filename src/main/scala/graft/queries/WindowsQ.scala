@@ -79,10 +79,94 @@ object WindowsQ {
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // Trailing-window anomaly detection: each hour's event count vs the
+    // mean/variance of the PREVIOUS 24 hours, the 2-sigma test done in
+    // exact integers via cross-multiplication — (n·x − s1)² > 4·(n·s2 −
+    // s1²) is (x−μ)² > (2σ)² with every n² cleared, so no division and
+    // no doubles anywhere. The one unpartitioned ordered window runs
+    // over the hourly PRE-AGGREGATE: rows bounded by the calendar, not
+    // data volume (the price_record_lows argument).
+    "anomaly_hours" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("n", count(col("x")).over(w))
+        .withColumn("s1", sum(col("x")).over(w))
+        .withColumn("s2", sum(col("x") * col("x")).over(w))
+        .filter(col("n") >= 12)
+        .select(tsUs(col("h")).as("h_us"), col("x"), col("n"),
+          ((col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1")) >
+            lit(4) * (col("n") * col("s2") - col("s1") * col("s1")))
+            .as("anomalous"))
+        .orderBy(col("h_us"))
+    }),
+
+    // Longest strictly-increasing daily-revenue run per segment —
+    // gaps-and-islands over the daily pre-aggregate: a break row (first
+    // day, or no rise) starts a new island via a running break-count;
+    // island length counts the anchor day plus its consecutive rises.
+    // Both windows key by segment over day-granular rows (calendar-
+    // bounded input).
+    "revenue_streaks" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("day", col("o_orderdate")).as("d"))
+        .agg(sum((d2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      val wSeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("d"))
+      daily
+        .withColumn("brk",
+          when(col("cents") > lag(col("cents"), 1).over(wSeg), 0L).otherwise(1L))
+        .withColumn("island", sum(col("brk")).over(
+          wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("c_mktsegment"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("c_mktsegment"))
+        .agg(max(col("len")).as("longest_streak"), sum(col("len")).as("n_days"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+
+    "anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT h, x,
+        |    count(x) OVER win AS n,
+        |    sum(x) OVER win AS s1,
+        |    sum(x * x) OVER win AS s2
+        |  FROM hourly
+        |  WINDOW win AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT epoch_us(h) AS h_us, x, CAST(n AS BIGINT) AS n,
+        |  (n * x - s1) * (n * x - s1) > 4 * (n * s2 - s1 * s1) AS anomalous
+        |FROM w WHERE n >= 12 ORDER BY h_us""".stripMargin,
+
+    "revenue_streaks" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment, date_trunc('day', o_orderdate) AS d,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, d,
+        |    CASE WHEN cents > lag(cents) OVER (PARTITION BY c_mktsegment ORDER BY d)
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM daily),
+        |i AS (
+        |  SELECT c_mktsegment,
+        |    sum(brk) OVER (PARTITION BY c_mktsegment ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |l AS (SELECT c_mktsegment, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_days
+        |FROM l GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "window_tumbling" ->
       s"""SELECT epoch_us(ts) - epoch_us(ts) % $US_5M AS w_start_us,
