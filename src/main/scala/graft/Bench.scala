@@ -72,12 +72,18 @@ object Bench {
         import org.apache.spark.sql.functions.{col, timestamp_seconds}
         val dir = java.nio.file.Files
           .createTempDirectory("graft_stream_bench").toString
-        // File-stream source requires a directory; the sf dir holds one
-        // file per table, so scope the listing with a glob filter.
-        val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-        val docs = spark.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet")
-          .parquet(sfDir)
+        // File-stream source requires a directory. The driver's sf dirs
+        // hold one FILE per table (list the parent, glob the file);
+        // GenBig's probe dirs hold one DIRECTORY per table (stream it
+        // directly). The glob-on-parent branch must never run against a
+        // table directory: it would match no files and silently time a
+        // zero-row stream.
+        val src = s"$sfDir/documents.parquet"
+        val schema = spark.read.parquet(src).schema
+        val reader = spark.readStream.schema(schema)
+        val docs =
+          if (new java.io.File(src).isDirectory) reader.parquet(src)
+          else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
           .withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
         val q = graft.streaming.StreamingOps.overwriteMirrorEachBatch(
             graft.streaming.StreamingOps.curationIngest(docs), s"$dir/mirror")

@@ -65,10 +65,12 @@ object BpeMerge {
       .filter(col("rir") % 2 === 1)
       .select(col("doc_id"), col("pos"), lit(true).as("k"))
 
+    // a consumed row is the one right after a kept merge; positions are
+    // dense, so lag(k) over the doc window IS "kept at pos - 1" — one
+    // window instead of a second join against the kept set
     val next = marked
       .join(kept, Seq("doc_id", "pos"), "left")
-      .join(kept.select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("k").as("consumed")), Seq("doc_id", "pos"), "left")
+      .withColumn("consumed", lag(col("k"), 1).over(wDoc))
       .filter(col("consumed").isNull)
       .withColumn("sym2",
         when(col("k"), concat(col("sym"), lit("_"), col("nxt")))
@@ -78,12 +80,13 @@ object BpeMerge {
     (next, top)
   }
 
-  /** K merge rounds; returns the merge table (round, l, r, cnt) ordered
-    * by round — the learned vocabulary additions. Each intermediate
-    * sequence persists (two window passes + two joins per round would
-    * otherwise recompute the whole chain per consumer).
+  /** K merge rounds; returns (merge table (round, l, r, cnt) ordered by
+    * round — the learned vocabulary additions — , the final merged
+    * sequence). Each intermediate sequence persists (two window passes +
+    * two joins per round would otherwise recompute the whole chain per
+    * consumer).
     */
-  def trainMerges(seq0: DataFrame, k: Int): DataFrame = {
+  def trainAndApply(seq0: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var seq = seq0.persist(lvl)
@@ -92,8 +95,12 @@ object BpeMerge {
       seq = next.persist(lvl)
       top.withColumn("round", lit(round.toLong))
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _)
       .select(col("round"), col("l"), col("r"), col("cnt"))
-      .orderBy(col("round"))
+      .orderBy(col("round")), seq)
   }
+
+  /** The merge table alone (see [[trainAndApply]]). */
+  def trainMerges(seq0: DataFrame, k: Int): DataFrame =
+    trainAndApply(seq0, k)._1
 }

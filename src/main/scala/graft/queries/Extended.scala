@@ -101,8 +101,11 @@ object Extended {
       val r = c.select(col("blk"), col("c_custkey").as("b"), col("c_name").as("name_b"))
       l.join(r, Seq("blk"))
         .filter(col("a") < col("b"))
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("lev") <= 2)
+        // threshold-bounded levenshtein: banded DP, O(t·n) per pair
+        // instead of O(n·m); -1 marks "beyond the bound" (never ≤ t, so
+        // the filter must test -1, not the bound)
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("lev") =!= -1)
         .select(col("a"), col("b"), col("lev").cast("long").as("lev"))
         .orderBy(col("a"), col("b"))
     }),
@@ -118,8 +121,8 @@ object Extended {
         part(s, dir).select(col("p_partkey"), col("p_name")),
         Seq(col("p_name"), col("p_partkey")), w = 3)
       pairs
-        .withColumn("lev", levenshtein(col("p_name_a"), col("p_name_b")))
-        .filter(col("lev") <= 10)
+        .withColumn("lev", levenshtein(col("p_name_a"), col("p_name_b"), 10))
+        .filter(col("lev") =!= -1)
         .select(col("p_partkey_a").as("a"), col("p_partkey_b").as("b"),
           col("lev").cast("long").as("lev"))
         .orderBy(col("a"), col("b"))
@@ -152,7 +155,7 @@ object Extended {
         when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
           .otherwise(col("c_name_a")).as("nb"))
       val pairs = bp.unionByName(snm).distinct()
-        .filter(levenshtein(col("na"), col("nb")) <= 2)
+        .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
         .select(col("a"), col("b"))
       graft.operators.Dedup.componentsFromPairs(pairs)
         .select(col("doc_id").as("c_custkey"),

@@ -20,14 +20,28 @@ object TokenizerQ {
 
   private val ROUNDS = 3
 
+  private def seq0(s: org.apache.spark.sql.SparkSession, dir: String) =
+    documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "sym")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("sym"))
+
   def queries: Map[String, Q] = Map(
-    "bpe_train_merges" -> ((s, dir) => {
-      val seq0 = documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "sym")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          col("sym"))
-      BpeMerge.trainMerges(seq0, ROUNDS)
+    "bpe_train_merges" -> ((s, dir) =>
+      BpeMerge.trainMerges(seq0(s, dir), ROUNDS)),
+
+    // The APPLY side of the trainer: encode the corpus with the learned
+    // merges and report the token-count compression — the measurement a
+    // tokenizer pipeline actually ships. Integer permille, one row.
+    "bpe_apply_stats" -> ((s, dir) => {
+      val base = seq0(s, dir)
+      val (_, fin) = BpeMerge.trainAndApply(base, ROUNDS)
+      base.agg(count(lit(1)).as("tokens_before"))
+        .crossJoin(fin.agg(count(lit(1)).as("tokens_after")))
+        .select(col("tokens_before"), col("tokens_after"),
+          expr("(1000 * tokens_after) div tokens_before")
+            .as("compression_permille"))
     })
   )
 
@@ -64,20 +78,35 @@ object TokenizerQ {
        |    LEFT JOIN k$i kp ON kp.doc_id = n.doc_id AND kp.pos = n.pos - 1
        |    WHERE kp.pos IS NULL))""".stripMargin
 
+  // plain (non-interpolated) triple quote: no escape processing, so the
+  // regex backslash is written single
+  private val r0Sql =
+    """r0 AS (
+      |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+      |    unnest(toks) AS sym
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |        FROM documents))""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "bpe_train_merges" -> {
       val rounds = (1 to ROUNDS).map(roundSql).mkString(",\n")
       val out = (1 to ROUNDS)
         .map(i => s"SELECT CAST($i AS BIGINT) AS round, l, r, CAST(cnt AS BIGINT) AS cnt FROM t$i")
         .mkString("\nUNION ALL ")
-      s"""WITH r0 AS (
-         |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
-         |    unnest(toks) AS sym
-         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
-         |        FROM documents)),
+      s"""WITH $r0Sql,
          |$rounds
          |$out
          |ORDER BY round""".stripMargin
+    },
+
+    "bpe_apply_stats" -> {
+      val rounds = (1 to ROUNDS).map(roundSql).mkString(",\n")
+      s"""WITH $r0Sql,
+         |$rounds
+         |SELECT CAST((SELECT count(*) FROM r0) AS BIGINT) AS tokens_before,
+         |  CAST((SELECT count(*) FROM r$ROUNDS) AS BIGINT) AS tokens_after,
+         |  CAST((1000 * (SELECT count(*) FROM r$ROUNDS))
+         |    // (SELECT count(*) FROM r0) AS BIGINT) AS compression_permille""".stripMargin
     }
   )
 }
