@@ -81,9 +81,10 @@ object Bench {
         val src = s"$sfDir/documents.parquet"
         val schema = spark.read.parquet(src).schema
         val reader = spark.readStream.schema(schema)
-        val docs =
+        val raw =
           if (new java.io.File(src).isDirectory) reader.parquet(src)
           else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        val docs = raw
           .withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
         val q = graft.streaming.StreamingOps.overwriteMirrorEachBatch(
             graft.streaming.StreamingOps.curationIngest(docs), s"$dir/mirror")
