@@ -191,6 +191,63 @@ object Olap {
         .orderBy(col("c_custkey"))
     }),
 
+    // ANALYZE-style column statistics in ONE aggregate pass — the
+    // zone-map/optimizer-stats collector: min/max/ndv/null-count for
+    // three lineitem columns computed together (Catalyst expands the
+    // multi-distinct into one Expand + aggregate, still a single scan),
+    // then reshaped to one row per column. Values leave in canonical
+    // integer units (cents / epoch days) so the stats are engine-
+    // portable.
+    "table_stats" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("long")
+      val cents = (d2(col("l_extendedprice")) * 100).cast("long")
+      val day = datediff(col("l_shipdate"), lit("1970-01-01").cast("timestamp"))
+        .cast("long")
+      val a = lineitem(s, dir).agg(
+        min(qty).as("qty_min"), max(qty).as("qty_max"),
+        countDistinct(qty).as("qty_ndv"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        min(cents).as("price_min"), max(cents).as("price_max"),
+        countDistinct(cents).as("price_ndv"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+        min(day).as("day_min"), max(day).as("day_max"),
+        countDistinct(day).as("day_ndv"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("day_nulls"))
+      Seq(("l_quantity", "qty"), ("l_extendedprice_cents", "price"),
+        ("l_shipdate_day", "day"))
+        .map { case (name, p) =>
+          a.select(lit(name).as("col_name"), col(s"${p}_min").as("min_v"),
+            col(s"${p}_max").as("max_v"), col(s"${p}_ndv").as("n_distinct"),
+            col(s"${p}_nulls").as("n_nulls"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("col_name"))
+    }),
+
+    // Z-order interleave — the multi-dimensional clustering key behind
+    // data-skipping layouts: bit-interleave (partkey, suppkey) into one
+    // locality-preserving long, then profile the coarse z-buckets (row
+    // count + per-dimension key spread). A scan clustered by z serves
+    // range predicates on EITHER dimension from few buckets — the
+    // 100 TB pruning story the flat layouts can't give; pure map-side
+    // bit arithmetic + one bucket-keyed aggregate.
+    "zorder_layout" -> ((s, dir) => {
+      val x = col("l_partkey") % 65536
+      val y = col("l_suppkey") % 65536
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+        .withColumn("z_bucket", expr("zval div 67108864"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy(col("z_bucket"))
+    }),
+
     // Equi-width histogram with data-driven bounds: one tiny min/max
     // aggregate broadcasts into a map-side bucket assignment — two scans,
     // zero shuffles before the 20-row result. All bucket math in exact
@@ -290,6 +347,44 @@ object Olap {
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
         |    AND l_quantity BETWEEN 20 AND 50)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "table_stats" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_min,
+        |    CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max,
+        |    CAST(count(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ndv,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+        |    CAST(min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_min,
+        |    CAST(max(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_max,
+        |    CAST(count(DISTINCT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_ndv,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls,
+        |    CAST(min(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)) AS BIGINT) AS day_min,
+        |    CAST(max(date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)) AS BIGINT) AS day_max,
+        |    CAST(count(DISTINCT date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)) AS BIGINT) AS day_ndv,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS day_nulls
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, qty_min AS min_v, qty_max AS max_v,
+        |    qty_ndv AS n_distinct, qty_nulls AS n_nulls FROM a
+        |  UNION ALL SELECT 'l_extendedprice_cents', price_min, price_max,
+        |    price_ndv, price_nulls FROM a
+        |  UNION ALL SELECT 'l_shipdate_day', day_min, day_max,
+        |    day_ndv, day_nulls FROM a)
+        |ORDER BY col_name""".stripMargin,
+
+    "zorder_layout" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i}) + " +
+          s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, ($zTerms) AS zval FROM lineitem)
+         |SELECT zval // 67108864 AS z_bucket, count(*) AS n_rows,
+         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
 
     "window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment,
