@@ -38,6 +38,16 @@ object BpeMerge {
     * Returns (next sequence, the 1-row merge table (l, r, cnt)).
     */
   def mergeRound(seq: DataFrame): (DataFrame, DataFrame) = {
+    val (next, top, _) = mergeRoundImpl(seq)
+    (next, top)
+  }
+
+  /** [[mergeRound]] plus the internally-persisted lead-window frame, so
+    * [[trainAndApply]] can unpersist it once the round's outputs are
+    * materialized (K rounds would otherwise pin 2K+1 frames for the
+    * session).
+    */
+  private def mergeRoundImpl(seq: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // persisted: the lead-window frame feeds three subtrees (pair
     // counts, match selection, rebuild) that prune differently, so
@@ -52,7 +62,12 @@ object BpeMerge {
       .limit(1)
       .select(col("sym").as("l"), col("nxt").as("r"), col("cnt"))
 
-    val marked = withNext.crossJoin(broadcast(top))
+    // left join on true, not crossJoin: `top` is empty when the corpus
+    // has no adjacent pair left (all docs are single symbols), and a
+    // cross join would then silently drop every sequence; the left join
+    // keeps them with null l/r, the match filter below selects nothing,
+    // and the rebuild is a no-op — the fixed point of the merge loop
+    val marked = withNext.join(broadcast(top), lit(true), "left")
     // greedy non-overlap: matches overlap iff their positions are
     // adjacent, so runs of consecutive match positions resolve by
     // keeping the odd-indexed members of each run
@@ -77,23 +92,41 @@ object BpeMerge {
           .otherwise(col("sym")))
       .withColumn("pos2", row_number().over(wDoc).cast("long"))
       .select(col("doc_id"), col("pos2").as("pos"), col("sym2").as("sym"))
-    (next, top)
+    (next, top, withNext)
   }
 
   /** K merge rounds; returns (merge table (round, l, r, cnt) ordered by
     * round — the learned vocabulary additions — , the final merged
-    * sequence). Each intermediate sequence persists (two window passes +
-    * two joins per round would otherwise recompute the whole chain per
-    * consumer).
+    * sequence). Each round materializes eagerly: the next sequence and
+    * the 1-row merge table persist and count, then the previous round's
+    * sequence and lead-window frame unpersist — steady-state memory is
+    * one sequence plus K 1-row merge tables, not 2K+1 full frames. When
+    * a round learns nothing (no adjacent pair anywhere) the loop stops:
+    * every later round would be the identical no-op.
     */
   def trainAndApply(seq0: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var seq = seq0.persist(lvl)
-    val merges = (1 to k).map { round =>
-      val (next, top) = mergeRound(seq)
-      seq = next.persist(lvl)
-      top.withColumn("round", lit(round.toLong))
+    // seq0 is never persisted here: each round reads its input exactly
+    // once (into the persisted lead-window frame), and the caller may
+    // still hold seq0 — unpersisting someone else's frame is rude
+    var seq = seq0
+    var owned = false
+    val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val (next, top, withNext) = mergeRoundImpl(seq)
+      val nextP = next.persist(lvl)
+      val topP = top.withColumn("round", lit(round.toLong)).persist(lvl)
+      nextP.count()
+      exhausted = topP.count() == 0L
+      merges += topP
+      withNext.unpersist()
+      if (owned) seq.unpersist()
+      seq = nextP
+      owned = true
+      round += 1
     }
     (merges.reduce(_ unionByName _)
       .select(col("round"), col("l"), col("r"), col("cnt"))

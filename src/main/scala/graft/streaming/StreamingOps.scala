@@ -271,6 +271,15 @@ object StreamingOps {
     * surface; at warehouse scale the same foreachBatch body targets a
     * MERGE-capable sink (`Jdbc.overwriteMirror`'s allow-listed tables,
     * or a table format's MERGE INTO) and the rewrite disappears.
+    *
+    * CONTRACT (inherited from `Diff.applyChanges`): each micro-batch
+    * must carry at most ONE op per key. A batch holding both an upsert
+    * and a delete for the same key has no defined winner — micro-batch
+    * rows are unordered, so "last op" does not exist without an
+    * explicit sequence column. Feeds that can emit multiple ops per key
+    * between triggers must pre-reduce to the final op per key upstream
+    * (e.g. a `row_number` over a change-sequence column in the source
+    * extractor) before handing the stream here.
     */
   def upsertMirrorEachBatch(changes: DataFrame, keys: Seq[String], path: String) =
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

@@ -48,6 +48,21 @@ class BpeMergeTest extends AnyFunSuite {
     assert(m == Seq((1L, "x", "y", 4L), (2L, "x_y", "x_y", 2L)))
   }
 
+  test("a round with no adjacent pair is a no-op, not a wipe") {
+    // every doc is a single symbol -> zero pairs -> the merge table is
+    // empty and the sequence must come through UNCHANGED (a cross join
+    // against the empty top would silently drop all rows)
+    val (next, top) = BpeMerge.mergeRound(seqOf(Seq((1L, "a"), (2L, "b"))))
+    assert(top.count() == 0L)
+    assert(next.orderBy("doc_id").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 1L, "a"), (2L, 1L, "b")))
+    // trainAndApply over the degenerate corpus: stops after the first
+    // exhausted round, keeps the corpus intact
+    val (merges, fin) = BpeMerge.trainAndApply(seqOf(Seq((1L, "a"))), 3)
+    assert(merges.count() == 0L)
+    assert(fin.as[(Long, Long, String)].collect().toSeq == Seq((1L, 1L, "a")))
+  }
+
   test("pairs never span document boundaries") {
     // (b,a) would only exist across the doc1|doc2 boundary
     val (_, top) = BpeMerge.mergeRound(seqOf(Seq((1L, "a b"), (2L, "a b"))))
