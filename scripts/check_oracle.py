@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a per-query {"name": "pass"|"fail: reason"}
+artifact (the committed CORRECTNESS_sf1.json scale gate).
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 oracle against the parquet tables in <sfDir>, loads the corresponding Spark
@@ -24,7 +27,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -32,22 +35,26 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    status = {}
     for name, sql in sorted(oracles.items()):
         try:
             want = canon(con.execute(sql).fetchdf())
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output")
+                status[name] = "fail: no spark output"
                 failures += 1
                 continue
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf())
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+                status[name] = "fail: column mismatch"
                 failures += 1
                 continue
             if got.shape != want.shape:
                 print(f"FAIL {name}: shape {got.shape} != {want.shape}")
+                status[name] = f"fail: shape {got.shape} != {want.shape}"
                 failures += 1
                 continue
             # exact value compare, row order significant (both sides ORDER BY)
@@ -58,15 +65,25 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: value mismatch cols={bad_cols} first_row={idx}")
                 print("  got :", got.loc[idx].to_dict())
                 print("  want:", want.loc[idx].to_dict())
+                status[name] = f"fail: value mismatch cols={bad_cols}"
                 failures += 1
                 continue
             print(f"OK   {name} ({got.shape[0]} rows x {got.shape[1]} cols)")
+            status[name] = f"pass ({got.shape[0]} rows)"
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            status[name] = f"fail: {type(e).__name__}"
             failures += 1
     print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(oracles),
+                       "n_pass": len(oracles) - failures,
+                       "queries": status}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Scale-correctness gate: run the DuckDB oracle at 10x (tmp_sf1, the
+# GenBig-replicated corpus) for a sample spanning the partitioning- and
+# overflow-sensitive families — dedup/CC, ANN, windows, decimal
+# aggregates, joins — and commit the result as CORRECTNESS_sf1.json.
+# The sf0.01 driver gate proves semantics; this proves the same plans
+# survive a 10x scale-up (AQE re-plans, skew paths, spill) bit-exactly.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SAMPLE=dedup_exact,dedup_minhash_lsh,dedup_clusters,dedup_simhash,er_clusters,dedup_ngram_jaccard,ann_ivfpq_top3,ann_bruteforce_top5,window_range_frame,window_running_total,scd2_intervals,topk_orders_per_cust,q1_pricing_summary,ols_price_on_qty,weighted_avg_price,q5_region_revenue,mirror_apply,asof_join_events,token_stats
+
+OUT=${1:-/tmp/verify_sf1}
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_ONLY="$SAMPLE" \
+  java -cp "target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+  graft.Verify tmp_sf1 "$OUT"
+python3 scripts/check_oracle.py tmp_sf1 "$OUT" CORRECTNESS_sf1.json

@@ -62,11 +62,16 @@ object Bench {
     // streaming regressions surface in the artifacts, not just tests.
     // Source = the documents table replayed as a file stream (ts
     // synthesized deterministically from doc_id); sink = the idempotent
-    // overwrite mirror. Deliberately outside the warmup/retry machinery:
-    // one cold end-to-end run (source listing + state store + commit
-    // log) is the realistic unit for a batch-boundary streaming job.
-    def timeStreaming(): (String, Option[Double]) = {
-      val name = "streaming_curate_mirror"
+    // overwrite mirror.
+    //
+    // Run TWICE, fresh checkpoint each: the first (cold) pass pays
+    // one-off source-listing / state-store / codegen costs that
+    // round-7 measurement showed swing 4-16 s across sessions and
+    // scales — real, but not comparable round over round. The WARM
+    // pass is the per-query entry and lands in the headline total; the
+    // cold pass is reported separately as `streaming_cold` so the
+    // fixed-cost story stays visible without distorting the total.
+    def timeStreamingOnce(): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         import org.apache.spark.sql.functions.{col, timestamp_seconds}
@@ -92,13 +97,18 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        (name, Some((System.nanoTime() - t0) / 1e9))
+        Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case t: Throwable =>
           System.err.println(
-            s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-          (name, None)
+            s"BENCH FAIL streaming_curate_mirror: ${t.getClass.getName}: ${t.getMessage}")
+          None
       }
+    }
+    def timeStreaming(): (Option[Double], (String, Option[Double])) = {
+      val cold = timeStreamingOnce()
+      val warm = if (cold.isDefined) timeStreamingOnce() else None
+      (cold, ("streaming_curate_mirror", warm))
     }
 
     val p1 = names.map(n => n -> timeOne(n)).toMap
@@ -108,10 +118,11 @@ object Bench {
     // stall gets a second measurement, a one-off failure a second chance.
     val suspects = names.filter(n => p1(n).forall(_ > math.max(1.5, 3 * median)))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
+    val (streamCold, streamEntry) = timeStreaming()
     val results = names.map { n =>
       val runs = p1(n).toSeq ++ p2.get(n).flatten.toSeq
       n -> (if (runs.isEmpty) None else Some(runs.min))
-    } :+ timeStreaming()
+    } :+ streamEntry
     // 3-decimal seconds (1 ms granularity — an order below the shared
     // host's jitter) keep the one-line JSON as short as possible; full
     // 17-digit doubles overflowed the driver's log-tail capture in
@@ -124,7 +135,8 @@ object Bench {
     val total = fmt(results.flatMap(_._2).sum)
     val failedJson = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val coldJson = streamCold.map(fmt).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above has outgrown the driver's 2000-char log-tail
     // window (90+ queries x ~27 chars), which cuts its leading
     // "metric"/"value" fields — so ALSO emit a compact summary line,

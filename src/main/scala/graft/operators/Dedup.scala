@@ -352,12 +352,44 @@ object Dedup {
     // prefix rows — without this the df-join + ranking-window chain that
     // builds them runs twice.
     val pre = materialized(prefixRows(inv, threshold))
-    val cand = pre.select(col("s"), col("doc_id").as("a"))
-      .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    jaccardFromCounts(interCounts(cand, inv), shingleSizes(inv), threshold)
+    // Data-dependent regime guard. The prefix rule helps exactly when
+    // the candidate join's fan-out Σ_s df(s)² over the PREFIX index is
+    // well below the full index's — the usual case at high thresholds,
+    // where the prefix keeps ~(1-t)·|A| rare shingles per doc. But on a
+    // near-duplicate-heavy corpus the rule inverts: replication
+    // multiplies the df of exactly the rare shingles the prefix keys
+    // on (while the full index's fan-out stays bounded by the df
+    // ceiling, which DROPS shingles that grow past the cap), so the
+    // "pruned" join does more work than the plain one. Both fan-outs
+    // are one hash aggregate over an already-persisted frame, so
+    // measure instead of guessing; the prefix path must also pay its
+    // verification joins against the full index, hence the 2x margin.
+    // Either path is lossless (pinned by DedupTest at both regimes),
+    // so the choice affects only the physical plan.
+    def fanout(ix: DataFrame): Long = {
+      val r = ix.groupBy(col("s")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("c")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val inter =
+      if (fanout(pre) * 2 <= fanout(inv)) {
+        val cand = pre.select(col("s"), col("doc_id").as("a"))
+          .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+          .distinct()
+        interCounts(cand, inv)
+      } else
+        // plain-tier intersection counts straight off the self-join —
+        // NOT candidates + re-verification, which would pay the join
+        // fan-out twice and make the fallback slower than the tier it
+        // falls back to
+        inv.select(col("s"), col("doc_id").as("a"))
+          .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, shingleSizes(inv), threshold)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join — the
@@ -510,9 +542,29 @@ object Dedup {
     // Materialize the edge list once: the iteration below references it
     // every round (neighbor join + convergence check), and without the
     // checkpoint the full upstream pair pipeline (e.g. MinHash LSH)
-    // would re-execute per round.
-    val edges = save(pairs.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"))))
+    // would re-execute per round. Pre-partitioned on v — the per-round
+    // neighbor join's key — BEFORE the checkpoint: LogicalRDD preserves
+    // the child's output partitioning, so every round's join shuffles
+    // only the (small, changing) label table while the (large, frozen)
+    // edge table stays put. On a chain-diameter graph that removes the
+    // dominant shuffle from every one of the O(log d) rounds.
+    // The caller's pair pipeline (LSH, blocking, edit-distance…) is
+    // materialized FIRST, alone: the edge build below references the
+    // pair list four times (two symmetric projections + the self-loop
+    // distinct), and without this checkpoint each reference would
+    // re-execute the whole upstream pipeline inside one job.
+    val p0 = save(pairs.select(col("a"), col("b")))
+    // Self-loops (u,u) are unioned in so that the per-round neighbor
+    // aggregate min(lbl) OVER neighbors∪self IS least(own, neighbor
+    // min) directly — the label table is then referenced exactly once
+    // per propagation (no separate left join back against itself), so
+    // an UNCHECKPOINTED intermediate label table can feed a second
+    // propagation in the same job without its subtree re-executing.
+    val sym = p0.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
+    val edges = save(sym
+      .unionByName(sym.select(col("u"), col("u").as("v")).distinct())
+      .repartition(col("v")))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var converged = false
@@ -526,23 +578,53 @@ object Dedup {
     // — a long sum can overflow at billions of 64-bit ids, and a wrapped
     // (or ANSI-nulled) sum could fake convergence.
     var prevSum: Option[java.math.BigDecimal] = None
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+    // One propagate+jump unit over the current label table `cur`,
+    // jumping through `through`. Jumps go through a SEPARATE table
+    // (the previous checkpointed table, or the previous unit's output)
+    // rather than self-joining the propagated frame — a self-join
+    // would hash its two sides on different keys (lbl vs node), so
+    // ReuseExchange couldn't collapse them and the whole propagated
+    // subtree would execute twice. `through` holds every node, its
+    // labels only decrease and stay inside the component, so a jumped
+    // label is still a valid, monotonically-decreasing component label
+    // and the fixed point (labels = component minima) is unchanged.
+    //
+    // THREE jumps per unit: each extra join adds the through-table's
+    // full travel distance again (r_k = (j+1)·r_{k-1} + 1 with j
+    // jumps), making one unit a 4x distance contraction for the price
+    // of two extra small label-table joins in the same linear dataflow.
+    def unit(cur: DataFrame, through: DataFrame): DataFrame = {
+      // min over neighbors∪self (edges carry self-loops) = least(own,
+      // neighbor min): one reference to `cur`, one linear dataflow
+      val propagated = edges
+        .join(cur.withColumnRenamed("node", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("node"))
-        .agg(min(col("lbl")).as("nlbl"))
-      val propagated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // Pointer jump: lbl := lbl(lbl). Every label is itself a node in
-      // the table (labels start as node ids and only copy existing
-      // labels), so the self-join is total; labels only decrease and
-      // stay inside the component.
-      val jumped = propagated.alias("n")
-        .join(propagated.select(col("node").as("p_node"), col("lbl").as("p_lbl")),
-          col("n.lbl") === col("p_node"))
-        .select(col("n.node").as("node"), col("p_lbl").as("lbl"))
-      labels = save(jumped) // cut the growing lineage
+        .agg(min(col("lbl")).as("lbl"))
+      val prev = through
+        .select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      (1 to 3).foldLeft(propagated) { (acc, _) =>
+        acc.alias("n").join(prev, col("n.lbl") === col("p_node"))
+          .select(col("n.node").as("node"), col("p_lbl").as("lbl"))
+      }
+    }
+    while (!converged && iter < maxIters) {
+      // TWO units per checkpointed round: the checkpoint
+      // materialization and the convergence aggregate are
+      // driver-synchronized job waves — the dominant cost on a
+      // chain-diameter graph once each unit is one linear dataflow.
+      // Two units between checkpoints halve those waves. The second
+      // unit's cur is the first unit's (uncheckpointed) output —
+      // referenced exactly once, so its subtree executes once inside
+      // the same job — while its jumps go through the CHECKPOINTED
+      // table (jumping through `once` would re-execute that subtree
+      // three more times; through a one-unit-stale map the jump is
+      // still valid and still compounds the per-round contraction to
+      // ~7x — a diameter-d chain converges in ~log7(d) rounds).
+      val tRound = System.nanoTime()
+      val once = unit(labels, labels)
+      labels = save(unit(once, labels)) // cut the growing lineage
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC round $iter: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       val newSum = labels
         .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)).as("s"))

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
 /** Multimodal-column plumbing (SURVEY §2.9 [EXT]): images/audio/video ride
-  * as opaque `binary` columns with typed metadata beside them. The decode
-  * step is a clearly-marked deterministic STUB (no image/audio libs in
-  * this container); everything Spark-side — schema, batch iteration,
-  * partition-level processing, output encoding — is real and tested.
+  * as opaque `binary` columns with typed metadata beside them. Container
+  * HEADER decode (PNG/JPEG/GIF format + dimensions) is real byte-layout
+  * parsing ([[decodeDims]]); only pixel-level decode is a clearly-marked
+  * deterministic STUB (no image/audio codec libs in this container).
+  * Everything Spark-side — schema, batch iteration, partition-level
+  * processing, output encoding — is real and tested.
   *
   * Scale notes: at 100 TB media payloads dominate row size. Keep them in
   * their own column (parquet stores it in a separate chunk, so metadata
@@ -62,6 +64,93 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val feats = bytes.take(8).map(b => (b & 0xff) / 255.0f)
           MediaFeatures(id, bytes.length, feats)
+        }
+      }
+  }
+
+  /** A real-header decode row: container format sniffed from magic bytes
+    * plus the pixel dimensions parsed from the format's own header
+    * layout. `fmt` is "png" / "jpeg" / "gif" / "unknown"; unknown rows
+    * carry width = height = -1 rather than being dropped, so corrupt
+    * payloads stay visible to downstream quality gates.
+    */
+  final case class MediaDims(doc_id: Long, fmt: String, width: Long, height: Long)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Parse (format, width, height) from real image container headers —
+    * pure bytes-in, no codec library:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+    *    (PNG spec §11.2.2), so width/height are the two big-endian u32s
+    *    at offsets 16 and 20.
+    *  - JPEG: FF D8 SOI, then marker segments, each FF <type> <u16 len>;
+    *    dimensions live in the first SOFn frame header (FF C0..CF minus
+    *    C4/C8/CC which are huffman/arithmetic/extension): u8 precision,
+    *    u16 height, u16 width after the length.
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *    little-endian u16 width/height at offsets 6 and 8.
+    *
+    * Truncated or malformed payloads return None, never throw — a 100 TB
+    * crawl always contains garbage bytes.
+    */
+  private[operators] def parseDims(b: Array[Byte]): Option[(String, Long, Long)] = {
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length >= 24 && b.startsWith(pngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(b, 16), be32(b, 20)))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // walk marker segments to the first SOFn
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // lost sync: not a marker
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill byte before a marker
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 >= b.length) return None // truncated SOF
+          return Some(("jpeg", be16(b, i + 7).toLong, be16(b, i + 5).toLong))
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else if (m == 0xd9) {
+          return None // EOI before any SOF
+        } else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+               b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(b, 6).toLong, le16(b, 8).toLong))
+    else None
+  }
+
+  /** Decode REAL container headers partition-at-a-time: the non-stub half
+    * of the decode story. Format sniffing and dimension parsing are the
+    * genuine PNG/JPEG/GIF byte layouts ([[parseDims]]); only pixel-level
+    * decode (which needs a codec library this container doesn't ship)
+    * remains behind [[decodeFeatures]]'s stub. Same plumbing contract:
+    * typed Dataset out of mapPartitions, payload bytes never leave the
+    * executors.
+    */
+  def decodeDims(withPayload: DataFrame): Dataset[MediaDims] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          parseDims(bytes) match {
+            case Some((fmt, w, h)) => MediaDims(id, fmt, w, h)
+            case None              => MediaDims(id, "unknown", -1L, -1L)
+          }
         }
       }
   }

@@ -135,9 +135,31 @@ object Extended {
     // the dedup family uses. One canonical merge/purge pipeline, each
     // stage already proven separately; the oracle recomputes the whole
     // chain including the recursive closure.
+    //
+    // Replica-clique contraction: identical names are trivial matches
+    // (edit distance 0), and on a duplicate-heavy corpus an exact-name
+    // group of k rows would otherwise flood both candidate generators
+    // with k² intra-group pairs. Contract each exact-name group to its
+    // min-key representative FIRST: the group reaches the match graph
+    // through k-1 chain edges (rep → member), and the candidate
+    // generators run over DISTINCT names only. Components are
+    // preserved — every old intra-group pair connected rows the chain
+    // edges still connect, and a cross-name edge only needs one
+    // endpoint per name to pull in the whole group. On a deduplicated
+    // corpus (sf0.01/sf0.1: c_name embeds c_custkey, so names are
+    // unique) the contraction is a no-op and the output is identical
+    // to the uncontracted plan the oracle recomputes.
     "er_clusters" -> ((s, dir) => {
       val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
-      val blk = c.withColumn("blk", substring(col("c_name"), 15, 4))
+      // persisted: feeds the chain edges AND the representative corpus
+      val grp = c.groupBy(col("c_name"))
+        .agg(min(col("c_custkey")).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val chain = c.join(grp, Seq("c_name"))
+        .filter(col("c_custkey") =!= col("rep"))
+        .select(col("rep").as("a"), col("c_custkey").as("b"))
+      val reps = grp.select(col("rep").as("c_custkey"), col("c_name"))
+      val blk = reps.withColumn("blk", substring(col("c_name"), 15, 4))
       val bp = blk
         .select(col("blk"), col("c_custkey").as("a"), col("c_name").as("na"))
         .join(blk.select(col("blk"), col("c_custkey").as("b"),
@@ -145,7 +167,7 @@ object Extended {
         .filter(col("a") < col("b"))
         .select(col("a"), col("na"), col("b"), col("nb"))
       val snmRaw = graft.operators.Blocking.sortedNeighborhood(
-        c, Seq(col("c_name"), col("c_custkey")), w = 3)
+        reps, Seq(col("c_name"), col("c_custkey")), w = 3)
       // canonicalize to a < b (SNM emits in name order, not key order)
       val snm = snmRaw.select(
         least(col("c_custkey_a"), col("c_custkey_b")).as("a"),
@@ -157,6 +179,7 @@ object Extended {
       val pairs = bp.unionByName(snm).distinct()
         .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
         .select(col("a"), col("b"))
+        .unionByName(chain)
       graft.operators.Dedup.componentsFromPairs(pairs)
         .select(col("doc_id").as("c_custkey"),
           col("rep_doc_id").as("rep_custkey"))

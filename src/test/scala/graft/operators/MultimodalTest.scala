@@ -43,6 +43,59 @@ class MultimodalTest extends AnyFunSuite {
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  // -------- real container-header parsing (crafted byte fixtures) -----
+
+  /** Minimal PNG prefix: 8-byte signature, IHDR length+type, then
+    * big-endian u32 width/height. Everything after is irrelevant to the
+    * header parse.
+    */
+  private def pngBytes(w: Long, h: Long): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array(0x00, 0x00, 0x00, 0x0d, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt)
+    def u32(v: Long) = Array((v >> 24).toInt, (v >> 16).toInt, (v >> 8).toInt, v.toInt)
+    (sig ++ ihdr ++ u32(w) ++ u32(h) ++ Array(8, 6, 0, 0, 0)).map(_.toByte)
+  }
+
+  /** JPEG: SOI, an APP0 segment and a COM segment to force real marker
+    * walking, then SOF0 with u16 height/width.
+    */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def u16(v: Int) = Array(v >> 8, v & 0xff)
+    val soi = Array(0xff, 0xd8)
+    val app0 = Array(0xff, 0xe0) ++ u16(6) ++ Array(0x4a, 0x46, 0x49, 0x46)
+    val com = Array(0xff, 0xfe) ++ u16(4) ++ Array('h'.toInt, 'i'.toInt)
+    val sof0 = Array(0xff, 0xc0) ++ u16(11) ++ Array(8) ++ u16(h) ++ u16(w) ++
+      Array(3, 1, 0x22, 0)
+    (soi ++ app0 ++ com ++ sof0).map(_.toByte)
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII").map(_.toInt) ++
+      Array(w & 0xff, w >> 8, h & 0xff, h >> 8) ++ Array(0xf7, 0, 0))
+      .map(_.toByte)
+
+  test("parseDims reads real PNG/JPEG/GIF header layouts") {
+    assert(Multimodal.parseDims(pngBytes(640, 480)) == Some(("png", 640L, 480L)))
+    assert(Multimodal.parseDims(jpegBytes(456, 123)) == Some(("jpeg", 456L, 123L)))
+    assert(Multimodal.parseDims(gifBytes(2, 3)) == Some(("gif", 2L, 3L)))
+    // garbage, truncation, and a JPEG with EOI before any SOF all refuse
+    assert(Multimodal.parseDims("not an image".getBytes) == None)
+    assert(Multimodal.parseDims(pngBytes(640, 480).take(12)) == None)
+    assert(Multimodal.parseDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == None)
+  }
+
+  test("decodeDims: mapPartitions parses headers; unknown payloads kept visible") {
+    val payloads = Seq(
+      (0L, pngBytes(1920L, 1080L)),
+      (1L, jpegBytes(800, 600)),
+      (2L, gifBytes(16, 16)),
+      (3L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeDims(payloads).collect().sortBy(_.doc_id)
+    assert(out.map(d => (d.fmt, d.width, d.height)).toSeq == Seq(
+      ("png", 1920L, 1080L), ("jpeg", 800L, 600L),
+      ("gif", 16L, 16L), ("unknown", -1L, -1L)))
+  }
+
   test("sampleFrames yields every stride-th byte index") {
     val out = Multimodal.sampleFrames(Multimodal.attachPayload(docs), stride = 4)
     val idx = out.filter(col("doc_id") === 0).select("frame_idx").as[Seq[Int]].head()
