@@ -176,6 +176,133 @@ object Olap {
         .orderBy(col("p_brand"))
     }),
 
+    // Q6-shape: the forecasting-revenue-change scan — a pure
+    // filter+aggregate with NO join at all, the canonical predicate-
+    // pushdown probe: all three filters must reach the parquet scan
+    // (PushedFilters) and the whole query is one codegen'd pass.
+    // Discount compared in exact integer percent (5..7), quantity in
+    // longs; the discount-revenue sum is exact decimal, one cast out.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          (d2(col("l_discount")) * 100).cast("long").between(5, 7) &&
+          col("l_quantity").cast("long") < 24)
+        .agg(sum(d2(col("l_extendedprice")) * d2(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q13-shape: customer order-count distribution. The orders side is
+    // pre-aggregated to (custkey, count) BEFORE meeting customers — the
+    // outer join then carries one row per customer, not one per order —
+    // and customers with zero qualifying orders surface as c_count=0
+    // through the left join (the distribution's head). Two shuffles
+    // total (orders by custkey, counts by c_count); both key spaces
+    // shrink monotonically, so the shape is scale-stable.
+    "q13_order_distribution" -> ((s, dir) => {
+      val perCust = orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      customer(s, dir).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15-shape: top supplier(s) by quarterly revenue — the argmax-
+    // against-a-scalar pattern: per-supplier revenue in exact 10^-4
+    // units, the 1-row max broadcast back over the aggregate (never a
+    // global sort), ties kept by exact long equality. The supplier dim
+    // arrives broadcast for the name lookup after the argmax filter,
+    // when only the winners remain.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .withColumn("rev_u", revU(col("l_extendedprice"), col("l_discount")))
+        .groupBy(col("l_suppkey")).agg(sum(col("rev_u")).as("total_u"))
+      val mx = rev.agg(max(col("total_u")).as("mx_u"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_u") === col("mx_u"))
+        .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_u").cast("double") / 10000).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q17-shape: small-quantity-order revenue for one brand. The
+    // correlated "below 20% of this part's average quantity" becomes a
+    // per-part aggregate joined back to the fact on the SAME key — both
+    // sides shuffle on l_partkey once and co-partition, no window, no
+    // second scan of the unfiltered fact (the brand broadcast prunes
+    // first). avg comparison is exact: qty < sum/(5n) ⇔ qty·5·n < sum
+    // in longs — no division ever happens.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = part(s, dir).filter(col("p_brand") === "Brand#2")
+        .select(col("p_partkey"))
+      val li = lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          (d2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("qty") * 5 * col("n") < col("sum_qty"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_items"))
+        .select((col("sum_cents").cast("double") / 700).as("avg_yearly"),
+          col("sum_cents"), col("n_items"))
+    }),
+
+    // Q18-shape: large-volume orders. HAVING sum(qty) > 150 reduces on
+    // the fact's own grouping key (map-side combinable), the surviving
+    // order keys join back as a SEMI filter, and the top-100 plans
+    // TakeOrderedAndProject — each partition ships only its local 100.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, dir).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q22-shape: wealthy inactive customers. The "above the average
+    // positive balance" scalar rides as an exact integer cross-predicate
+    // (cents·n > sum_cents — no division, no double), broadcast from a
+    // 1-row aggregate; "inactive" is an anti-join against the urgent-
+    // order feed (this synthetic's every customer HAS orders, so the
+    // reference's no-orders-at-all gate is re-aimed at no-URGENT-orders
+    // to keep the anti-join load-bearing). cents ~1e6 · n ~1e10 at
+    // 100 TB stays well under 2^63.
+    "q22_inactive_customers" -> ((s, dir) => {
+      val stats = customer(s, dir).filter(col("c_acctbal") > 0)
+        .agg(sum((d2(col("c_acctbal")) * 100).cast("long")).as("sum_cents"),
+          count(lit(1)).as("n"))
+      val urgent = orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      customer(s, dir)
+        .filter(col("c_nationkey").between(1, 10))
+        .crossJoin(broadcast(stats))
+        .filter((d2(col("c_acctbal")) * 100).cast("long") * col("n") >
+          col("sum_cents"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(d2(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(col("nationkey"))
+    }),
+
     // §2.5 distribution windows: percent_rank + cume_dist per segment.
     // Both are a single int/int division per row (rank-1)/(n-1) and
     // rank/n — one correctly-rounded double each, bit-portable. The
@@ -385,6 +512,80 @@ object Olap {
          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp
          |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
     },
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        |  AND CAST(l_quantity AS BIGINT) < 24""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+        |SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |      AS BIGINT) AS total_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 10000 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_u = (SELECT max(total_u) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')),
+        |pp AS (
+        |  SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |    COUNT(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 700 AS avg_yearly,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS n_items
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE qty * 5 * n < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_inactive_customers" ->
+      """WITH s AS (
+        |  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents, COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, s
+        |WHERE c_nationkey BETWEEN 1 AND 10
+        |  AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment,

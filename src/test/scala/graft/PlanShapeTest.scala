@@ -204,4 +204,42 @@ class PlanShapeTest extends AnyFunSuite {
     val p = plan("histogram_prices")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q6_forecast_revenue pushes all three filters to the scan, zero joins") {
+    val p = plan("q6_forecast_revenue")
+    // shipdate range must prune at the parquet scan. The plan printer
+    // truncates long filter lists at a fixed width, and the truncation
+    // point shifts with attribute-id width — so accept the range
+    // predicate in EITHER of the scan line's two spellings (DataFilters
+    // infix / PushedFilters prefix), whichever survived truncation.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    val scanLine = p.split("\n").filter(_.contains("FileScan")).mkString
+    assert("GreaterThanOrEqual\\(l_shipda".r.findFirstIn(scanLine).isDefined ||
+      "l_shipdate#\\d+ >= 19".r.findFirstIn(scanLine).isDefined, p)
+    // no join operator anywhere — scan → filter → partial/final agg
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q18_large_orders ships per-partition top-100, never a global sort") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the HAVING reduction partially aggregates on the fact's own key
+    // before its shuffle (map-side combine on l_orderkey)
+    assert("partial_sum|Partial".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q17_small_qty_revenue co-partitions the per-part threshold join") {
+    val p = plan("q17_small_qty_revenue")
+    // brand pruning is a broadcast semi on the fact; the correlated
+    // threshold is a same-key equi join (both sides hashed on partkey),
+    // never a window over the unfiltered fact
+    assert("BroadcastHashJoin[^\\n]*LeftSemi".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q22_inactive_customers broadcasts the scalar and anti-joins inactivity") {
+    val p = plan("q22_inactive_customers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }
