@@ -354,6 +354,43 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-LM fluency scoring — the SQL-expressible analog of the
+    // KenLM-perplexity quality gate every big curation pipeline runs:
+    // score each document by how common its word bigrams are in the
+    // corpus itself. All-integer (no log, no perplexity float): the
+    // score is avg relative bigram frequency in parts-per-billion,
+    // computed as one exact decimal integer division at the edge.
+    // Shape at 100 TB: the bigram count table is vocab²-bounded and
+    // map-side combinable; the scoring join shuffles on the bigram key
+    // co-partitioned with the count build; the corpus-total rides as a
+    // broadcast 1-row scalar. The bigram frame feeds all three
+    // consumers from one persist.
+    "bigram_fluency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, dir)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bf = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("f"))
+      val tot = bigrams.agg(count(lit(1)).as("total"))
+      bigrams.join(bf, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("f")).as("sum_f"), count(lit(1)).as("n_bigrams"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_bigrams"),
+          // decimal(38,0) before the 1e9 scale-up: sum_f·1e9 at corpus
+          // scale exceeds a long (q8's overflow rule)
+          expr("CAST((CAST(sum_f AS DECIMAL(38,0)) * 1000000000) div " +
+            "(CAST(n_bigrams AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))) AS BIGINT)")
+            .as("fluency_ppb"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic content-hash split: stable train/val/test assignment
     // from the doc fingerprint's last hex digit (16ths: 14/1/1) — the
     // split survives reshuffles, re-runs and engine changes, unlike
@@ -734,6 +771,25 @@ object TextDedup {
            |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
            |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
            |FROM m ORDER BY doc_id""".stripMargin,
+
+      "bigram_fluency" ->
+        """WITH toks AS (
+          |  SELECT doc_id, CAST(generate_subscripts(a, 1) AS BIGINT) AS pos,
+          |    unnest(a) AS tok
+          |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS a
+          |        FROM documents)),
+          |big AS (
+          |  SELECT doc_id,
+          |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+          |  FROM toks QUALIFY bg IS NOT NULL),
+          |bf AS (SELECT bg, count(*) AS f FROM big GROUP BY 1),
+          |t AS (SELECT count(*) AS total FROM big)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST((CAST(sum(f) AS HUGEINT) * 1000000000)
+          |    // (CAST(count(*) AS HUGEINT)
+          |       * CAST((SELECT total FROM t) AS HUGEINT)) AS BIGINT) AS fluency_ppb
+          |FROM big JOIN bf USING (bg)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "token_stats" ->
         """SELECT doc_id,
