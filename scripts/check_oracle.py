@@ -28,7 +28,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None,
+         only: set = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         # testdata tables are single files; Spark-written ones (tmp_sf1)
@@ -37,8 +38,21 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    # Spark-written events (GenBig) carry ts as BIGINT nanos (Spark can't
+    # write TIMESTAMP(NANOS)); normalize to the micros TIMESTAMP the
+    # oracles expect, with the same truncating division Tables.events uses
+    if con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] == "BIGINT":
+        con.execute("DROP VIEW events")
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(
+            "CREATE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     status = {}
     for name, sql in sorted(oracles.items()):
@@ -90,5 +104,11 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    # argv: sfDir outDir [jsonOut] [--only=a,b,c]
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+    sys.exit(main(args[0], args[1],
+                  args[2] if len(args) > 2 else None, only))

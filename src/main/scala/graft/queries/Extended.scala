@@ -498,8 +498,21 @@ object Extended {
           |WHERE levenshtein(x.c_name, y.c_name) <= 2
           |ORDER BY a, b""".stripMargin,
 
+      // Mirrors the implementation's replica-clique contraction: the
+      // candidate generators (blocking + SNM) run over DISTINCT names
+      // (one min-key representative each), members inherit their rep's
+      // component root through the name group. On unique-name corpora
+      // (sf0.001..0.1) this is bit-identical to the uncontracted
+      // closure; on replicated corpora it is BOTH the declared
+      // semantics (SNM windows over names, not over replica padding)
+      // AND what keeps the reach closure tractable — Σ|component|²
+      // shrinks by the replication factor squared.
       "er_clusters" ->
-        """WITH RECURSIVE c AS (SELECT c_custkey, c_name FROM customer),
+        """WITH RECURSIVE cc AS (SELECT c_custkey, c_name FROM customer),
+          |grp AS (SELECT c_name, CAST(MIN(c_custkey) AS BIGINT) AS rep,
+          |          COUNT(*) AS gn
+          |        FROM cc GROUP BY c_name),
+          |c AS (SELECT rep AS c_custkey, c_name FROM grp),
           |bp AS (
           |  SELECT x.c_custkey AS a, x.c_name AS na,
           |         y.c_custkey AS b, y.c_name AS nb
@@ -530,9 +543,14 @@ object Extended {
           |  UNION
           |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
           |comp AS (
-          |  SELECT node AS c_custkey, CAST(MIN(root) AS BIGINT) AS rep_custkey
+          |  SELECT node, CAST(MIN(root) AS BIGINT) AS root
           |  FROM reach GROUP BY node)
-          |SELECT c_custkey, rep_custkey FROM comp ORDER BY c_custkey""".stripMargin,
+          |SELECT m.c_custkey,
+          |  CAST(COALESCE(comp.root, g.rep) AS BIGINT) AS rep_custkey
+          |FROM cc m JOIN grp g USING (c_name)
+          |LEFT JOIN comp ON g.rep = comp.node
+          |WHERE comp.root IS NOT NULL OR g.gn > 1
+          |ORDER BY m.c_custkey""".stripMargin,
 
       "sorted_neighborhood_pairs" ->
         """WITH s AS (
