@@ -19,9 +19,12 @@ CPUS=${SPARK_GRAFT_CPUS:-32}
   java -cp "$CP" -Xmx48g graft.GenBig
 
 run_one() { # $1 = sf dir, $2 = artifact path
+  # NOTE: no `head` inside the pipeline — closing the pipe early
+  # SIGPIPEs the java side under pipefail and aborts the script
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS="$CPUS" \
     java -cp "$CP" -Xmx48g graft.Bench 2>/dev/null \
-    | grep '"metric"' | head -1 > "$2"
+    | grep '"metric"' > "$2".all
+  head -1 "$2".all > "$2" && rm -f "$2".all
   echo "== $1 -> $2"
   python3 - "$2" <<'PY'
 import json, sys
