@@ -646,6 +646,57 @@ object Dedup {
     }
   }
 
+  /** Multi-source BFS layers over an undirected pair graph: each node's
+    * hop distance from its component's representative (the min-id node,
+    * per [[componentsFromPairs]]). The per-cluster radius profile this
+    * yields is the dup-graph diagnostic CC alone can't give — a
+    * chain-shaped cluster (transitive near-dups drifting content) and a
+    * star-shaped one (one template, many copies) have identical
+    * components but very different layer histograms.
+    *
+    * Scale shape: classic frontier BFS — per round one shuffle join of
+    * the (shrinking) frontier against the checkpointed edge table
+    * (pre-partitioned on the join key, so only the frontier moves), one
+    * anti-join against visited, rounds = graph diameter (small for dup
+    * clusters by construction). Visited is re-checkpointed per round to
+    * keep lineage flat. Throws after `maxIters` rounds with a live
+    * frontier — a partial layering is wrong, never silently returned.
+    *
+    * Input: (a, b) pairs with a < b. Output: (doc_id, layer) for every
+    * node in the pair graph; representatives are layer 0.
+    */
+  def bfsLayers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    def save(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    val p0 = save(pairs.select(col("a"), col("b")))
+    val edges = save(p0.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u")))
+    val comp = componentsFromPairs(p0)
+    var visited = save(comp.filter(col("doc_id") === col("rep_doc_id"))
+      .select(col("doc_id").as("node"), lit(0L).as("layer")))
+    var frontier = visited
+    var layer = 1
+    var done = false
+    while (!done && layer <= maxIters) {
+      val next = save(edges
+        .join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("layer", lit(layer.toLong)))
+      if (next.isEmpty) done = true
+      else {
+        visited = save(visited.unionByName(next))
+        frontier = next
+        layer += 1
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"bfsLayers frontier still live after $maxIters rounds; " +
+          "a partial layering would be wrong — raise maxIters")
+    visited.select(col("node").as("doc_id"), col("layer"))
+  }
+
   /** SimHash dedup: group identical signatures (Hamming distance 0). */
   def simhashDedup(docs: DataFrame, n: Int, nBits: Int = 16): DataFrame =
     withSimhash(shingleRows(docs, n), nBits)

@@ -18,6 +18,33 @@ object Reshape {
 
   def queries: Map[String, Q] = Map(
 
+    // Exact weighted median (weight = quantity) per return flag: the
+    // order statistic percentile_orders can't give when rows carry
+    // weights. Division-free: the median is the smallest value whose
+    // running weight doubles past the group total (2·cum ≥ tot in
+    // longs). One pre-aggregate collapses duplicate cent values before
+    // the cumulative window, so the window runs over distinct values
+    // per group, not raw rows — at 100 TB that's the difference between
+    // a bounded per-group frame and a fact-sized one. The 3-row group
+    // totals ride back as a broadcast join.
+    "weighted_median_price" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_returnflag"),
+        (d2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      val grouped = li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("w")).as("gw"))
+      val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("total_weight"))
+      val win = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped.withColumn("cum", sum(col("gw")).over(win))
+        .join(broadcast(tot), Seq("l_returnflag"))
+        .filter(col("cum") * 2 >= col("total_weight"))
+        .groupBy(col("l_returnflag"), col("total_weight"))
+        .agg(min(col("cents")).as("median_cents"))
+        .select(col("l_returnflag"), col("median_cents"), col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Unpivot / melt — the inverse of pivot_orders: one wide aggregate
     // row per priority becomes one (metric, value) row per measure.
     // Spark's native unpivot (no UDTF, no explode-of-struct shim) keeps
@@ -426,6 +453,28 @@ object Reshape {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "weighted_median_price" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS gw
+        |      FROM li GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS total_weight
+        |      FROM li GROUP BY 1),
+        |c AS (SELECT l_returnflag, cents,
+        |        CAST(SUM(gw) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum
+        |      FROM g)
+        |SELECT c.l_returnflag, CAST(MIN(cents) AS BIGINT) AS median_cents,
+        |  total_weight
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |WHERE cum * 2 >= total_weight
+        |GROUP BY c.l_returnflag, total_weight
+        |ORDER BY c.l_returnflag""".stripMargin,
 
     "mirror_quorum" -> quorumSql,
 

@@ -198,6 +198,19 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Dup-cluster shape profile: BFS hop distance from each cluster's
+    // representative over the same verified LSH pair graph
+    // dedup_clusters labels — distinguishes chain-shaped clusters
+    // (drifting near-dup content) from star-shaped ones (one template,
+    // many copies), which CC alone cannot.
+    "bfs_layers" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
+      Dedup.bfsLayers(pairs.select(col("a"), col("b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Triangle census of the verified near-dup graph: how clique-like
     // are the dup clusters? Triangles via the canonical-order two-hop
     // join (a<b<c, so each triangle is enumerated exactly once); wedges
@@ -389,6 +402,31 @@ object TextDedup {
             "(CAST(n_bigrams AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))) AS BIGINT)")
             .as("fluency_ppb"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Contingency-table profile (lang × source): observed cell counts
+    // beside the independence expectation, the dependence diagnostic a
+    // domain-mix curator reads before reweighting. Expectation kept
+    // exact: E[cell]·1e6 = row_total·col_total·1e6 div N in decimal —
+    // no chi-square float, the caller compares integer millionths.
+    // Shape: one cell aggregate, two marginal re-aggregates OF the cell
+    // table (never a second corpus scan), both broadcast back.
+    "crosstab_lang_source" -> ((s, dir) => {
+      val cells = documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("rt"))
+      val colT = cells.groupBy(col("source")).agg(sum(col("n")).as("ct"))
+      val nTot = cells.agg(sum(col("n")).as("nn"))
+      cells
+        .join(broadcast(rowT), Seq("lang"))
+        .join(broadcast(colT), Seq("source"))
+        .crossJoin(broadcast(nTot))
+        .select(col("lang"), col("source"), col("n"),
+          expr("CAST((CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)) " +
+            "* 1000000) div CAST(nn AS DECIMAL(38,0)) AS BIGINT)")
+            .as("expected_millionths"))
+        .orderBy(col("lang"), col("source"))
     }),
 
     // Deterministic content-hash split: stable train/val/test assignment
@@ -616,6 +654,21 @@ object TextDedup {
 
       "dedup_minhash_lsh" -> minhashSql,
       "dedup_clusters" -> clustersSql,
+      // Min-hop BFS from each component's rep. The plain recursive CTE
+      // enumerates (node, d) pairs for EVERY reachable hop count, so a
+      // depth cap is what makes it terminate on cyclic graphs; 30 > the
+      // implementation's 20-round frontier bound, so any diameter the
+      // cap could distort would already have thrown Spark-side.
+      "bfs_layers" ->
+        s"""WITH RECURSIVE $lshCommon,
+           |${clusterTailSql(0.5)},
+           |walk(node, d) AS (
+           |  SELECT DISTINCT rep_doc_id AS node, 0 AS d FROM comp
+           |  UNION
+           |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+           |  WHERE w.d < 30)
+           |SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS layer
+           |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
       "dedup_ngram_jaccard" -> ngramSql,
       // Prefix filtering is lossless, so the prefix-filtered tier is
       // pinned to the full-inverted-index oracle at ITS threshold (0.8)
@@ -771,6 +824,18 @@ object TextDedup {
            |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
            |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS score
            |FROM m ORDER BY doc_id""".stripMargin,
+
+      "crosstab_lang_source" ->
+        """WITH cells AS (
+          |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+          |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+          |ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+          |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+          |SELECT lang, source, n,
+          |  CAST((CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) * 1000000)
+          |    // CAST(nn AS HUGEINT) AS BIGINT) AS expected_millionths
+          |FROM cells JOIN rt USING (lang) JOIN ct USING (source), nn
+          |ORDER BY lang, source""".stripMargin,
 
       "bigram_fluency" ->
         """WITH toks AS (

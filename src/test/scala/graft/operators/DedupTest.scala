@@ -190,6 +190,34 @@ class DedupTest extends AnyFunSuite {
     }
   }
 
+  test("bfsLayers: chain vs star give distinct layer profiles, same components") {
+    // chain 1-2-3-4 (layers 0,1,2,3 from rep 1) and star 10-{11,12,13}
+    // (rep 10 at 0, all leaves at 1): identical component sizes, the
+    // different shapes only the layering distinguishes.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    val got = Dedup.bfsLayers(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L, 13L -> 1L))
+  }
+
+  test("bfsLayers takes the min-hop path on a cyclic graph") {
+    // cycle 1-2-3-4-5-1: node 4 is 2 hops via 5 as well as 3 via 2-3;
+    // layer must be the min (2), and the walk must terminate despite
+    // the cycle.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Dedup.bfsLayers(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("bfsLayers throws (not silently partial) when maxIters < diameter") {
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.bfsLayers(pairs, maxIters = 3)
+    }
+  }
+
   test("dfCeilingFraction cap is exact decimal, not double-rounded (100 x 0.07 = 7, not 8)") {
     // 100 * 0.07 = 7.000000000000001 in doubles -> ceil 8 would keep the
     // df=8 shingle the documented ceiling (7) requires dropping.
