@@ -697,6 +697,47 @@ object Dedup {
     visited.select(col("node").as("doc_id"), col("layer"))
   }
 
+  /** Neighborhood-Jaccard link prediction over an undirected pair
+    * graph: for every NON-adjacent pair with at least one common
+    * neighbor, the Jaccard of the two neighborhoods as integer
+    * permille — the classic "these nodes connect to the same things
+    * but not each other" scorer. On a verified dup graph this is the
+    * transitivity audit: a union of cliques (exact-replica dups)
+    * yields zero rows, and any row it DOES yield is an LSH near-miss
+    * worth a verify pass.
+    *
+    * Scale shape: candidates from the canonical-order two-hop join
+    * (shuffle key = the shared endpoint, fan-out bounded by the
+    * blocked degree), existing edges leave via an anti-join, degrees
+    * ride back as broadcasts, the score is an integer division, and
+    * top-k plans TakeOrderedAndProject — no global sort, no floats.
+    *
+    * Input: (a, b) pairs with a < b. Output: top-k
+    * (a, b, common, union_size, jaccard_permille).
+    */
+  def linkPredictionJaccard(pairs0: DataFrame, topK: Int = 100): DataFrame = {
+    val pairs = pairs0.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = pairs.union(pairs.select(col("b"), col("a"))).toDF("u", "v")
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val common = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u") &&
+        col("e1.u") < col("e2.v"))
+      .groupBy(col("e1.u").as("a"), col("e2.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common.join(pairs, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("u").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("u").as("b"), col("d").as("db"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        (col("da") + col("db") - col("common")).as("union_size"),
+        expr("(1000 * common) div (da + db - common)")
+          .as("jaccard_permille"))
+      .orderBy(col("jaccard_permille").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** SimHash dedup: group identical signatures (Hamming distance 0). */
   def simhashDedup(docs: DataFrame, n: Int, nBits: Int = 16): DataFrame =
     withSimhash(shingleRows(docs, n), nBits)

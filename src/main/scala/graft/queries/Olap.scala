@@ -303,6 +303,94 @@ object Olap {
         .orderBy(col("nationkey"))
     }),
 
+    // Q4-shape: order-priority checking. The trimmed schema has no
+    // commit/receipt dates, so "late" is re-aimed at shipping 90+ days
+    // after the order date — the EXISTS shape is unchanged: a date-
+    // windowed orders scan, a semi-join against the late-lineitem feed
+    // (which needs the parent order's date, so the fact joins the
+    // windowed orders first — that join IS the pushdown: only ~1/26 of
+    // orders survive the window, and AQE sizes the late side off that),
+    // then a 5-row priority rollup. The semi-join dedups for free — an
+    // order with five late items counts once, no DISTINCT needed.
+    "q4_priority_late" -> ((s, dir) => {
+      val win = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val late = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        .join(win.select(col("o_orderkey").as("ok"), col("o_orderdate").as("od")),
+          col("l_orderkey") === col("ok"))
+        .filter(col("l_shipdate") > col("od") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"))
+      win.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q16-shape: supplier variety per (brand, type, size). No partsupp
+    // table, so the part-supplier relation derives from the observed
+    // lineitem pairs (DISTINCT l_partkey, l_suppkey — same grain, one
+    // map-side-combinable distinct); "complaint" suppliers (no comment
+    // column) are re-aimed at negative account balance. The distinct
+    // count groups on broadcast part attributes, so the only shuffle
+    // after the derive is the 3-key aggregate.
+    "q16_supplier_variety" -> ((s, dir) => {
+      val ps = lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val parts = part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+      ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Q21-shape: suppliers who soloed a late order — the double-
+    // correlated EXISTS / NOT EXISTS optimizer stress test. l1 is the
+    // late-lineitem feed (shipdate > orderdate + 90d, finished orders);
+    // "some OTHER supplier in the same order" is a semi-join with a
+    // non-equi suppkey disequality riding on the orderkey equi-key, and
+    // "no OTHER supplier was late" is the same-shaped anti-join against
+    // the late pairs. Both right sides are deduped to (order, supplier)
+    // grain first — semi/anti joins never multiply, so the dedup only
+    // bounds the join fan-out. Count stays at lineitem grain like the
+    // reference query.
+    "q21_sole_late_supplier" -> ((s, dir) => {
+      val late = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val latePairs = late.select(col("l_orderkey").as("lo"),
+        col("l_suppkey").as("ls")).distinct()
+      val allPairs = lineitem(s, dir).select(col("l_orderkey").as("po"),
+        col("l_suppkey").as("ps")).distinct()
+      val natSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      late.filter(col("o_orderstatus") === "F")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(allPairs, col("l_orderkey") === col("po") &&
+          col("l_suppkey") =!= col("ps"), "left_semi")
+        .join(latePairs, col("l_orderkey") === col("lo") &&
+          col("l_suppkey") =!= col("ls"), "left_anti")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // §2.5 distribution windows: percent_rank + cume_dist per segment.
     // Both are a single int/int division per row (rank-1)/(n-1) and
     // rank/n — one correctly-rounded double each, bit-portable. The
@@ -586,6 +674,47 @@ object Olap {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey, o_orderstatus
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |WHERE l1.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment,

@@ -243,6 +243,22 @@ object TextDedup {
             .as("cc_permille"))
     }),
 
+    // Link prediction on the near-dup graph: neighborhood Jaccard for
+    // non-adjacent pairs with a shared neighbor — the "these two docs
+    // dedup against the same things but not (yet) each other" signal a
+    // curator reads as LSH near-misses worth a verify pass. On THIS
+    // corpus the verified graph is a union of exact-replica cliques
+    // (dupgraph_triangles: cc_permille = 1000), so the query doubles as
+    // the transitivity audit and its oracle-matched answer is EMPTY —
+    // any row appearing here is a real LSH miss. The operator's
+    // positive path (open wedges → scored predictions) is pinned on
+    // wedge-rich graphs in DedupTest.
+    "linkpred_jaccard" -> ((s, dir) => {
+      Dedup.linkPredictionJaccard(Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF)))
+    }),
+
     // Sparse weighted cosine pairs (bag-of-words angle, rare-heavy
     // linear weights, df-ceilinged): the cosine >= 0.9 gate runs as an
     // EXACT integer comparison (100·dot² >= 81·‖A‖²·‖B‖² in decimal),
@@ -622,6 +638,31 @@ object TextDedup {
          |    ELSE 0 END AS BIGINT) AS cc_permille
          |FROM agg""".stripMargin
 
+    // Neighborhood-Jaccard link prediction over the verified LSH pairs
+    // (mirrors linkpred_jaccard's two-hop candidates + degree join).
+    val linkpredSql =
+      s"""WITH $lshCommon,
+         |pairsq AS (${verifySql(0.5)}),
+         |und AS (SELECT a AS u, b AS v FROM pairsq
+         |        UNION ALL SELECT b AS u, a AS v FROM pairsq),
+         |degs AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+         |cmn AS (
+         |  SELECT e1.u AS a, e2.v AS b, count(*) AS common
+         |  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+         |  GROUP BY 1, 2),
+         |nonadj AS (
+         |  SELECT c.a, c.b, c.common FROM cmn c
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairsq p
+         |                    WHERE p.a = c.a AND p.b = c.b))
+         |SELECT n.a, n.b, CAST(n.common AS BIGINT) AS common,
+         |  CAST(da.d + db.d - n.common AS BIGINT) AS union_size,
+         |  CAST((1000 * n.common) // (da.d + db.d - n.common) AS BIGINT)
+         |    AS jaccard_permille
+         |FROM nonadj n
+         |JOIN degs da ON da.u = n.a
+         |JOIN degs db ON db.u = n.b
+         |ORDER BY jaccard_permille DESC, a, b LIMIT 100""".stripMargin
+
     // SimHash SQL (mirrors Dedup.withSimhash, nBits=16).
     val bitTerms = (0 until 16).map { b =>
       s"CASE WHEN list_sum(list_transform(shm, m -> ${hexValSql("m", b + 1)} % 2 * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END"
@@ -676,6 +717,7 @@ object TextDedup {
       // hash mismatch here.
       "dedup_jaccard_prefix" -> ngramSqlAt(0.8),
       "dupgraph_triangles" -> trianglesSql,
+      "linkpred_jaccard" -> linkpredSql,
       "dedup_simhash" -> simhashSql,
 
       // Weighted sparse cosine with the integer gate: occ keeps duplicate

@@ -218,6 +218,46 @@ class DedupTest extends AnyFunSuite {
     }
   }
 
+  test("linkPredictionJaccard scores open wedges and skips existing edges") {
+    // path 1-2-3-4: predicted (1,3) via 2 and (2,4) via 3, both
+    // common=1 union=2 -> 500 permille; (1,4) is distance 3 (no common
+    // neighbor) and must NOT appear; existing edges must not either.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.linkPredictionJaccard(pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 2L, 500L), (2L, 4L, 1L, 2L, 500L)))
+  }
+
+  test("linkPredictionJaccard is empty on a union of cliques (transitivity audit)") {
+    // triangle {1,2,3} + edge {7,8}: every common-neighbor pair is
+    // already adjacent, so a transitively-closed dup graph predicts
+    // nothing — the property the corpus query leans on.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    assert(Dedup.linkPredictionJaccard(pairs).isEmpty)
+  }
+
+  test("linkPredictionJaccard ranks the tighter neighborhood overlap first") {
+    // star core 10-{11,12,13} plus chain 11-12? no — use two wedges of
+    // different sharpness: hub 20 links {21,22}, and hub 30 links
+    // {31,32,33}. (21,22): common 1, union 2 -> 500. (31,32),(31,33),
+    // (32,33): common 1, union 2 -> 500 as well BUT their hubs' degree
+    // is 3, so union = d(31)+d(32)-1 = 1+1-1... degrees are leaf
+    // degrees (1 each): union 1, score 1000. Leaf pairs of ANY star
+    // score 1000; sharpen 20's wedge by giving 21 an extra neighbor 40,
+    // diluting (21,22) to union 2 -> 500, ranked after the 30-star's
+    // 1000s.
+    val pairs = Seq((20L, 21L), (20L, 22L), (21L, 40L),
+      (30L, 31L), (30L, 32L), (30L, 33L)).toDF("a", "b")
+    val got = Dedup.linkPredictionJaccard(pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.take(3).map(_._5).forall(_ == 1000L))
+    assert(got.take(3).map(t => (t._1, t._2)).toSet ==
+      Set((31L, 32L), (31L, 33L), (32L, 33L)))
+    assert(got.exists(t => (t._1, t._2) == (21L, 22L) && t._5 == 500L))
+    // 40's wedge partners: (20,40) via 21 — common 1, union d(20)+d(40)-1=2
+    assert(got.exists(t => (t._1, t._2) == (20L, 40L) && t._5 == 500L))
+  }
+
   test("dfCeilingFraction cap is exact decimal, not double-rounded (100 x 0.07 = 7, not 8)") {
     // 100 * 0.07 = 7.000000000000001 in doubles -> ceil 8 would keep the
     // df=8 shingle the documented ceiling (7) requires dropping.
