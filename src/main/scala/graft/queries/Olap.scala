@@ -303,30 +303,6 @@ object Olap {
         .orderBy(col("nationkey"))
     }),
 
-    // Q4-shape: order-priority checking. The trimmed schema has no
-    // commit/receipt dates, so "late" is re-aimed at shipping 90+ days
-    // after the order date — the EXISTS shape is unchanged: a date-
-    // windowed orders scan, a semi-join against the late-lineitem feed
-    // (which needs the parent order's date, so the fact joins the
-    // windowed orders first — that join IS the pushdown: only ~1/26 of
-    // orders survive the window, and AQE sizes the late side off that),
-    // then a 5-row priority rollup. The semi-join dedups for free — an
-    // order with five late items counts once, no DISTINCT needed.
-    "q4_priority_late" -> ((s, dir) => {
-      val win = orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
-      val late = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
-        .join(win.select(col("o_orderkey").as("ok"), col("o_orderdate").as("od")),
-          col("l_orderkey") === col("ok"))
-        .filter(col("l_shipdate") > col("od") + expr("INTERVAL 90 DAYS"))
-        .select(col("l_orderkey"))
-      win.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
     // Q16-shape: supplier variety per (brand, type, size). No partsupp
     // table, so the part-supplier relation derives from the observed
     // lineitem pairs (DISTINCT l_partkey, l_suppkey — same grain, one
@@ -673,16 +649,6 @@ object Olap {
         |  AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n > sum_cents
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q4_priority_late" ->
-      """SELECT o_orderpriority, COUNT(*) AS order_count
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-        |  AND o_orderdate < TIMESTAMP '1996-10-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |    WHERE l_orderkey = o_orderkey
-        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_supplier_variety" ->

@@ -243,14 +243,6 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("q4_priority_late dedups via semi join, pushes the date window to the scan") {
-    val p = plan("q4_priority_late")
-    assert("LeftSemi".r.findFirstIn(p).isDefined, p)
-    // the orders date window reaches the parquet scan, twice (win + late feed)
-    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
-    assert(!p.contains("Distinct"), p)
-  }
-
   test("q16_supplier_variety anti-joins bad suppliers and broadcasts the part dim") {
     val p = plan("q16_supplier_variety")
     assert("BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(p).isDefined, p)
