@@ -664,14 +664,25 @@ object Dedup {
     *
     * Input: (a, b) pairs with a < b. Output: (doc_id, layer) for every
     * node in the pair graph; representatives are layer 0.
+    *
+    * `checkpointDir` switches localCheckpoint (fast, but lineage dies
+    * with an executor) to reliable checkpointing — same contract as
+    * [[componentsFromPairs]]; set it on a real cluster.
     */
-  def bfsLayers(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    def save(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  def bfsLayers(pairs: DataFrame, maxIters: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    try {
     val p0 = save(pairs.select(col("a"), col("b")))
     val edges = save(p0.select(col("a").as("u"), col("b").as("v"))
       .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u")))
-    val comp = componentsFromPairs(p0)
+    val comp = componentsFromPairs(p0, checkpointDir = checkpointDir)
     var visited = save(comp.filter(col("doc_id") === col("rep_doc_id"))
       .select(col("doc_id").as("node"), lit(0L).as("layer")))
     var frontier = visited
@@ -695,6 +706,11 @@ object Dedup {
         s"bfsLayers frontier still live after $maxIters rounds; " +
           "a partial layering would be wrong — raise maxIters")
     visited.select(col("node").as("doc_id"), col("layer"))
+    } finally {
+      // every checkpoint is eager, so restoring the dir here is safe
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
   }
 
   /** Neighborhood-Jaccard link prediction over an undirected pair

@@ -211,6 +211,15 @@ class DedupTest extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("bfsLayers: reliable checkpoint dir mode matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("bfs_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.bfsLayers(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L))
+  }
+
   test("bfsLayers throws (not silently partial) when maxIters < diameter") {
     val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException] {
