@@ -497,6 +497,37 @@ object Dedup {
     agg.select(col("doc_id"), value.as("simhash"))
   }
 
+  /** [[withSimhash]] as ONE row-level expression — same signature values
+    * (equality pinned in DedupTest), no shuffle, no window: the form a
+    * STREAMING gate needs, where the relational tier's per-doc aggregate
+    * would turn a row filter into stateful update-mode output.
+    *
+    * The bit counters fold in a single `aggregate` HOF whose input array
+    * maps each distinct shingle through md5 exactly once (one aggregate
+    * consuming one transform — nothing indexes the built array, so the
+    * projection-fusion re-inline pitfall from SURVEY §8 lesson 1 does
+    * not apply). The signature assembles by Horner's rule over the
+    * reversed counter array (acc*2 + sign-bit, MSB first) — no
+    * per-bit power-of-two table, no shiftleft-by-column.
+    *
+    * Docs with fewer than n tokens have NO shingles and fold to 0 —
+    * callers gating on the signature must branch those to an exact
+    * fingerprint instead (see StreamingOps.nearDupGate), or every short
+    * doc would collapse into one survivor.
+    */
+  def rowSimhash(text: Column, n: Int = 3, nBits: Int = 16): Column = {
+    val grams = array_distinct(TextFns.shingles(TextFns.tokens(text), n))
+    val hashed = transform(grams, g => md5(g))
+    val bitsOf = (m: Column) =>
+      transform(sequence(lit(1), lit(nBits)),
+        b => TextFns.hexVal(m.substr(b.cast("int"), lit(1))) % 2 * 2 - 1)
+    val counters = aggregate(hashed,
+      array_repeat(lit(0L), nBits),
+      (acc, m) => zip_with(acc, bitsOf(m), (x, y) => x + y))
+    aggregate(reverse(counters), lit(0L),
+      (a, c) => a * 2 + when(c > 0, 1L).otherwise(0L))
+  }
+
   /** Connected components over near-duplicate pairs: every doc in a dup
     * cluster gets the cluster's minimum doc_id as its representative —
     * the "cluster then keep one" step that turns pairwise dedup output

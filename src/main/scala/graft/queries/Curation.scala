@@ -106,6 +106,38 @@ object Curation {
         .orderBy(col("source"))
     }),
 
+    // Domain reweighting to a uniform target mix — the third leg next
+    // to domain_mix (hard downsample) and quality_weighted_sample (soft
+    // drop): KEEP every doc, weight it so each source contributes
+    // equally in expectation. Per-source weight = (1000·N) div (S·n_s)
+    // permille, and the variance cost of the reweighting ships as the
+    // effective-sample-size ratio ESS/N = (Σw)² / (N·Σw²) in permille —
+    // both pure integer cross-multiplications over the per-source count
+    // table (decimal-38 for the squared sums), so the whole diagnostic
+    // is one corpus scan plus arithmetic over S rows. The global row
+    // rides back onto the S-row table as a broadcast, the shape that is
+    // free at any corpus size.
+    "domain_reweight" -> ((s, dir) => {
+      val d38 = "decimal(38,0)"
+      val bySrc = documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val nSrc = bySrc.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_docs")).as("n_total"))
+      val weighted = bySrc.crossJoin(broadcast(nSrc))
+        .withColumn("weight_permille",
+          expr("(1000 * n_total) div (n_sources * n_docs)"))
+      val ess = weighted
+        .agg(sum(col("n_docs") * col("weight_permille")).cast(d38).as("sw"),
+          sum(col("n_docs") * col("weight_permille") * col("weight_permille"))
+            .cast(d38).as("sw2"),
+          sum(col("n_docs")).as("n"))
+        .select(expr("(1000 * sw * sw) div (n * sw2)").as("ess_permille"))
+      weighted.crossJoin(broadcast(ess))
+        .select(col("source"), col("n_docs"), col("weight_permille"),
+          col("ess_permille"))
+        .orderBy(col("source"))
+    }),
+
     // Quality-weighted importance sampling: each doc survives with
     // probability equal to its quality score, decided by a content-hash
     // digit (deterministic — same corpus, same sample, any engine or
@@ -123,6 +155,38 @@ object Curation {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // PII-style redaction report — the masking pass a curation job runs
+    // before text leaves the lake, audited as exact integers. Digit
+    // runs are the identifier shape this schema actually carries (a
+    // 9-digit account id inside every customer name, a numeric payload
+    // inside event props); the same four regex aggregates generalize to
+    // SSN/phone/email patterns unchanged. Everything is map-side
+    // (regexp_count / regexp_replace are codegen'd row expressions at
+    // the scan); each table collapses to ONE report row before the
+    // two-row union, so nothing wide ever shuffles — at 100 TB the cost
+    // is the scan, as a redaction pass should be. The masked-form ndv
+    // (count of distinct post-mask strings) is the k-anonymity-style
+    // check that masking actually collapsed identifiers.
+    "scrub_mask_report" -> ((s, dir) => {
+      def report(df: DataFrame, c: String, label: String): DataFrame =
+        df.select(col(c).as("v"))
+          .agg(count(lit(1)).as("rows_total"),
+            sum(when(regexp_count(col("v"), lit("[0-9]+")) > 0, 1L)
+              .otherwise(0L)).as("rows_hit"),
+            sum(regexp_count(col("v"), lit("[0-9]+")).cast("long"))
+              .as("digit_runs"),
+            sum(length(col("v")) -
+              length(regexp_replace(col("v"), "[0-9]+", "")))
+              .cast("long").as("chars_masked"),
+            countDistinct(regexp_replace(col("v"), "[0-9]+", "#"))
+              .as("masked_ndv"))
+          .select(lit(label).as("src"), col("rows_total"), col("rows_hit"),
+            col("digit_runs"), col("chars_masked"), col("masked_ndv"))
+      report(customer(s, dir), "c_name", "customer_name")
+        .unionAll(report(events(s, dir), "props", "event_props"))
+        .orderBy(col("src"))
     }),
 
     "curate_corpus" -> ((s, dir) => {
@@ -169,6 +233,52 @@ object Curation {
          |    + 0.3 * (1.0 - CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE))
          |    + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)""".stripMargin
     Map(
+      "domain_reweight" ->
+        """WITH b AS (
+          |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+          |t AS (SELECT COUNT(*) AS n_sources,
+          |        CAST(SUM(n_docs) AS BIGINT) AS n_total FROM b),
+          |w AS (SELECT source, n_docs,
+          |        CAST((1000 * n_total) // (n_sources * n_docs) AS BIGINT)
+          |          AS weight_permille
+          |      FROM b, t),
+          |e AS (SELECT CAST(
+          |        (1000 * CAST(SUM(n_docs * weight_permille) AS HUGEINT)
+          |           * SUM(n_docs * weight_permille))
+          |        // (CAST(SUM(n_docs) AS HUGEINT)
+          |           * SUM(n_docs * weight_permille * weight_permille))
+          |        AS BIGINT) AS ess_permille
+          |      FROM w)
+          |SELECT source, n_docs, weight_permille, ess_permille
+          |FROM w, e ORDER BY source""".stripMargin,
+
+      "scrub_mask_report" ->
+        """WITH c AS (
+          |  SELECT 'customer_name' AS src, COUNT(*) AS rows_total,
+          |    CAST(SUM(CASE WHEN len(regexp_extract_all(c_name, '[0-9]+')) > 0
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_hit,
+          |    CAST(SUM(len(regexp_extract_all(c_name, '[0-9]+'))) AS BIGINT)
+          |      AS digit_runs,
+          |    CAST(SUM(length(c_name)
+          |      - length(regexp_replace(c_name, '[0-9]+', '', 'g'))) AS BIGINT)
+          |      AS chars_masked,
+          |    CAST(COUNT(DISTINCT regexp_replace(c_name, '[0-9]+', '#', 'g'))
+          |      AS BIGINT) AS masked_ndv
+          |  FROM customer),
+          |e AS (
+          |  SELECT 'event_props' AS src, COUNT(*) AS rows_total,
+          |    CAST(SUM(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 0
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS rows_hit,
+          |    CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+          |      AS digit_runs,
+          |    CAST(SUM(length(props)
+          |      - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+          |      AS chars_masked,
+          |    CAST(COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+          |      AS BIGINT) AS masked_ndv
+          |  FROM events)
+          |SELECT * FROM c UNION ALL SELECT * FROM e ORDER BY src""".stripMargin,
+
       "quality_weighted_sample" ->
         s"""WITH base AS (
            |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '\\S+') AS toks

@@ -275,15 +275,6 @@ object Extended {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Histogram: fixed-width price buckets (manual binning — portable
-    // and exact; floor of an exact double division).
-    "histogram_prices" -> ((s, dir) => {
-      orders(s, dir)
-        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(col("bucket"))
-    }),
-
     // Calendar heatmap: events by day-of-week x hour (dow normalized to
     // DuckDB's Sunday=0 convention).
     "events_heatmap" -> ((s, dir) => {
@@ -313,6 +304,32 @@ object Extended {
           sum(when(col("t_signup").isNotNull && col("t_view") > col("t_signup")
             && col("t_purchase") > col("t_view"), 1L).otherwise(0L))
             .as("n_signup_view_purchase"))
+    }),
+
+    // Funnel latency: the time-to-convert distribution events_funnel's
+    // counts don't show — per converting user the delay from first
+    // signup to the first purchase AT OR AFTER it, summarized as exact
+    // interpolated quartiles over microsecond longs (unix_micros ↔
+    // DuckDB epoch_us are both exact integers, and quantile_cont ↔
+    // percentile hash-match per the percentile_orders precedent). The
+    // signup side pre-aggregates to one row per user before meeting the
+    // purchase fact co-keyed on user_id; the quartile aggregate sees one
+    // delay per converted user.
+    "funnel_latency" -> ((s, dir) => {
+      val su = events(s, dir).filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su_ts"))
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .join(su, Seq("user_id"))
+        .filter(col("p_ts") >= col("su_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("p_ts")) - unix_micros(col("su_ts")))
+          .as("delay_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          percentile(col("delay_us"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        .select(col("n_converted"), col("ps").getItem(0).as("p25_us"),
+          col("ps").getItem(1).as("p50_us"), col("ps").getItem(2).as("p75_us"))
     }),
 
     // Cohort retention: users grouped by first-seen week, counted per
@@ -617,12 +634,6 @@ object Extended {
           |SELECT o_orderpriority, n, sum_x / n AS mean, min_x, max_x
           |FROM s ORDER BY o_orderpriority""".stripMargin,
 
-      "histogram_prices" ->
-        """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
-          |  COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
-
       "events_heatmap" ->
         """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
           |  CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n,
@@ -644,6 +655,22 @@ object Extended {
           |      AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_signup_view_purchase
           |FROM stages""".stripMargin,
+
+      "funnel_latency" ->
+        """WITH su AS (
+          |  SELECT user_id, MIN(ts) AS su_ts FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |d AS (
+          |  SELECT e.user_id,
+          |    MIN(epoch_us(e.ts) - epoch_us(su_ts)) AS delay_us
+          |  FROM events e JOIN su ON e.user_id = su.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= su_ts
+          |  GROUP BY e.user_id)
+          |SELECT COUNT(*) AS n_converted,
+          |  quantile_cont(delay_us, 0.25) AS p25_us,
+          |  quantile_cont(delay_us, 0.5) AS p50_us,
+          |  quantile_cont(delay_us, 0.75) AS p75_us
+          |FROM d""".stripMargin,
 
       "cohort_retention" ->
         """WITH first_seen AS (

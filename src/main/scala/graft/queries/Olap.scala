@@ -455,6 +455,33 @@ object Olap {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sum_cents"))
         .orderBy(col("bucket"))
+    }),
+
+    // Equi-depth (decile) histogram — the optimizer-statistics twin of
+    // histogram_prices' equi-width buckets: boundaries are the nine
+    // interior deciles from ONE array-percentile aggregate (the buffer
+    // is built and merged once, then read at each cut — same reasoning
+    // as percentile_orders), broadcast into a map-side bucket
+    // assignment: bucket = how many boundaries sit strictly below the
+    // value, so boundary ties deterministically fall to the lower
+    // bucket on both engines. Two scans, zero pre-agg shuffles. At
+    // 100 TB the exact percentile becomes the sketch
+    // (approx_percentile, mergeable one-pass GK — the oracle-bounded
+    // twin approx_percentile_orders already pins that swap); the
+    // assignment side is unchanged either way.
+    "histogram_equidepth" -> ((s, dir) => {
+      val cents = (d2(col("o_totalprice")) * 100).cast("long")
+      val cuts = (1 to 9).map(i => lit(i / 10.0))
+      val bounds = orders(s, dir)
+        .agg(percentile(cents, array(cuts: _*)).as("bs"))
+      orders(s, dir).select(cents.as("c"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("cast(size(filter(bs, b -> c > b)) as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"), min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"), sum(col("c")).as("sum_cents"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -697,6 +724,17 @@ object Olap {
         |s AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
         |SELECT least((c - lo) // greatest((hi - lo + 20) // 20, 1), 19) AS bucket,
         |  count(*) AS n_orders, CAST(sum(c) AS BIGINT) AS sum_cents
-        |FROM c, s GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM c, s GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "histogram_equidepth" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (SELECT quantile_cont(c, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        |      FROM c)
+        |SELECT CAST(len(list_filter(bs, x -> c > x)) AS BIGINT) AS bucket,
+        |  count(*) AS n_orders, CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(c) AS BIGINT) AS max_cents, CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

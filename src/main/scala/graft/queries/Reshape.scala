@@ -45,6 +45,45 @@ object Reshape {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Winsorized (5%-trimmed-to-bounds) mean per priority class — the
+    // robust-mean twin of mad_outliers' robust sigma: values are clamped
+    // to the exact discrete p05/p95 order statistics before averaging,
+    // so a fat tail moves the mean by at most 5% of mass times the
+    // fence. Division-free thresholds (same trick as the weighted
+    // median): pN = smallest value whose running count cross-multiplies
+    // past N% of the group (20·cum ≥ n for p05, 20·cum ≥ 19·n for p95)
+    // — no interpolation, both fences are actual data values, so every
+    // output column is an exact integer. Duplicate cents collapse in a
+    // pre-aggregate before the cumulative window (distinct values per
+    // group, bounded frames at 100 TB); the 5-row fence table broadcasts
+    // back onto the value-counts table, never the fact table.
+    "winsorized_mean_price" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderpriority"),
+        (d2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val g = o.groupBy(col("o_orderpriority"), col("cents"))
+        .agg(count(lit(1)).as("gn"))
+      val t = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.withColumn("cum", sum(col("gn")).over(win))
+        .join(broadcast(t), Seq("o_orderpriority"))
+      val fences = cum.filter(col("cum") * 20 >= col("n"))
+        .groupBy(col("o_orderpriority")).agg(min(col("cents")).as("p05"))
+        .join(cum.filter(col("cum") * 20 >= col("n") * 19)
+          .groupBy(col("o_orderpriority")).agg(min(col("cents")).as("p95")),
+          Seq("o_orderpriority"))
+      g.join(broadcast(fences), Seq("o_orderpriority"))
+        .withColumn("clamped",
+          least(greatest(col("cents"), col("p05")), col("p95")))
+        .groupBy(col("o_orderpriority"), col("p05"), col("p95"))
+        .agg(sum(col("gn")).as("n"),
+          sum(col("gn") * col("clamped")).as("wsum_cents"))
+        .select(col("o_orderpriority"), col("p05"), col("p95"), col("n"),
+          col("wsum_cents"),
+          expr("wsum_cents div n").as("wmean_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Unpivot / melt — the inverse of pivot_orders: one wide aggregate
     // row per priority becomes one (metric, value) row per measure.
     // Spark's native unpivot (no UDTF, no explode-of-struct shim) keeps
@@ -475,6 +514,34 @@ object Reshape {
         |WHERE cum * 2 >= total_weight
         |GROUP BY c.l_returnflag, total_weight
         |ORDER BY c.l_returnflag""".stripMargin,
+
+    "winsorized_mean_price" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, cents, COUNT(*) AS gn
+        |      FROM o GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, COUNT(*) AS n FROM o GROUP BY 1),
+        |c AS (SELECT g.o_orderpriority, cents, gn, n,
+        |        SUM(gn) OVER (PARTITION BY g.o_orderpriority ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM g JOIN t ON g.o_orderpriority = t.o_orderpriority),
+        |lo AS (SELECT o_orderpriority, MIN(cents) AS p05 FROM c
+        |       WHERE cum * 20 >= n GROUP BY 1),
+        |hi AS (SELECT o_orderpriority, MIN(cents) AS p95 FROM c
+        |       WHERE cum * 20 >= n * 19 GROUP BY 1)
+        |SELECT g.o_orderpriority, p05, p95,
+        |  CAST(SUM(gn) AS BIGINT) AS n,
+        |  CAST(SUM(gn * LEAST(GREATEST(cents, p05), p95)) AS BIGINT)
+        |    AS wsum_cents,
+        |  CAST(SUM(gn * LEAST(GREATEST(cents, p05), p95)) // SUM(gn)
+        |    AS BIGINT) AS wmean_cents
+        |FROM g
+        |JOIN lo ON g.o_orderpriority = lo.o_orderpriority
+        |JOIN hi ON g.o_orderpriority = hi.o_orderpriority
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
 
     "mirror_quorum" -> quorumSql,
 

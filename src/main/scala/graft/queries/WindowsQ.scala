@@ -127,6 +127,34 @@ object WindowsQ {
         .groupBy(col("c_mktsegment"))
         .agg(max(col("len")).as("longest_streak"), sum(col("len")).as("n_days"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Seasonal-naive forecast backtest: each (type, hour-of-day) cell is
+    // predicted by the SAME cell one observed day earlier (pure lag — no
+    // division, no model state), errors aggregated per type in exact
+    // integers. The series is the observed hourly pre-aggregate: a
+    // (type, hour) partition holds at most one row per calendar day, so
+    // every window frame is calendar-bounded regardless of data volume,
+    // and an hour with no events simply isn't a forecastable point
+    // (both engines see the identical present-row set — no spine join
+    // needed for an error AGGREGATE, unlike events_gapfill's output).
+    "seasonal_naive_error" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("n"),
+          sum((d2(col("value")) * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("event_type"), col("hh")).orderBy(col("d"))
+      hourly
+        .withColumn("pn", lag(col("n"), 1).over(w))
+        .withColumn("pc", lag(col("cents"), 1).over(w))
+        .filter(col("pn").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_forecasts"),
+          sum(abs(col("n") - col("pn"))).as("abs_err_events"),
+          sum(abs(col("cents") - col("pc"))).as("abs_err_cents"),
+          max(abs(col("cents") - col("pc"))).as("max_err_cents"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -167,6 +195,25 @@ object WindowsQ {
         |SELECT c_mktsegment, CAST(max(len) AS BIGINT) AS longest_streak,
         |  CAST(sum(len) AS BIGINT) AS n_days
         |FROM l GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "seasonal_naive_error" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(hour(ts) AS BIGINT) AS hh, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2, 3),
+        |l AS (
+        |  SELECT event_type, n, cents,
+        |    LAG(n) OVER (PARTITION BY event_type, hh ORDER BY d) AS pn,
+        |    LAG(cents) OVER (PARTITION BY event_type, hh ORDER BY d) AS pc
+        |  FROM h)
+        |SELECT event_type, COUNT(*) AS n_forecasts,
+        |  CAST(SUM(ABS(n - pn)) AS BIGINT) AS abs_err_events,
+        |  CAST(SUM(ABS(cents - pc)) AS BIGINT) AS abs_err_cents,
+        |  CAST(MAX(ABS(cents - pc)) AS BIGINT) AS max_err_cents
+        |FROM l WHERE pn IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "window_tumbling" ->
       s"""SELECT epoch_us(ts) - epoch_us(ts) % $US_5M AS w_start_us,

@@ -158,6 +158,38 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("ts"), col("fp"), col("n_tokens"), col("text"))
 
+  /** Streaming SimHash near-dup gate — the ingest-time twin of the batch
+    * `dedup_incremental` query: arriving docs carrying an already-seen
+    * signature are dropped before they reach the nightly batch, state
+    * bounded by the watermark horizon. The signature is
+    * [[graft.operators.Dedup.rowSimhash]] — a pure row expression
+    * (batch-equality pinned in DedupTest), so the stream side stays a
+    * map-side filter + the dedup state store: no aggregate, no
+    * update-mode output, and the state key space is at most the 2^nBits
+    * signature range plus the exact-fingerprint tail.
+    *
+    * Docs shorter than n tokens have no shingles (rowSimhash folds to
+    * 0), so they branch to the EXACT normalized fingerprint instead —
+    * only true byte-duplicates of a short doc collapse; the two key
+    * namespaces are prefix-disjoint ("sim:" / "fp:").
+    *
+    * Input must expose (doc_id, text, ts). Output: the surviving docs.
+    */
+  def nearDupGate(docs: DataFrame, n: Int = 3, nBits: Int = 16,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val fns = graft.functions.TextFns
+    val sig = when(size(fns.tokens(col("text"))) >= n,
+        concat(lit("sim:"),
+          graft.operators.Dedup.rowSimhash(col("text"), n, nBits)
+            .cast("string")))
+      .otherwise(concat(lit("fp:"), fns.fingerprint(col("text"))))
+    docs
+      .withColumn("sig", sig)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+      .select(col("doc_id"), col("ts"), col("sig"), col("text"))
+  }
+
   /** Streaming decontamination gate — the ingest-time twin of the batch
     * `decontaminate` query (Dedup.decontaminate): flag arriving docs
     * that share any word-n-gram with a STATIC eval-suite shingle set.

@@ -48,6 +48,20 @@ class DedupTest extends AnyFunSuite {
     assert(grouped.select("rep_doc_id").as[Long].head() == 0L)
   }
 
+  test("rowSimhash equals the relational withSimhash signature per doc") {
+    val batch = Dedup.withSimhash(Dedup.shingleRows(docs, n = 3))
+      .as[(Long, Long)].collect().toMap
+    val row = docs
+      .select(col("doc_id"), Dedup.rowSimhash(col("text"), n = 3).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(batch.keySet == row.keySet)
+    assert(batch == row)
+    // and on a doc with no shingles the row form folds to 0
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.rowSimhash(col("text"), n = 3)).as[Long].head()
+    assert(short == 0L)
+  }
+
   // One true near-dup pair (0,1) plus seven docs that share nothing but
   // a planted hot stop-phrase shingle "click here now" (df = 7).
   private def hotDocs = (Seq(

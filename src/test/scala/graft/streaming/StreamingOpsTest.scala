@@ -102,6 +102,33 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(fps.distinct.length == 2)
   }
 
+  test("nearDupGate collapses same-signature docs, short docs only on exact match") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val longA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val longB = "completely different words about spark shuffles and partition pruning here"
+    mem.addData(
+      (1L, longA, ts(0)),
+      (2L, longA, ts(1)),          // same simhash -> one survivor of {1,2}
+      (3L, longB, ts(2)),          // distinct signature: kept
+      (4L, "two words", ts(3)),    // < n tokens: exact-fp branch, kept
+      (5L, "two  WORDS", ts(4)),   // same normalized fp as 4: dropped
+      (6L, "other tiny", ts(5)))   // short but different fp: kept
+    val df = mem.toDF.toDF("doc_id", "text", "ts")
+    val out = StreamingOps.nearDupGate(df, n = 3, watermark = "10 minutes")
+    val got = runBatches(out.writeStream.outputMode(OutputMode.Append), "neardup")
+    val rows = got.select("doc_id", "sig").as[(Long, String)].collect().toMap
+    // one survivor per signature class: {1,2}, {3}, {4,5}, {6}
+    assert(rows.size == 4)
+    assert(rows.keySet.count(Set(1L, 2L)) == 1)
+    assert(rows.keySet.count(Set(4L, 5L)) == 1)
+    assert(rows.contains(3L) && rows.contains(6L))
+    assert(rows.values.toSeq.distinct.length == 4)
+    // long docs ride the simhash namespace, short docs the fp namespace
+    assert(rows(3L).startsWith("sim:"))
+    assert(rows(6L).startsWith("fp:"))
+  }
+
   test("statusTransitions emits one transition per status flip, idempotent on repeats") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingOps.{StatusEvent, Transition}
