@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (LPA) over an
+  * undirected edge list — the frequency-argmax sibling of
+  * [[Dedup.componentsFromPairs]]'s min-propagation: where connected
+  * components answer "what is reachable", LPA answers "what is densely
+  * attached", splitting a bridge-joined graph into its dense cores
+  * after a fixed number of rounds.
+  *
+  * Semantics (deterministic by construction, so a SQL oracle can unroll
+  * it round for round): labels start as node ids; each round EVERY node
+  * simultaneously adopts the most frequent label among its neighbors
+  * and itself (self-loops are folded into the edge table, so "and
+  * itself" costs nothing extra), ties broken toward the smallest label.
+  * Exactly `iters` rounds run — no convergence races, no RNG, no
+  * asynchronous update order, the three places classic LPA loses
+  * determinism.
+  *
+  * Scale shape (the PageRank argument): per round one shuffle join of
+  * the label table against the pre-partitioned frozen edge table plus
+  * two hash aggregates — (node, lbl) counts, then per-node argmax as
+  * min(struct(-n, lbl)) (the mode_event_cents trick: map-side
+  * combinable, no ranking window, no skewable single partition). Each
+  * round's label table is checkpointed to cut lineage; pass a reliable
+  * `checkpointDir` (HDFS/S3) on a cluster, localCheckpoint otherwise —
+  * same contract as componentsFromPairs.
+  */
+object LabelProp {
+
+  /** (node, lbl) after exactly `iters` synchronous LPA rounds over the
+    * undirected pair list (columns a, b).
+    */
+  def communities(pairs: DataFrame, iters: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = pairs.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    try {
+      // Materialize the caller's pair pipeline once, then the symmetric
+      // + self-loop edge table pre-partitioned on the per-round join
+      // key, so every round shuffles only the (small, changing) label
+      // table — the componentsFromPairs layout, for the same reason.
+      val p0 = save(pairs.select(col("a"), col("b")))
+      val sym = p0.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
+      val edges = save(sym
+        .unionByName(sym.select(col("u"), col("u").as("v")).distinct())
+        .repartition(col("v")))
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to iters) {
+        val counted = edges
+          .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+          .groupBy(col("u"), col("lbl"))
+          .agg(count(lit(1)).as("n"))
+        labels = save(counted
+          .select(col("u").as("node"),
+            struct((-col("n")).as("nn"), col("lbl").as("l")).as("s"))
+          .groupBy(col("node"))
+          .agg(min(col("s")).as("m"))
+          .select(col("node"), col("m").getField("l").as("lbl")))
+      }
+      labels
+    } finally {
+      prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.{CountMin, CountMinAgg, MisraGriesAgg}
-import graft.operators.PageRank
+import graft.operators.{LabelProp, PageRank}
 import Util._
 
 /** Round-6 surface: SCD2 interval building, sketch-based heavy hitters,
@@ -23,6 +23,9 @@ object Advanced {
     * update chain.
     */
   private val PR_ITERS = 3
+
+  /** LPA rounds — fixed for the same oracle-unrolling reason. */
+  private val LPA_ITERS = 3
 
   /** Open-interval sentinel for the current SCD2 row on both engines. */
   private val SCD2_OPEN_END = "9999-12-31 00:00:00"
@@ -329,12 +332,43 @@ object Advanced {
       PageRank.ranks(edges, PR_ITERS)
         .orderBy(col("rank").desc, col("node"))
         .limit(10)
+    }),
+
+    // LPA community detection over the same part↔supplier graph —
+    // frequency-argmax propagation (dense attachment) next to
+    // PageRank's rank propagation and dedup_clusters' reachability
+    // min-propagation: three fixed synchronous rounds (deterministic —
+    // ties break toward the smallest label, both engines unroll the
+    // identical update), summarized as the community-size histogram.
+    "communities_lpa" -> ((s, dir) => {
+      val pairs = lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      LabelProp.communities(pairs, LPA_ITERS)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("community_size"))
     })
   )
 
   def oracles: Map[String, String] = {
     // One damped integer PageRank update as a CTE body: ranks from
     // `prev`, edges+degree from fixed CTEs e and d.
+    // One synchronous LPA round as a CTE body: per-node label counts
+    // over neighbors∪self (e carries self-loops), argmax with
+    // smallest-label tie-break via ROW_NUMBER — the same result the
+    // engine's min(struct(-n, lbl)) two-aggregate produces.
+    def lpaStep(prev: String): String =
+      s"""SELECT u AS node, lbl FROM (
+         |  SELECT e.u, l.lbl, COUNT(*) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY e.u
+         |      ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |  FROM e JOIN $prev l ON e.v = l.node
+         |  GROUP BY e.u, l.lbl)
+         |WHERE rn = 1""".stripMargin
+
     def prStep(prev: String): String =
       s"""SELECT e.dst AS node,
          |  CAST((15 * 1000000 + 85 * SUM($prev.rank // d.deg)) // 100
@@ -558,7 +592,24 @@ object Advanced {
            |r2 AS (${prStep("r1")}),
            |r3 AS (${prStep("r2")})
            |SELECT node, rank FROM r3
-           |ORDER BY rank DESC, node LIMIT 10""".stripMargin
+           |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
+
+      "communities_lpa" ->
+        s"""WITH p0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+           |  FROM lineitem),
+           |sym AS (SELECT a AS u, b AS v FROM p0
+           |        UNION ALL SELECT b AS u, a AS v FROM p0),
+           |e AS (SELECT u, v FROM sym
+           |      UNION ALL SELECT DISTINCT u, u AS v FROM sym),
+           |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+           |l1 AS (${lpaStep("l0")}),
+           |l2 AS (${lpaStep("l1")}),
+           |l3 AS (${lpaStep("l2")}),
+           |c AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY lbl)
+           |SELECT CAST(community_size AS BIGINT) AS community_size,
+           |  COUNT(*) AS n_communities
+           |FROM c GROUP BY community_size ORDER BY community_size""".stripMargin
     )
   }
 }

@@ -307,6 +307,37 @@ object Reshape {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Hierarchical (Merkle-style) range checksums — the NARROWING step
+    // between mirror_checksum's "something differs" and mirror_quorum's
+    // repair: the key space folds into fixed-width ranges (key div 4096)
+    // with a per-range rolling checksum, plus one root row (level 0)
+    // over everything. Two replicas exchange the root; on mismatch they
+    // exchange the range level and re-sync ONLY the ranges that differ
+    // — bytes shipped scale with divergence, not table size. Both
+    // levels come from the same canonical row hash in ONE scan (the
+    // range aggregate re-aggregates into the root — partial-agg merge,
+    // no second pass); per-group SUM keeps every checksum order- and
+    // partition-independent.
+    "mirror_merkle" -> ((s, dir) => {
+      val rowStr = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        d2(col("o_totalprice")).cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority"))
+      val ranges = orders(s, dir)
+        .select(expr("o_orderkey div 4096").as("range_id"),
+          conv(substring(md5(rowStr), 1, 10), 16, 10).cast("long").as("rh"))
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+      ranges.select(lit(1L).as("level"), col("range_id"),
+          col("n_rows"), col("checksum"))
+        .unionByName(ranges.agg(sum(col("n_rows")).as("n_rows"),
+            sum(col("checksum")).as("checksum"))
+          .select(lit(0L).as("level"), lit(-1L).as("range_id"),
+            col("n_rows"), col("checksum")))
+        .orderBy(col("level"), col("range_id"))
+    }),
+
     // 3-way quorum reconciliation — anti-entropy's REPAIR step next to
     // mirror_checksum's detection step: three replica mirrors (derived
     // deterministically — replica i corrupts o_orderstatus where a
@@ -456,6 +487,30 @@ object Reshape {
        |FROM v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  private val merkleSql = {
+    val digits = (1 to 10)
+      .map(b => s"CAST(${hexDigitSql("h", b)} AS BIGINT) * ${1L << (4 * (10 - b))}")
+      .mkString(" +\n      ")
+    s"""WITH r AS (
+       |  SELECT o_orderkey // 4096 AS range_id,
+       |    md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+       |      strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)) AS h
+       |  FROM orders),
+       |v AS (SELECT range_id, CAST(
+       |      $digits
+       |    AS BIGINT) AS rh FROM r),
+       |g AS (SELECT range_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |        CAST(sum(rh) AS BIGINT) AS checksum
+       |      FROM v GROUP BY range_id)
+       |SELECT CAST(1 AS BIGINT) AS level, CAST(range_id AS BIGINT) AS range_id,
+       |  n_rows, checksum FROM g
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(sum(n_rows) AS BIGINT), CAST(sum(checksum) AS BIGINT) FROM g
+       |ORDER BY level, range_id""".stripMargin
+  }
+
   private val quorumSql = {
     val digits = (1 to 10)
       .map(b => s"CAST(${hexDigitSql("h", b)} AS BIGINT) * ${1L << (4 * (10 - b))}")
@@ -565,6 +620,8 @@ object Reshape {
     "event_cooccurrence" -> cooccurrenceSql,
 
     "mirror_checksum" -> checksumSql,
+
+    "mirror_merkle" -> merkleSql,
 
     "skyline_parts" ->
       """WITH pts AS (
