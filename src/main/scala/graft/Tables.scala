@@ -29,16 +29,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark's vectorized reader rejects. Read it as a long (nanos since
-    * epoch) and normalize to a micros TIMESTAMP — truncating division,
-    * matching how DuckDB coerces TIMESTAMP_NS to its micros TIMESTAMP.
+  /** The events table's `ts` encoding varies by producer: some corpora
+    * carry parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read as a nanos-since-epoch long (via
+    * `nanosAsLong`) and truncate-divided to a micros TIMESTAMP, matching
+    * how DuckDB coerces TIMESTAMP_NS — while others are already micros
+    * (TIMESTAMP or TIMESTAMP_NTZ). Dispatch on the type the reader
+    * actually produced: the footer is read once either way, so the
+    * branch costs nothing, and every downstream query sees one
+    * canonical micros TIMESTAMP column (session tz pinned UTC, so the
+    * NTZ wall-clock equals the instant).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -482,6 +482,136 @@ object Olap {
         .agg(count(lit(1)).as("n_orders"), min(col("c")).as("min_cents"),
           max(col("c")).as("max_cents"), sum(col("c")).as("sum_cents"))
         .orderBy(col("bucket"))
+    }),
+
+    // Q2-shape: groupwise-min "cheapest supplier per part" — the
+    // correlated-scalar-subquery classic. Supply cost is adapted to the
+    // trimmed schema (no partsupp) as each (part, supplier) pair's
+    // minimum observed line price. The part filter broadcasts BEFORE
+    // the fact aggregate so only LARGE-part lines reach the shuffle;
+    // the per-part min is then a window over the ALREADY-REDUCED pair
+    // frame (one row per part x supplier — dimension-product-sized, so
+    // its re-shuffle is negligible next to the fact aggregate), not a
+    // join-back that would rescan. Supplier + nation close over the
+    // winners as broadcast dims. Cost stays decimal-exact to the edge.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val largeParts = part(s, dir).filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val pairCost = lineitem(s, dir)
+        .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(d2(col("l_extendedprice"))).as("cost_d"))
+      val w = Window.partitionBy(col("l_partkey"))
+      pairCost
+        .withColumn("min_cost_d", min(col("cost_d")).over(w))
+        .filter(col("cost_d") === col("min_cost_d"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost_d").cast("double").as("min_cost"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+
+    // Q9-shape: product-type profit by supplier nation and order year.
+    // Profit adapts ps_supplycost to the trimmed schema as retailprice
+    // x quantity. The LIKE filter prunes the part dim BEFORE it
+    // broadcasts into the fact join (261/2000 parts at sf0.01), so the
+    // fact side shrinks via the semi-ish inner broadcast join at the
+    // scan edge; all money math is decimal until the final cast.
+    "q9_product_profit" -> ((s, dir) => {
+      val widgetParts = part(s, dir).filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      lineitem(s, dir)
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))) -
+          d2(col("p_retailprice")) * col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("profit"))
+        .orderBy(col("n_name"), col("o_year"))
+    }),
+
+    // Q11-shape: "important stock" — per-part value filtered against a
+    // fraction of the GLOBAL total (the scalar-subquery threshold).
+    // Value adapts ps_supplycost x availqty to revenue shipped by
+    // NATION_5 suppliers, in exact cent-quantity longs. The global
+    // total is a one-row broadcast over the per-part aggregate (the
+    // per-part frame is computed once and reused for both the total
+    // and the filter — no second fact scan), and the comparison
+    // happens in DECIMAL(38,0) so value*1000 can never wrap at 100 TB.
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = lineitem(s, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum((d2(col("l_extendedprice")) * 100).cast("long") *
+          col("l_quantity").cast("long")).as("value_u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = perPart.agg(sum(col("value_u")).as("total_u"))
+      perPart.crossJoin(broadcast(total))
+        .filter(expr("CAST(value_u AS DECIMAL(38,0)) * 1000 > CAST(total_u AS DECIMAL(38,0)) * 2"))
+        .select(col("l_partkey"), col("value_u"))
+        .orderBy(col("value_u").desc, col("l_partkey"))
+    }),
+
+    // Q12-shape: priority split by category — the join + conditional
+    // two-way count. Ship mode doesn't exist in the trimmed schema, so
+    // the category is l_returnflag; the CASE pair rides inside one
+    // partial aggregate (a single fact pass, counts map-side combined),
+    // and the date window prunes at the scan.
+    "q12_priority_lines" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q20-shape: the nested-semi-join chain — suppliers who DOMINATED a
+    // promo part's 1997 volume (pair share > 30% of the part's total,
+    // adapting availqty > half-of-shipped to the trimmed schema), then
+    // names for the EUROPE-region subset. Quantities stay integral
+    // longs; the share test multiplies instead of divides (10*pair >
+    // 3*total) so it's exact; each stage reduces before the next joins.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val promoParts = part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val promo97 = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      val pair = promo97.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("pair_qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dominant = pair
+        .withColumn("part_qty", sum(col("pair_qty")).over(w))
+        .filter(col("pair_qty") * 10 > col("part_qty") * 3)
+        .select(col("l_suppkey")).distinct()
+      val eurNations = nation(s, dir)
+        .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      supplier(s, dir)
+        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -735,6 +865,87 @@ object Olap {
         |SELECT CAST(len(list_filter(bs, x -> c > x)) AS BIGINT) AS bucket,
         |  count(*) AS n_orders, CAST(min(c) AS BIGINT) AS min_cents,
         |  CAST(max(c) AS BIGINT) AS max_cents, CAST(sum(c) AS BIGINT) AS sum_cents
-        |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_d
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'LARGE')
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, min(cost_d) OVER (PARTITION BY l_partkey) AS min_cost_d
+        |  FROM pair)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |  CAST(cost_d AS DOUBLE) AS min_cost
+        |FROM ranked
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost_d = min_cost_d
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS value_u
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation
+        |      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(value_u) AS total_u FROM per_part)
+        |SELECT l_partkey, CAST(value_u AS BIGINT) AS value_u
+        |FROM per_part, tot
+        |WHERE CAST(value_u AS HUGEINT) * 1000 > CAST(total_u AS HUGEINT) * 2
+        |ORDER BY value_u DESC, l_partkey""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH promo97 AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')),
+        |pair AS (
+        |  SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+        |  FROM promo97 GROUP BY 1, 2),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT *, SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM pair)
+        |  WHERE pair_qty * 10 > part_qty * 3)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }
