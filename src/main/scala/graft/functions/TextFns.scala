@@ -30,6 +30,17 @@ object TextFns {
     */
   def fingerprint(text: Column): Column = md5(normText(text))
 
+  /** Jaro–Winkler similarity — a native codegen'd expression
+    * ([[graft.functions.expressions.JaroWinklerSim]]), fuzz-pinned
+    * bit-for-bit to DuckDB's jaro_winkler_similarity so thresholds and
+    * floor(sim*1000) permille projections are oracle-safe doubles.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.JaroWinklerSim(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** Word n-gram shingles from a token array; empty array when the doc is
     * shorter than n tokens (DuckDB's range() is empty there, Spark's
     * sequence() would descend — hence the guard).

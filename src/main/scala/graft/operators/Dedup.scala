@@ -414,6 +414,41 @@ object Dedup {
     jaccardFromCounts(inter, shingleSizes(inv), threshold)
   }
 
+  /** Asymmetric shingle-CONTAINMENT pairs: c(a→b) = |A ∩ B| / |A| — the
+    * subset detector Jaccard structurally cannot be. A document fully
+    * contained in a much larger one scores jaccard |A|/|B| ≈ 0 but
+    * containment 1.0; that is exactly the truncation/excerpt/quote dup
+    * class a training-data pipeline must catch (and the asymmetry tells
+    * you WHICH side is the fragment).
+    *
+    * Same inverted-index candidate generation as
+    * [[ngramJaccardPairs]] (shingle-keyed self-join, df ceiling against
+    * the hot-shingle skew bomb) but ORDERED pairs a ≠ b: each unordered
+    * candidate yields both directions, scored independently. The
+    * threshold p/q is enforced EXACTLY in integers (q·|∩| >= p·|A|) and
+    * the score is emitted as floor-permille — no doubles anywhere, so
+    * the oracle comparison is engine-exact. minSize drops docs whose
+    * shingle set is so small that containment is trivially 1.0 (a
+    * two-shingle doc contained anywhere carries no dup signal).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, thresholdNum: Int,
+                       thresholdDen: Int, minSize: Int,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
+    val sizes = shingleSizes(inv)
+    val inter = inv.select(col("s"), col("doc_id").as("a"))
+      .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .filter(col("sz_a") >= minSize)
+      .filter(col("inter") * thresholdDen >= col("sz_a") * thresholdNum)
+      .select(col("a"), col("b"),
+        expr("(1000 * inter) div sz_a").as("containment_permille"))
+  }
+
   /** jaccard = |∩| / (|A| + |B| - |∩|) from per-pair intersection counts
     * and per-doc set sizes; pairs below threshold are dropped. Counts are
     * exact longs, the division is one double op — deterministic.

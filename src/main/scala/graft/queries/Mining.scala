@@ -1,0 +1,402 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import graft.operators.{Dedup, KCore, ShortestPath}
+import Util._
+
+/** Round-8 mining pack: fuzzy matching (native Jaro–Winkler codegen
+  * expression), asymmetric containment dedup, sequential pattern mining,
+  * RFM segmentation, a data-quality rule engine, Benford first-digit
+  * profiling, bounded-hop cheapest paths over a trade graph, and k-core
+  * decomposition of the dup graph.
+  *
+  * House rules as everywhere: no UDFs (one codegen'd expression), exact
+  * integer/decimal arithmetic wherever a result crosses the oracle
+  * boundary, doubles only where fuzz-pinned bit-identical (Jaro–Winkler)
+  * or derived from them order-independently, every query ends in a total
+  * order.
+  */
+object Mining {
+
+  private val US_30M = 1800000000L // 30-minute session gap, micros
+
+  def queries: Map[String, Q] = Map(
+    // Fuzzy entity match: every document's BEST fuzzy neighbor among
+    // docs sharing its title's two leading tokens — the classic
+    // blocked record-linkage shape (block key = cheap equality, scorer
+    // = Jaro-Winkler, decision = argmax). The scorer is a native
+    // codegen'd Catalyst expression (functions/expressions/
+    // JaroWinklerSim.scala), fuzz-pinned bit-for-bit to DuckDB's
+    // jaro_winkler_similarity, so both the argmax ordering and the
+    // floor-permille projection are engine-exact.
+    //
+    // Scale: the two-token block key bounds every block at vocab⁻²-ish
+    // fan-out (no all-pairs anywhere); the per-block quadratic is the
+    // HONEST cost of exhaustive in-block scoring, and at 100 TB the
+    // same plan holds with a length-band added to the block key.
+    "jw_best_match" -> ((s, dir) => {
+      val titled = documents(s, dir)
+        .select(col("doc_id"),
+          substring(TextFns.normText(col("text")), 1, 24).as("title"))
+        .filter(length(col("title")) > 0)
+        .withColumn("toks", split(col("title"), " "))
+        .select(col("doc_id"), col("title"),
+          coalesce(get(col("toks"), lit(0)), lit("")).as("w1"),
+          coalesce(get(col("toks"), lit(1)), lit("")).as("w2"))
+      val a = titled.select(col("doc_id").as("ak"), col("title").as("ta"),
+        col("w1"), col("w2"))
+      val b = titled.select(col("doc_id").as("bk"), col("title").as("tb"),
+        col("w1"), col("w2"))
+      val rk = Window.partitionBy(col("ak"))
+        .orderBy(col("s").desc, col("bk"))
+      a.join(b, Seq("w1", "w2"))
+        .filter(col("ak") =!= col("bk"))
+        .withColumn("s", TextFns.jaroWinkler(col("ta"), col("tb")))
+        .withColumn("rn", row_number().over(rk))
+        .filter(col("rn") === 1)
+        .select(col("ak").as("doc_id"), col("bk").as("match_id"),
+          floor(col("s") * lit(1000.0)).cast("long").as("sim_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Asymmetric containment dedup (operators/Dedup.containmentPairs):
+    // catches the excerpt/truncation dup class Jaccard is blind to.
+    // Threshold 4/5 enforced in exact integers; same df-ceiling'd
+    // inverted index as the whole shingle family.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(documents(s, dir), n = 3,
+        thresholdNum = 4, thresholdDen = 5, minSize = 5,
+        maxDf = Some(TextDedup.MAX_DF))
+        .orderBy(col("a"), col("b"))),
+
+    // Sequential pattern mining: event-type trigrams WITHIN 30-minute
+    // sessions (sessionize -> two leads inside the session window ->
+    // count). Composition of the sessionizer with n-gram mining —
+    // shuffles once on user_id; the trigram table is |types|³ at most.
+    "session_trigrams" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("ts_us", tsUs(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") >= US_30M, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_session")).over(byUser))
+      val inSess = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(inSess))
+        .withColumn("t3", lead(col("event_type"), 2).over(inSess))
+        .filter(col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("trigram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("trigram"))
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quartiles per
+    // customer, fully deterministic (every ntile ordering is
+    // tie-broken by custkey; monetary is summed in decimal). The
+    // quartile windows run over the per-customer PRE-AGGREGATE — rows
+    // bounded by |customers|, not order volume; at extreme scale the
+    // cut points would come from approx_percentile instead, same
+    // downstream shape.
+    "rfm_segments" -> ((s, dir) => {
+      val rfm = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("r"), count(lit(1)).as("f"),
+          sum(d2(col("o_totalprice"))).as("m"))
+      val seg = rfm
+        .withColumn("rq", ntile(4).over(
+          Window.orderBy(col("r").desc, col("o_custkey"))))
+        .withColumn("fq", ntile(4).over(
+          Window.orderBy(col("f").desc, col("o_custkey"))))
+        .withColumn("mq", ntile(4).over(
+          Window.orderBy(col("m").desc, col("o_custkey"))))
+      seg.groupBy((col("rq") * 100 + col("fq") * 10 + col("mq"))
+          .cast("long").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m")).cast("double").as("monetary_total"))
+        .orderBy(col("segment"))
+    }),
+
+    // Declarative data-quality rule engine: N named predicates over a
+    // table become ONE full scan per table (conditional counts inside a
+    // single aggregate) + a stack() to rule-per-row form — the
+    // always-on DQ report shape. Zero-violation rules stay in the
+    // output: "checked and clean" is the report's point.
+    "dq_rules" -> ((s, dir) => {
+      val li = lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(d2(col("l_discount")) > 0.08, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("l_quantity") >= 50, 1L).otherwise(0L)).as("v2"),
+        sum(when(d2(col("l_tax")) > d2(col("l_discount")), 1L)
+          .otherwise(0L)).as("v3"),
+        sum(when(d2(col("l_extendedprice")) <= 0, 1L).otherwise(0L)).as("v4"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("v5"))
+      val ord = orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v1"),
+        sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+          col("o_orderdate") > lit("2001-08-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v2"),
+        sum(when(d2(col("o_totalprice")) <= 0, 1L).otherwise(0L)).as("v3"),
+        sum(when(d2(col("o_totalprice")) > 450000, 1L).otherwise(0L)).as("v4"))
+      val liRules = li.selectExpr(
+        """stack(5,
+          |'li_discount_above_8pct', v1, n_rows,
+          |'li_qty_at_cap', v2, n_rows,
+          |'li_tax_exceeds_discount', v3, n_rows,
+          |'li_nonpositive_price', v4, n_rows,
+          |'li_bad_returnflag', v5, n_rows)
+          |AS (rule, n_violations, n_rows)""".stripMargin)
+      val ordRules = ord.selectExpr(
+        """stack(4,
+          |'ord_bad_status', v1, n_rows,
+          |'ord_date_out_of_range', v2, n_rows,
+          |'ord_nonpositive_price', v3, n_rows,
+          |'ord_price_above_450k', v4, n_rows)
+          |AS (rule, n_violations, n_rows)""".stripMargin)
+      liRules.unionByName(ordRules)
+        .withColumn("violation_bp",
+          expr("(10000 * n_violations) div n_rows"))
+        .orderBy(col("rule"))
+    }),
+
+    // Benford first-significant-digit profile of order totals: digit
+    // counts vs the Benford expectation, all in integer basis points
+    // (the expected shares are floor(log10(1+1/d)·10⁴) literals — no
+    // runtime logarithms, no doubles). One scan, 9 output rows.
+    "benford_prices" -> ((s, dir) => {
+      val expected = typedLit(Map(
+        "1" -> 3010L, "2" -> 1760L, "3" -> 1249L, "4" -> 969L,
+        "5" -> 791L, "6" -> 669L, "7" -> 579L, "8" -> 511L, "9" -> 457L))
+      orders(s, dir)
+        .groupBy(substring(d2(col("o_totalprice")).cast("string"), 1, 1)
+          .as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+        .withColumn("actual_bp", expr("(10000 * n_orders) div total"))
+        .withColumn("expected_bp", expected(col("digit")))
+        .select(col("digit"), col("n_orders"), col("actual_bp"),
+          col("expected_bp"),
+          (col("actual_bp") - col("expected_bp")).as("dev_bp"))
+        .orderBy(col("digit"))
+    }),
+
+    // Bounded-hop cheapest trade route: a heavyweight distributed agg
+    // (q7-shaped 4-table join -> nation-pair revenue) builds a small
+    // weighted graph (cost ∝ 1/revenue, top-3 outgoing edges per
+    // nation), then Bellman-Ford relaxation (operators/
+    // ShortestPath.scala) finds the min-cost route from nation 0 within
+    // ≤5 hops. The expensive part scales with data volume and is pure
+    // shuffle-agg; the iterative part runs on the |nations|²-bounded
+    // edge table.
+    "cheapest_trade_route" -> ((s, dir) => {
+      val revCents = lineitem(s, dir)
+        .join(orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        // Revenue in 10⁻⁴ dollars: the 2dp×2dp product has scale 4, so
+        // ×10⁴ is an EXACT integer — no decimal→int rounding anywhere
+        // (Spark truncates that cast, DuckDB rounds; an exact value
+        // sidesteps the divergence entirely).
+        .agg(expr(
+          """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |  (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+            |""".stripMargin).as("revq"))
+      val pruned = revCents
+        .withColumn("cost", expr("CAST(1000000000000000 AS BIGINT) div revq"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cost"), col("dst"))))
+        .filter(col("rn") <= 3)
+        .select(col("src"), col("dst"), col("cost"))
+      ShortestPath.boundedCheapestPaths(pruned, source = 0L, maxHops = 5)
+        .join(nation(s, dir),
+          col("n_nationkey") === col("node"))
+        .select(col("n_nationkey"), col("n_name"), col("min_cost"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // k-core decomposition of the verified near-dup graph
+    // (operators/KCore.scala): coreness 1 = incidental pair, high
+    // coreness = replica clique. No SQL-expressible oracle (iterate-to-
+    // fixpoint peeling) — correctness is pinned by the hermetic
+    // KCoreTest; the driver records the rows-only check.
+    "kcore_docs" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(TextDedup.MAX_DF))
+      KCore.coreness(pairs.select(col("a"), col("b")))
+        .select(col("node").as("doc_id"), col("coreness"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "jw_best_match" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(lower(text),'\s+',' ','g')),1,24)
+        |      AS title
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, title, split_part(title,' ',1) AS w1,
+        |    split_part(title,' ',2) AS w2
+        |  FROM d WHERE len(title) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS ak, b.doc_id AS bk,
+        |    jaro_winkler_similarity(a.title, b.title) AS s
+        |  FROM d2 a JOIN d2 b
+        |    ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.doc_id <> b.doc_id),
+        |rk AS (
+        |  SELECT ak, bk, s,
+        |    row_number() OVER (PARTITION BY ak ORDER BY s DESC, bk) AS rn
+        |  FROM pairs)
+        |SELECT ak AS doc_id, bk AS match_id,
+        |  CAST(floor(s * 1000) AS BIGINT) AS sim_permille
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ${TextDedup.docsSqlFrom("documents")},
+         |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id <> y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i.a, i.b,
+         |  (1000 * i.n_inter) // sa.sz AS containment_permille
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+         |WHERE sa.sz >= 5 AND 5 * i.n_inter >= 4 * sa.sz
+         |ORDER BY a, b""".stripMargin,
+
+    "session_trigrams" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $US_30M
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_session) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS sid
+         |  FROM flagged),
+         |tri AS (
+         |  SELECT event_type || '>' || lead(event_type, 1) OVER ws
+         |      || '>' || lead(event_type, 2) OVER ws AS trigram,
+         |    lead(event_type, 2) OVER ws AS t3
+         |  FROM sess
+         |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+         |SELECT trigram, count(*) AS n_occurrences
+         |FROM tri WHERE t3 IS NOT NULL
+         |GROUP BY trigram ORDER BY n_occurrences DESC, trigram""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT m,
+        |    ntile(4) OVER (ORDER BY r DESC, o_custkey) AS rq,
+        |    ntile(4) OVER (ORDER BY f DESC, o_custkey) AS fq,
+        |    ntile(4) OVER (ORDER BY m DESC, o_custkey) AS mq
+        |  FROM rfm)
+        |SELECT CAST(rq * 100 + fq * 10 + mq AS BIGINT) AS segment,
+        |  count(*) AS n_customers, CAST(sum(m) AS DOUBLE) AS monetary_total
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "dq_rules" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (CAST(l_discount AS DECIMAL(18,2)) > 0.08) AS v1,
+        |    count(*) FILTER (l_quantity >= 50) AS v2,
+        |    count(*) FILTER (CAST(l_tax AS DECIMAL(18,2)) >
+        |      CAST(l_discount AS DECIMAL(18,2))) AS v3,
+        |    count(*) FILTER (CAST(l_extendedprice AS DECIMAL(18,2)) <= 0)
+        |      AS v4,
+        |    count(*) FILTER (l_returnflag NOT IN ('A','N','R')) AS v5
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS v1,
+        |    count(*) FILTER (o_orderdate < TIMESTAMP '1995-01-01'
+        |      OR o_orderdate > TIMESTAMP '2001-08-01') AS v2,
+        |    count(*) FILTER (CAST(o_totalprice AS DECIMAL(18,2)) <= 0) AS v3,
+        |    count(*) FILTER (CAST(o_totalprice AS DECIMAL(18,2)) > 450000)
+        |      AS v4
+        |  FROM orders),
+        |rules AS (
+        |  SELECT 'li_discount_above_8pct' AS rule, v1 AS n_violations,
+        |    n_rows FROM li
+        |  UNION ALL SELECT 'li_qty_at_cap', v2, n_rows FROM li
+        |  UNION ALL SELECT 'li_tax_exceeds_discount', v3, n_rows FROM li
+        |  UNION ALL SELECT 'li_nonpositive_price', v4, n_rows FROM li
+        |  UNION ALL SELECT 'li_bad_returnflag', v5, n_rows FROM li
+        |  UNION ALL SELECT 'ord_bad_status', v1, n_rows FROM o
+        |  UNION ALL SELECT 'ord_date_out_of_range', v2, n_rows FROM o
+        |  UNION ALL SELECT 'ord_nonpositive_price', v3, n_rows FROM o
+        |  UNION ALL SELECT 'ord_price_above_450k', v4, n_rows FROM o)
+        |SELECT rule, n_violations, n_rows,
+        |  (10000 * n_violations) // n_rows AS violation_bp
+        |FROM rules ORDER BY rule""".stripMargin,
+
+    "benford_prices" ->
+      """WITH digits AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    1, 1) AS digit, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_orders) OVER () AS BIGINT) AS total
+        |  FROM digits),
+        |e AS (
+        |  SELECT *, (10000 * n_orders) // total AS actual_bp,
+        |    CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1760
+        |      WHEN '3' THEN 1249 WHEN '4' THEN 969 WHEN '5' THEN 791
+        |      WHEN '6' THEN 669 WHEN '7' THEN 579 WHEN '8' THEN 511
+        |      WHEN '9' THEN 457 END AS expected_bp
+        |  FROM t)
+        |SELECT digit, n_orders, actual_bp,
+        |  CAST(expected_bp AS BIGINT) AS expected_bp,
+        |  actual_bp - expected_bp AS dev_bp
+        |FROM e ORDER BY digit""".stripMargin,
+
+    "cheapest_trade_route" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |      AS revq
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT src, dst, 1000000000000000 // revq AS cost,
+        |    row_number() OVER (PARTITION BY src
+        |      ORDER BY 1000000000000000 // revq, dst) AS rn
+        |  FROM rev),
+        |edges AS (SELECT src, dst, cost FROM ranked WHERE rn <= 3),
+        |walk(node, cost, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS d
+        |  UNION
+        |  SELECT e.dst, w.cost + e.cost, w.d + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.d < 5)
+        |SELECT n.n_nationkey, n.n_name, min(w.cost) AS min_cost
+        |FROM walk w JOIN nation n ON n.n_nationkey = w.node
+        |GROUP BY 1, 2 ORDER BY n_nationkey""".stripMargin
+  )
+}

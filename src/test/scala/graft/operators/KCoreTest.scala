@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class KCoreTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corenessOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    KCore.coreness(pairs.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("mixed graph: clique, triangle, chain, pendant") {
+    // 4-clique {1,2,3,4} — coreness 3; bridge chain 4-5, 5-6 — 5 and 6
+    // peel at level 2 (coreness 1); triangle {7,8,9} — coreness 2;
+    // pendant 9-10 — node 10 coreness 1.
+    val clique = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    val rest = Seq((4L, 5L), (5L, 6L), (7L, 8L), (7L, 9L), (8L, 9L), (9L, 10L))
+    val result = corenessOf(clique ++ rest)
+    val expected = Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L,
+      7L -> 2L, 8L -> 2L, 9L -> 2L, 10L -> 1L)
+    assert(result == expected)
+  }
+
+  test("single edge: both endpoints coreness 1") {
+    assert(corenessOf(Seq((1L, 2L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("cascading peel: a chain fully unravels at level 2") {
+    // A path graph has an empty 2-core; every node must end at 1.
+    val chain = (1L until 6L).map(i => (i, i + 1))
+    val result = corenessOf(chain)
+    assert(result == (1L to 6L).map(_ -> 1L).toMap)
+  }
+}
