@@ -73,6 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PromoteDotProduct)
     ext.injectFunction(GraftExtensions.dotqFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
   }
 }
 
@@ -100,5 +101,26 @@ object GraftExtensions {
       // the matched arithmetic's eval mode.
       DotProductQ(children.head, children(1),
         failOnError = SQLConf.get.ansiEnabled)
+    })
+
+  /** The `graft_jaro_winkler` SQL registration triple — the fuzzy-match
+    * scorer ([[graft.functions.expressions.JaroWinklerSim]]) for
+    * SQL-only users; bit-identical to DuckDB's
+    * jaro_winkler_similarity, so SQL written against either engine
+    * scores the same.
+    */
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.JaroWinklerSim].getName,
+      "graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity of two " +
+        "STRINGs in [0,1]; NULL on null input; textbook semantics " +
+        "(0.7 boost threshold, 4-char prefix cap, p=0.1)"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        s"graft_jaro_winkler expects 2 arguments, got ${children.size}")
+      graft.functions.expressions.JaroWinklerSim(children.head, children(1))
     })
 }

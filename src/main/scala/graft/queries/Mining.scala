@@ -227,6 +227,66 @@ object Mining {
         .orderBy(col("n_nationkey"))
     }),
 
+    // KMV (k-minimum-values, "theta sketch") distinct estimation: per
+    // return flag, the 64 smallest 52-bit md5 hashes of the distinct
+    // partkeys give est = (k-1)·2⁵² div h_k — plus a merged ALL row
+    // proving the sketch's defining property: union = k smallest of the
+    // pooled hash sets, no rescan. Everything is exact integers (the
+    // hash is a deterministic md5 prefix both engines compute
+    // identically), so the ESTIMATOR itself is oracle-checkable — next
+    // to approx_distinct_parts' HLL this is the mergeable-sketch
+    // algebra spelled out relationally. The per-group rank window runs
+    // over the distinct-key table (bounded by |parts|·|flags|); at
+    // 100 TB the k-smallest pre-reduces per partition exactly like the
+    // bounded TopKAgg the ANN tiers use.
+    "kmv_distinct_parts" -> ((s, dir) => {
+      val k = 64
+      val keyed = lineitem(s, dir)
+        .select(col("l_returnflag").as("grp"), col("l_partkey")).distinct()
+        .unionByName(lineitem(s, dir)
+          .select(lit("ALL").as("grp"), col("l_partkey")).distinct())
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)),1,13)," +
+            "16,10) AS BIGINT)"))
+      val ranked = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("h"), col("l_partkey"))))
+      val kth = ranked.filter(col("rn") === k)
+        .select(col("grp"), col("h").as("h_k"))
+      val exact = keyed.groupBy(col("grp"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      kth.join(exact, "grp")
+        .withColumn("est_distinct",
+          expr(s"(${k - 1} * CAST(4503599627370496 AS BIGINT)) div h_k"))
+        .select(col("grp"), col("est_distinct"), col("exact_distinct"),
+          expr("(1000 * est_distinct) div exact_distinct")
+            .as("ratio_permille"))
+        .orderBy(col("grp"))
+    }),
+
+    // Time-weighted average event value: each reading holds until the
+    // user's next event, so the mean is Σ value·duration / Σ duration —
+    // the sensor/billing aggregate a plain avg() silently gets wrong.
+    // Numerator stays decimal(38,2) through the sum (cent·µs exceeds
+    // BIGINT at 10x), one integral division at the edge emits exact
+    // cents. One user-keyed window + one hash aggregate.
+    "time_weighted_value" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("ts_us", tsUs(col("ts")))
+        .withColumn("dur_us", lead(col("ts_us"), 1).over(byUser) - col("ts_us"))
+        .filter(col("dur_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(d2(col("value")) * col("dur_us")).as("num_d"),
+          sum(col("dur_us")).as("den_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          expr("CAST((num_d * 100) div den_us AS BIGINT)").as("twa_cents"),
+          col("den_us"), col("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // k-core decomposition of the verified near-dup graph
     // (operators/KCore.scala): coreness 1 = incidental pair, high
     // coreness = replica clique. No SQL-expressible oracle (iterate-to-
@@ -370,6 +430,49 @@ object Mining {
         |  CAST(expected_bp AS BIGINT) AS expected_bp,
         |  actual_bp - expected_bp AS dev_bp
         |FROM e ORDER BY digit""".stripMargin,
+
+    "kmv_distinct_parts" ->
+      """WITH keyed AS (
+        |  SELECT grp, l_partkey,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
+        |    UNION ALL
+        |    SELECT DISTINCT 'ALL' AS grp, l_partkey FROM lineitem)),
+        |ranked AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h, l_partkey) AS rn
+        |  FROM keyed),
+        |kth AS (SELECT grp, h AS h_k FROM ranked WHERE rn = 64),
+        |ex AS (
+        |  SELECT grp, count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM keyed GROUP BY grp)
+        |SELECT k.grp,
+        |  (63 * CAST(4503599627370496 AS BIGINT)) // h_k AS est_distinct,
+        |  ex.exact_distinct,
+        |  (1000 * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k))
+        |    // ex.exact_distinct AS ratio_permille
+        |FROM kth k JOIN ex ON ex.grp = k.grp
+        |ORDER BY k.grp""".stripMargin,
+
+    "time_weighted_value" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, sum(v * dur_us) AS num_d,
+        |    CAST(sum(dur_us) AS BIGINT) AS den_us,
+        |    count(*) AS n_events
+        |  FROM d WHERE dur_us IS NOT NULL GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(CAST(num_d * 100 AS HUGEINT) // den_us AS BIGINT)
+        |    AS twa_cents,
+        |  den_us, n_events
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     "cheapest_trade_route" ->
       """WITH RECURSIVE rev AS (

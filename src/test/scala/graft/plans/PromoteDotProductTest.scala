@@ -123,4 +123,16 @@ class PromoteDotProductTest extends AnyFunSuite {
       .map(_.getMessage).mkString("; ")
     assert(msgs.contains("ARITHMETIC_OVERFLOW"), msgs)
   }
+
+  test("graft_jaro_winkler is callable from SQL via the registered function") {
+    val (ident, info, builder) = GraftExtensions.jaroWinklerFunction
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val s = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS s").as[Double].head()
+    assert(s == 0.9611111111111111)
+    val n = spark.sql(
+      "SELECT graft_jaro_winkler('a', CAST(NULL AS STRING)) IS NULL AS x")
+      .as[Boolean].head()
+    assert(n, "null input must yield NULL")
+  }
 }
