@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextFns
-import graft.operators.{Dedup, KCore, ShortestPath}
+import graft.operators.{Dedup, Ivm, KCore, ShortestPath}
 import Util._
 
 /** Round-8 mining pack: fuzzy matching (native Jaro–Winkler codegen
@@ -287,6 +287,52 @@ object Mining {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental view maintenance for a JOIN view (operators/
+    // Ivm.scala): both the fact AND the dim receive insert-only deltas
+    // (deterministic modulus splits stand in for the late batch), and
+    // the maintained revenue-per-segment view is produced via the
+    // delta-join product rule ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB + grouped-state
+    // merge. The oracle recomputes the view from scratch — hash
+    // equality IS the proof the product rule loses/doubles nothing.
+    // At scale only the delta terms shuffle fresh data; the state merge
+    // is keyed by the bounded group key.
+    "ivm_join_view" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_custkey").as("ck"),
+        col("o_orderkey"), d2(col("o_totalprice")).as("price"))
+      val c = customer(s, dir).select(col("c_custkey").as("ck"),
+        col("c_mktsegment"))
+      val (o0, dO) = (o.filter(col("o_orderkey") % 97 =!= 0),
+        o.filter(col("o_orderkey") % 97 === 0))
+      val (c0, dC) = (c.filter(col("ck") % 101 =!= 0),
+        c.filter(col("ck") % 101 === 0))
+      Ivm.maintainJoinAgg(o0, dO, c0, dC, "ck",
+        Seq("c_mktsegment"), col("price"), "rev")
+        .select(col("c_mktsegment"),
+          expr("CAST(rev * 100 AS BIGINT)").as("revenue_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Last-touch marketing attribution: each purchase is credited to
+    // the user's most recent PRECEDING non-purchase event ('direct'
+    // when none) — one user-keyed window with an explicit
+    // (unbounded, -1) frame + IGNORE NULLS carry, then a bounded
+    // group-by. Revenue stays decimal to the edge.
+    "attribution_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("src",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("touch", last(col("src"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+            .as("value_cents"))
+        .orderBy(col("channel"))
+    }),
+
     // k-core decomposition of the verified near-dup graph
     // (operators/KCore.scala): coreness 1 = incidental pair, high
     // coreness = replica clique. No SQL-expressible oracle (iterate-to-
@@ -430,6 +476,28 @@ object Mining {
         |  CAST(expected_bp AS BIGINT) AS expected_bp,
         |  actual_bp - expected_bp AS dev_bp
         |FROM e ORDER BY digit""".stripMargin,
+
+    "ivm_join_view" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS value_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "kmv_distinct_parts" ->
       """WITH keyed AS (
