@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -49,6 +50,52 @@ object TemporalQ {
         .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
           col("n_follow"))
         .orderBy(col("event_id"))
+    }),
+
+    // Bitemporal point-in-time reconstruction: the state of the world
+    // "as KNOWN at transaction time T, EFFECTIVE at valid time V" —
+    // the audit/backtest query SCD2 alone (one time axis) can't answer.
+    // A deterministic bitemporal changelog is synthesized from orders
+    // (initial version; a late price correction re-stating the SAME
+    // valid period 30 days later for keys ≡0 mod 7; a new valid period
+    // with status F learned at its own start for keys ≡0 mod 3), then
+    // the reconstruction is the standard two-step: close tx intervals
+    // per (key, valid_from) with one lead and keep the T-visible
+    // version, THEN close valid intervals per key over the surviving
+    // snapshot and keep the V-effective row. Two key-partitioned
+    // windows, everything else exact integers.
+    "bitemporal_asof" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderdate").as("od"))
+      val v1 = o.select(col("k"), col("status"), col("cents"),
+        col("od").as("valid_from"), col("od").as("tx_from"))
+      val v2 = o.filter(col("k") % 7 === 0)
+        .select(col("k"), col("status"),
+          expr("cents + cents div 10").as("cents"),
+          col("od").as("valid_from"),
+          expr("od + INTERVAL 30 DAYS").as("tx_from"))
+      val v3 = o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit("F").as("status"), col("cents"),
+          expr("od + INTERVAL 60 DAYS").as("valid_from"),
+          expr("od + INTERVAL 60 DAYS").as("tx_from"))
+      val t = lit("1998-01-01").cast("timestamp")
+      val v = lit("1999-01-01").cast("timestamp")
+      val wTx = Window.partitionBy(col("k"), col("valid_from"))
+        .orderBy(col("tx_from"))
+      val wValid = Window.partitionBy(col("k")).orderBy(col("valid_from"))
+      v1.unionByName(v2).unionByName(v3)
+        .withColumn("tx_to", lead(col("tx_from"), 1).over(wTx))
+        .filter(col("tx_from") <= t &&
+          (col("tx_to").isNull || col("tx_to") > t))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wValid))
+        .filter(col("valid_from") <= v &&
+          (col("valid_to").isNull || col("valid_to") > v))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("status"))
     })
   )
 
@@ -77,6 +124,39 @@ object TemporalQ {
          | AND epoch_us(e.ts) > epoch_us(s.ts)
          | AND epoch_us(e.ts) <= epoch_us(s.ts) + $HOUR_US
          |GROUP BY s.event_id, s.user_id, s.ts
-         |ORDER BY s.event_id""".stripMargin
+         |ORDER BY s.event_id""".stripMargin,
+
+    "bitemporal_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderdate AS od
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, status, cents, od AS valid_from, od AS tx_from FROM o
+        |  UNION ALL
+        |  SELECT k, status, cents + cents // 10, od,
+        |    od + INTERVAL 30 DAY FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'F', cents, od + INTERVAL 60 DAY,
+        |    od + INTERVAL 60 DAY FROM o WHERE k % 3 = 0),
+        |knwn AS (
+        |  SELECT * FROM (
+        |    SELECT *, lead(tx_from) OVER (
+        |      PARTITION BY k, valid_from ORDER BY tx_from) AS tx_to
+        |    FROM log)
+        |  WHERE tx_from <= TIMESTAMP '1998-01-01'
+        |    AND (tx_to IS NULL OR tx_to > TIMESTAMP '1998-01-01')),
+        |eff AS (
+        |  SELECT * FROM (
+        |    SELECT *, lead(valid_from) OVER (
+        |      PARTITION BY k ORDER BY valid_from) AS valid_to
+        |    FROM knwn)
+        |  WHERE valid_from <= TIMESTAMP '1999-01-01'
+        |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '1999-01-01'))
+        |SELECT status, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM eff GROUP BY status ORDER BY status""".stripMargin
   )
 }

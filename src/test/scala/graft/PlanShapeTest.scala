@@ -256,4 +256,32 @@ class PlanShapeTest extends AnyFunSuite {
     assert("LeftAnti".r.findFirstIn(p).isDefined, p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("jw_best_match scores with the native codegen expression inside an equi-join") {
+    val p = plan("jw_best_match")
+    // the scorer is the native expression, not an interpreted fallback
+    assert(p.contains("graft_jaro_winkler"), p)
+    // the block key makes it an EQUI join — a cartesian/BNLJ here would
+    // be the all-pairs mistake the blocking exists to prevent
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("time_weighted_value partially aggregates after one user-keyed window") {
+    val p = plan("time_weighted_value")
+    assert("partial".r.findFirstIn(p.toLowerCase).isDefined, p)
+    // exactly one window operator (the lead); the aggregate is hash, not sort
+    assert("(?s)Window.*Window".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("benford_prices reads only the price column") {
+    val p = plan("benford_prices")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"), p)
+  }
+
+  test("cheapest_trade_route broadcasts dims into the fact join") {
+    val p = plan("cheapest_trade_route")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
