@@ -287,6 +287,71 @@ object Mining {
         .orderBy(col("event_type"))
     }),
 
+    // Market-basket affinity: part pairs co-purchased in the same order
+    // with support and lift. The pair space is blocked BY ORDER (a
+    // basket of L lines yields L(L-1)/2 pairs — bounded by basket size,
+    // never corpus size), supports come from two hash aggregates, and
+    // lift is exact integer ppm: (10⁶·N·s_ab) div (s_a·s_b). The
+    // basket relation feeds three subtrees, so it persists once.
+    "basket_pairs" -> ((s, dir) => {
+      val op = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 2)
+      val supp = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("sp"))
+      val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(supp.select(col("l_partkey").as("pa"), col("sp").as("s_a")), "pa")
+        .join(supp.select(col("l_partkey").as("pb"), col("sp").as("s_b")), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("s_ab"), col("s_a"), col("s_b"),
+          expr("(1000000 * n_orders * s_ab) div (s_a * s_b)")
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+    }),
+
+    // Two-proportion A/B z-test in EXACT integers: arms by user-id
+    // parity, conversion = "user ever made a >= $150 purchase" (a
+    // ~47% base rate at every SF — stable and non-degenerate, unlike
+    // any-purchase which saturates), and the pooled
+    // z-statistic cross-multiplied into one decimal(38,0) fraction
+    // z²·10⁶ = 10⁶·(c1n2−c2n1)²·N div (n1·n2·C·(N−C)) — no doubles,
+    // no sqrt, and the α=0.05 decision is an integer compare against
+    // 3841459 (the chi-square-1df critical value in ppm). One scan +
+    // one bounded agg.
+    "ab_test_events" -> ((s, dir) => {
+      val users = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") >= 150, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c2"))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          expr("(1000 * c1) div n1").as("rate1_permille"),
+          expr("(1000 * c2) div n2").as("rate2_permille"),
+          expr(
+            """(CAST(1000000 AS DECIMAL(38,0)) *
+              |  CAST((c1*n2 - c2*n1) AS DECIMAL(38,0)) *
+              |  CAST((c1*n2 - c2*n1) AS DECIMAL(38,0)) *
+              |  CAST((n1 + n2) AS DECIMAL(38,0))) div
+              |  (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) *
+              |   CAST((c1 + c2) AS DECIMAL(38,0)) *
+              |   CAST((n1 + n2 - c1 - c2) AS DECIMAL(38,0)))""".stripMargin)
+            .cast("long").as("z2_ppm"))
+        .withColumn("significant_05", col("z2_ppm") >= 3841459L)
+    }),
+
     // Incremental view maintenance for a JOIN view (operators/
     // Ivm.scala): both the fact AND the dim receive insert-only deltas
     // (deterministic modulus splits stand in for the late batch), and
@@ -476,6 +541,57 @@ object Mining {
         |  CAST(expected_bp AS BIGINT) AS expected_bp,
         |  actual_bp - expected_bp AS dev_bp
         |FROM e ORDER BY digit""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS s_ab
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT l_partkey, count(*) AS sp FROM op GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+        |SELECT p.pa, p.pb, p.s_ab, sa.sp AS s_a, sb.sp AS s_b,
+        |  (1000000 * n.n_orders * p.s_ab) // (sa.sp * sb.sp) AS lift_ppm
+        |FROM pairs p
+        |JOIN supp sa ON sa.l_partkey = p.pa
+        |JOIN supp sb ON sb.l_partkey = p.pb
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, pa, pb""".stripMargin,
+
+    "ab_test_events" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 150
+        |      THEN 1 ELSE 0 END) AS converted,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(converted) FILTER (arm = 0), 0) AS BIGINT)
+        |      AS c1,
+        |    CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n2,
+        |    CAST(coalesce(sum(converted) FILTER (arm = 1), 0) AS BIGINT)
+        |      AS c2
+        |  FROM u)
+        |SELECT n1, c1, n2, c2,
+        |  (1000 * c1) // n1 AS rate1_permille,
+        |  (1000 * c2) // n2 AS rate2_permille,
+        |  CAST((CAST(1000000 AS HUGEINT) *
+        |    CAST(c1*n2 - c2*n1 AS HUGEINT) * CAST(c1*n2 - c2*n1 AS HUGEINT) *
+        |    CAST(n1 + n2 AS HUGEINT)) //
+        |    (CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) *
+        |     CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT))
+        |    AS BIGINT) AS z2_ppm,
+        |  CAST((CAST(1000000 AS HUGEINT) *
+        |    CAST(c1*n2 - c2*n1 AS HUGEINT) * CAST(c1*n2 - c2*n1 AS HUGEINT) *
+        |    CAST(n1 + n2 AS HUGEINT)) //
+        |    (CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) *
+        |     CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT))
+        |    AS BIGINT) >= 3841459 AS significant_05
+        |FROM agg""".stripMargin,
 
     "ivm_join_view" ->
       """SELECT c_mktsegment,

@@ -329,4 +329,46 @@ object StreamingOps {
         .write.mode("overwrite").parquet(path)
       ()
     }
+
+  /** Streaming incremental JOIN-view maintenance — the streaming end of
+    * [[graft.operators.Ivm]]: each micro-batch of fact INSERTS joins a
+    * static dimension, aggregates to its per-group contribution, and
+    * merges into the grouped-sum snapshot via `Ivm.mergeAggState` —
+    * delta-sized work per trigger, never a rescan of history (the
+    * standard "maintain the dashboard aggregate off the CDC feed"
+    * sink).
+    *
+    * Additive merges are NOT replay-idempotent the way keyed upserts
+    * are, so exactly-once is enforced explicitly: the last applied
+    * batch id rides in a sidecar file and an already-seen id is
+    * skipped — with foreachBatch's deterministic batch ids this is the
+    * classic transactional-sink recipe (id + data written together; at
+    * warehouse scale both land in one transaction).
+    */
+  def ivmJoinAggEachBatch(facts: DataFrame, dim: DataFrame, key: String,
+                          groupCols: Seq[String], measureCol: String,
+                          path: String) =
+    facts.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val idFile = new java.io.File(path + ".batchid")
+      val lastApplied =
+        if (idFile.exists())
+          new String(java.nio.file.Files.readAllBytes(idFile.toPath)).trim.toLong
+        else -1L
+      if (batchId > lastApplied) {
+        val delta = batch.join(dim, key)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col(measureCol)).as(measureCol))
+        val state =
+          if (new java.io.File(path).exists()) s.read.parquet(path)
+          else delta.limit(0)
+        graft.operators.Ivm
+          .mergeAggState(state, delta, groupCols, measureCol)
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(idFile.toPath,
+          batchId.toString.getBytes)
+      }
+      ()
+    }
 }

@@ -387,4 +387,23 @@ class DedupTest extends AnyFunSuite {
     assert(exact.subsetOf(probed),
       s"probe lost pairs: ${exact -- probed}")
   }
+
+  test("containmentPairs flags the fragment Jaccard is blind to, asymmetrically") {
+    // doc 10 is a verbatim excerpt of doc 11 (first 8 of 20 tokens):
+    // containment(10->11) = 1.0 while jaccard ~ 6/18 — the class the
+    // operator exists for. The reverse direction must NOT fire at 4/5.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val frag = base.split(" ").take(8).mkString(" ")
+    val d = Seq((10L, frag), (11L, base), (12L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, n = 3, thresholdNum = 4,
+      thresholdDen = 5, minSize = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 11L, 1000L)), out.toString)
+    // and the symmetric Jaccard tier at 0.5 sees nothing here
+    val jac = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
 }
