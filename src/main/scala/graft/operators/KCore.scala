@@ -48,6 +48,14 @@ object KCore {
       var edges = save(
         p0.select(col("a").as("u"), col("b").as("v"))
           .unionByName(p0.select(col("b").as("u"), col("a").as("v"))))
+      // Surviving nodes are tracked SEPARATELY from the edge list: a
+      // node whose neighbors all peel in one batch loses every edge row
+      // in that same round, and a degree aggregate over edges alone
+      // would simply never see it again — it must instead surface next
+      // round with degree 0 (< k) and peel. The left join + coalesce(0)
+      // below is that isolated-node path (pinned by the random-graph
+      // reference test).
+      var nodes = save(edges.select(col("u").as("node")).distinct())
       // Finalized (node, coreness) rows, appended as nodes peel off.
       var assigned = spark.range(0)
         .select(col("id").as("node"), col("id").as("coreness"))
@@ -58,9 +66,12 @@ object KCore {
         var stable = false
         while (!stable && !empty && rounds < maxRounds) {
           rounds += 1
-          val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          val degs = nodes.join(
+            edges.groupBy(col("u")).agg(count(lit(1)).as("deg")),
+            nodes("node") === col("u"), "left")
+            .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
           val below = save(degs.filter(col("deg") < k)
-            .select(col("u").as("peeled")))
+            .select(col("node").as("peeled")))
           if (below.isEmpty) {
             stable = true
           } else {
@@ -68,17 +79,19 @@ object KCore {
             assigned = save(assigned.unionByName(
               below.select(col("peeled").as("node"),
                 lit(k - 1).cast("long").as("coreness"))))
+            nodes = save(nodes.join(below,
+              nodes("node") === below("peeled"), "left_anti"))
             edges = save(edges
               .join(below, edges("u") === below("peeled"), "left_anti")
               .join(below, edges("v") === below("peeled"), "left_anti"))
-            empty = edges.isEmpty
+            empty = nodes.isEmpty
           }
         }
         k += 1
       }
       // Whatever survives the last completed level k-1 has coreness k-1
       // (loop exits only when that core is stable or bounds hit).
-      val survivors = edges.select(col("u").as("node")).distinct()
+      val survivors = nodes
         .withColumn("coreness", lit(k - 1).cast("long"))
       assigned.unionByName(survivors)
     } finally {

@@ -352,6 +352,41 @@ object Mining {
         .withColumn("significant_05", col("z2_ppm") >= 3841459L)
     }),
 
+    // Revenue-concentration profile: the Gini coefficient and the
+    // top-20% revenue share over per-customer totals, both in exact
+    // integer permille. Gini from the rank formulation
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending and the rank
+    // tie-broken by custkey; every product is cross-multiplied in
+    // decimal(38,0) so no term can overflow at any SF. The only window
+    // runs over the per-customer PRE-aggregate (the rfm_segments
+    // bound), and both metrics read the same ranked table once.
+    "revenue_concentration" -> ((s, dir) => {
+      val byCust = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)" +
+          " AS BIGINT)").as("cents"))
+      val ranked = byCust
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"))
+          .as("iwx"),
+        sum(when(col("i") > col("nn") - expr("nn div 5"), col("cents"))
+          .otherwise(0L)).as("top20_cents"))
+        .select(col("n"), col("total_cents"),
+          expr("""CAST((CAST(1000 AS DECIMAL(38,0)) *
+            |  (2 * iwx - (CAST(n AS DECIMAL(38,0)) + 1) *
+            |    CAST(total_cents AS DECIMAL(38,0)))) div
+            |  (CAST(n AS DECIMAL(38,0)) *
+            |   CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)"""
+            .stripMargin).as("gini_permille"),
+          expr("(1000 * top20_cents) div total_cents")
+            .as("top20_share_permille"))
+    }),
+
     // Incremental view maintenance for a JOIN view (operators/
     // Ivm.scala): both the fact AND the dim receive insert-only deltas
     // (deterministic modulus splits stand in for the late batch), and
@@ -592,6 +627,33 @@ object Mining {
         |     CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT))
         |    AS BIGINT) >= 3841459 AS significant_05
         |FROM agg""".stripMargin,
+
+    "revenue_concentration" ->
+      """WITH bc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i,
+        |    count(*) OVER () AS nn
+        |  FROM bc),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS iwx,
+        |    CAST(sum(CASE WHEN i > nn - nn // 5 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS top20_cents
+        |  FROM r)
+        |SELECT n, total_cents,
+        |  CAST((CAST(1000 AS HUGEINT) *
+        |    (2 * iwx - (CAST(n AS HUGEINT) + 1) *
+        |      CAST(total_cents AS HUGEINT))) //
+        |    (CAST(n AS HUGEINT) * CAST(total_cents AS HUGEINT))
+        |    AS BIGINT) AS gini_permille,
+        |  (1000 * top20_cents) // total_cents AS top20_share_permille
+        |FROM a""".stripMargin,
 
     "ivm_join_view" ->
       """SELECT c_mktsegment,

@@ -38,4 +38,34 @@ class KCoreTest extends AnyFunSuite {
     val result = corenessOf(chain)
     assert(result == (1L to 6L).map(_ -> 1L).toMap)
   }
+
+  test("matches a reference peeling implementation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val pairs = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (i, j)).toVector
+      if (pairs.nonEmpty) {
+        // reference: sequential peeling over an adjacency map
+        var adj = pairs.flatMap(p => Seq(p, p.swap))
+          .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+        val ref = scala.collection.mutable.Map.empty[Long, Long]
+        var k = 1L
+        while (adj.nonEmpty) {
+          var changed = true
+          while (changed) {
+            val below = adj.filter(_._2.size < k).keySet
+            changed = below.nonEmpty
+            below.foreach { v => ref(v) = k - 1 }
+            adj = (adj -- below).map { case (u, vs) => u -> (vs -- below) }
+          }
+          adj.keys.foreach(v => ref(v) = k)
+          k += 1
+        }
+        assert(corenessOf(pairs) == ref.toMap, s"trial $trial")
+      }
+    }
+  }
 }

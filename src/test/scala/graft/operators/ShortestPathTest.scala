@@ -32,4 +32,28 @@ class ShortestPathTest extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(0L -> 0L, 1L -> 5L))
   }
+
+  test("matches reference Bellman-Ford on random weighted digraphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val es = (for {
+        i <- 0L until n; j <- 0L until n
+        if i != j && rnd.nextDouble() < 0.25
+      } yield (i, j, (rnd.nextInt(90) + 10).toLong)).toVector
+      // reference: n-1 relaxation rounds over the full edge list
+      var ref = Map(0L -> 0L)
+      for (_ <- 1 until n) {
+        val relaxed = es.flatMap { case (u, v, w) =>
+          ref.get(u).map(du => v -> (du + w))
+        }
+        ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (v, ds) => v -> ds.map(_._2).min }
+      }
+      val got = ShortestPath.boundedCheapestPaths(
+        es.toDF("src", "dst", "cost"), source = 0L, maxHops = n - 1)
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref, s"trial $trial")
+    }
+  }
 }
