@@ -90,12 +90,69 @@ object KCore {
         k += 1
       }
       // Whatever survives the last completed level k-1 has coreness k-1
-      // (loop exits only when that core is stable or bounds hit).
+      // (loop exits only when that core is stable or bounds hit). If a
+      // bound (maxK / maxRounds) fired with nodes still standing, the
+      // survivors' labels are a TRUNCATED lower bound, not exact
+      // coreness — warn so callers can distinguish the backstop path
+      // from convergence (per round-8 advisory).
+      if (!empty && (k > maxK || rounds >= maxRounds)) {
+        val bound = if (k > maxK) s"maxK=$maxK" else s"maxRounds=$maxRounds"
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"KCore.coreness hit $bound with nodes remaining: " +
+            s"surviving nodes are labeled coreness ${k - 1} (lower bound, " +
+            "not converged)")
+      }
       val survivors = nodes
         .withColumn("coreness", lit(k - 1).cast("long"))
       assigned.unionByName(survivors)
     } finally {
       prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }
+  }
+
+  /** Fixed-round h-index coreness — the oracle-expressible twin of
+    * [[coreness]]. Iterates h_0(v) = deg(v); h_{t+1}(v) = H-index of
+    * {h_t(u) : u ~ v} (the largest r such that at least r neighbors have
+    * h_t >= r). The sequence is pointwise non-increasing and converges
+    * to exact coreness (Lü, Chen, Zhang, Zhou, "The H-index of a network
+    * and its relation to degree and coreness", Nat. Commun. 2016); once
+    * converged, further rounds are identity, so a fixed `rounds` past
+    * the corpus's convergence depth IS coreness — and, being a fixed
+    * synchronous schedule, it unrolls to a plain CTE chain for a DuckDB
+    * oracle exactly like LabelProp's 3-round LPA.
+    *
+    * Scale shape: the symmetric edge list is frozen once, pre-hashed on
+    * the join key `v`, and localCheckpointed; each round shuffles ONLY
+    * the (node, h) table (corpus-of-nodes sized, not corpus-of-edges)
+    * into the frozen edge partitioning, then computes the per-node
+    * H-index with a bounded window (partition = one node's neighbor
+    * list, bounded by max degree). No all-pairs structure; rounds are a
+    * constant chosen at call site.
+    */
+  def corenessHIndex(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p0 = pairs.select(col("a"), col("b"))
+    val edges = p0.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint(eager = true)
+    var h = edges.groupBy(col("u")).agg(count(lit(1)).as("val"))
+      .select(col("u").as("node"), col("val").cast("long").as("val"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val byRank = edges.join(h, edges("v") === h("node"))
+        .select(edges("u"), col("val"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("val").desc)))
+      // H-index = max r with val_r >= r (val_r = r-th largest): ties in
+      // val make rn assignment order-free for the max, so this is
+      // deterministic without a tie-break column.
+      h = byRank.groupBy(col("u"))
+        .agg(max(when(col("val") >= col("rn"), col("rn"))
+          .otherwise(lit(0))).cast("long").as("val"))
+        .select(col("u").as("node"), col("val"))
+        .localCheckpoint(eager = true)
+    }
+    h.select(col("node"), col("val").as("coreness"))
   }
 }

@@ -24,6 +24,12 @@ object Mining {
 
   private val US_30M = 1800000000L // 30-minute session gap, micros
 
+  /** Synchronous h-index rounds for kcore_docs — must exceed the
+    * corpus's convergence depth (dup graphs are near-clique unions:
+    * depth ~1-2; 4 leaves slack) and is unrolled verbatim in the oracle.
+    */
+  private[queries] val KCORE_ROUNDS = 4
+
   def queries: Map[String, Q] = Map(
     // Fuzzy entity match: every document's BEST fuzzy neighbor among
     // docs sharing its title's two leading tokens — the classic
@@ -435,20 +441,58 @@ object Mining {
 
     // k-core decomposition of the verified near-dup graph
     // (operators/KCore.scala): coreness 1 = incidental pair, high
-    // coreness = replica clique. No SQL-expressible oracle (iterate-to-
-    // fixpoint peeling) — correctness is pinned by the hermetic
-    // KCoreTest; the driver records the rows-only check.
+    // coreness = replica clique. Declared semantics (round 9): the
+    // KCORE_ROUNDS-round synchronous h-index iteration — h_0 = degree,
+    // h_{t+1} = neighbor H-index — which is pointwise non-increasing
+    // and EQUALS exact peeling coreness once converged (Lü et al. 2016;
+    // KCoreTest pins corenessHIndex == coreness on random graphs at
+    // this depth). Fixed rounds make it oracle-expressible as an
+    // unrolled CTE chain, exactly like communities_lpa — closing the
+    // one `no_oracle` row in CORRECTNESS_r08.
     "kcore_docs" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(documents(s, dir),
         n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
         maxDf = Some(TextDedup.MAX_DF))
-      KCore.coreness(pairs.select(col("a"), col("b")))
+      KCore.corenessHIndex(pairs.select(col("a"), col("b")), KCORE_ROUNDS)
         .select(col("node").as("doc_id"), col("coreness"))
         .orderBy(col("doc_id"))
     })
   )
 
+  /** One synchronous h-index round as a CTE body: neighbors' previous
+    * values ranked desc per node, H-index = max r with val_r >= r —
+    * mirrors KCore.corenessHIndex's window + max(case) aggregate.
+    */
+  private def hIndexStep(prev: String): String =
+    s"""SELECT u AS node,
+       |  CAST(MAX(CASE WHEN val >= rn THEN rn ELSE 0 END) AS BIGINT)
+       |    AS val
+       |FROM (SELECT e.u, p.val,
+       |        ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY p.val DESC)
+       |          AS rn
+       |      FROM e JOIN $prev p ON e.v = p.node)
+       |GROUP BY u""".stripMargin
+
+  private def kcoreOracle: String = {
+    val rounds = (1 to KCORE_ROUNDS)
+      .map(t => s"h$t AS (${hIndexStep(s"h${t - 1}")})")
+      .mkString(",\n")
+    s"""WITH ${TextDedup.docsSqlFrom("documents")},
+       |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
+       |${TextDedup.lshCandSql(8, 4)},
+       |pairsq AS (${TextDedup.verifySql(0.5)}),
+       |e AS (SELECT a AS u, b AS v FROM pairsq
+       |      UNION ALL SELECT b AS u, a AS v FROM pairsq),
+       |h0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS val
+       |       FROM e GROUP BY u),
+       |$rounds
+       |SELECT node AS doc_id, val AS coreness
+       |FROM h$KCORE_ROUNDS ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "kcore_docs" -> kcoreOracle,
+
     "jw_best_match" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -68,4 +68,41 @@ class KCoreTest extends AnyFunSuite {
       }
     }
   }
+
+  test("h-index iteration converges to exact peeling coreness") {
+    // Lü et al. 2016: the iterated neighbor H-index equals coreness at
+    // its fixpoint, and the sequence is pointwise non-increasing — so
+    // at a rounds count past convergence the fixed-round operator must
+    // equal the peeling one. Random graphs, same generator family as
+    // the peeling reference test; plus extra rounds are a no-op.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val pairs = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.2
+      } yield (i, j)).toVector
+      if (pairs.nonEmpty) {
+        val exact = corenessOf(pairs)
+        val h = KCore.corenessHIndex(pairs.toDF("a", "b"), rounds = 25)
+          .as[(Long, Long)].collect().toMap
+        assert(h == exact, s"trial $trial")
+        val h2 = KCore.corenessHIndex(pairs.toDF("a", "b"), rounds = 30)
+          .as[(Long, Long)].collect().toMap
+        assert(h2 == h, s"trial $trial idempotent tail")
+      }
+    }
+  }
+
+  test("h-index fixed rounds: clique-union dup graph converges by 2") {
+    // The kcore_docs regime: near-dup graphs are unions of replica
+    // cliques (+ pendants). Convergence depth here is <= 2, well under
+    // the query's declared KCORE_ROUNDS=4.
+    val clique = for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)
+    val g = clique ++ Seq((5L, 6L), (7L, 8L))
+    val exact = corenessOf(g)
+    val h2 = KCore.corenessHIndex(g.toDF("a", "b"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(h2 == exact)
+  }
 }
