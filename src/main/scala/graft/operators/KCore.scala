@@ -131,27 +131,37 @@ object KCore {
     */
   def corenessHIndex(pairs: DataFrame, rounds: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p0 = pairs.select(col("a"), col("b"))
+    // Checkpoint the caller's pair pipeline ONCE before the symmetric
+    // union references it twice (else the upstream candidate generation
+    // — LSH, blocking — executes once per branch), then freeze the edge
+    // table pre-partitioned on the per-round join key. Unlike the
+    // fixpoint peel there are NO per-round driver actions here — the
+    // fixed `rounds` unroll into one declarative plan and a single
+    // action executes it, so rounds cost plan depth, not jobs.
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint(eager = true)
     val edges = p0.select(col("a").as("u"), col("b").as("v"))
       .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("v"))
       .localCheckpoint(eager = true)
     var h = edges.groupBy(col("u")).agg(count(lit(1)).as("val"))
       .select(col("u").as("node"), col("val").cast("long").as("val"))
-      .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
-      val byRank = edges.join(h, edges("v") === h("node"))
-        .select(edges("u"), col("val"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("u")).orderBy(col("val").desc)))
-      // H-index = max r with val_r >= r (val_r = r-th largest): ties in
-      // val make rn assignment order-free for the max, so this is
-      // deterministic without a tie-break column.
-      h = byRank.groupBy(col("u"))
-        .agg(max(when(col("val") >= col("rn"), col("rn"))
-          .otherwise(lit(0))).cast("long").as("val"))
+      // H-index via the value histogram, NOT a rank sort of the full
+      // joined edge table: count neighbors per (u, val) first (map-side
+      // combinable — the shuffle carries distinct (u, val) rows, not
+      // edges), suffix-count G(val) = #neighbors with h >= val with a
+      // bounded cumulative window over the per-node distinct values,
+      // then H = max over values of min(val, G(val)) — the standard
+      // equivalent of "max r with val_r >= r".
+      val cnts = edges.join(h, edges("v") === h("node"))
+        .groupBy(edges("u"), col("val"))
+        .agg(count(lit(1)).as("c"))
+      val g = cnts.withColumn("ge", sum(col("c")).over(
+        Window.partitionBy(col("u")).orderBy(col("val").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      h = g.groupBy(col("u"))
+        .agg(max(least(col("val"), col("ge"))).cast("long").as("val"))
         .select(col("u").as("node"), col("val"))
-        .localCheckpoint(eager = true)
     }
     h.select(col("node"), col("val").as("coreness"))
   }

@@ -40,10 +40,16 @@ object Mining {
     // jaro_winkler_similarity, so both the argmax ordering and the
     // floor-permille projection are engine-exact.
     //
-    // Scale: the two-token block key bounds every block at vocab⁻²-ish
-    // fan-out (no all-pairs anywhere); the per-block quadratic is the
-    // HONEST cost of exhaustive in-block scoring, and at 100 TB the
-    // same plan holds with a length-band added to the block key.
+    // Scale (round-9 rework): the naive in-block quadratic is docs² per
+    // block, and a replicated corpus grows it 100x for 10x data (the
+    // measured 3.1x cliff). The argmax factors EXACTLY through distinct
+    // titles, with no semantic change: JW(s,s) = 1.0 and JW(s,t) < 1.0
+    // for s ≠ t, so any doc whose title group has ≥ 2 members matches
+    // in-group (smallest other id — ties at s = 1.0 break by bk); and a
+    // singleton-title doc's (s desc, bk asc) argmax over docs equals the
+    // argmax over DISTINCT titles represented by their min doc id. The
+    // quadratic thus runs over distinct-title reps only — invariant
+    // under replication — and group members pay one linear join.
     "jw_best_match" -> ((s, dir) => {
       val titled = documents(s, dir)
         .select(col("doc_id"),
@@ -53,31 +59,59 @@ object Mining {
         .select(col("doc_id"), col("title"),
           coalesce(get(col("toks"), lit(0)), lit("")).as("w1"),
           coalesce(get(col("toks"), lit(1)), lit("")).as("w2"))
-      val a = titled.select(col("doc_id").as("ak"), col("title").as("ta"),
-        col("w1"), col("w2"))
-      val b = titled.select(col("doc_id").as("bk"), col("title").as("tb"),
-        col("w1"), col("w2"))
-      val rk = Window.partitionBy(col("ak"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grp = titled.groupBy(col("title"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      // Second-smallest id per multi-member title: the min_doc member's
+      // own in-group match (everyone else matches min_doc).
+      val second = titled
+        .join(grp.select(col("title"), col("min_doc")), "title")
+        .filter(col("doc_id") =!= col("min_doc"))
+        .groupBy(col("title")).agg(min(col("doc_id")).as("second_doc"))
+      val inGroup = titled
+        .join(grp.filter(col("n") >= 2).select(col("title"), col("min_doc")),
+          "title")
+        .join(second, "title")
+        .select(col("doc_id"),
+          when(col("doc_id") === col("min_doc"), col("second_doc"))
+            .otherwise(col("min_doc")).as("match_id"),
+          lit(1000L).as("sim_permille"))
+      // Singleton-title docs score against distinct-title reps in their
+      // block; same-title candidates are impossible (n = 1), and a rep's
+      // min_doc is exactly the id the original tie-break would pick.
+      val singles = titled
+        .join(grp.filter(col("n") === 1).select(col("title")), "title")
+      val reps = grp.select(col("title").as("tb"), col("w1"), col("w2"),
+        col("min_doc").as("bk"))
+      val rk = Window.partitionBy(col("doc_id"))
         .orderBy(col("s").desc, col("bk"))
-      a.join(b, Seq("w1", "w2"))
-        .filter(col("ak") =!= col("bk"))
-        .withColumn("s", TextFns.jaroWinkler(col("ta"), col("tb")))
+      val singleBest = singles.join(reps, Seq("w1", "w2"))
+        .filter(col("title") =!= col("tb"))
+        .withColumn("s", TextFns.jaroWinkler(col("title"), col("tb")))
         .withColumn("rn", row_number().over(rk))
         .filter(col("rn") === 1)
-        .select(col("ak").as("doc_id"), col("bk").as("match_id"),
+        .select(col("doc_id"), col("bk").as("match_id"),
           floor(col("s") * lit(1000.0)).cast("long").as("sim_permille"))
-        .orderBy(col("doc_id"))
+      inGroup.unionByName(singleBest).orderBy(col("doc_id"))
     }),
 
     // Asymmetric containment dedup (operators/Dedup.containmentPairs):
     // catches the excerpt/truncation dup class Jaccard is blind to.
-    // Threshold 4/5 enforced in exact integers; same df-ceiling'd
-    // inverted index as the whole shingle family.
-    "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(documents(s, dir), n = 3,
+    // Threshold 4/5 enforced in exact integers. The df ceiling is
+    // CORPUS-RELATIVE here — max(MAX_DF, ndocs/250), i.e. "drop
+    // shingles in > 0.4% of docs" once the corpus outgrows 5k — because
+    // a replicated scale-up multiplies every df by the replication
+    // factor and a fixed cap silently empties the index (the round-8
+    // advisory's vacuous-at-10x finding). The count() is one scalar
+    // aggregate, not a data collect.
+    "dedup_containment" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val cap = math.max(TextDedup.MAX_DF.toLong, docs.count() / 250L).toInt
+      Dedup.containmentPairs(docs, n = 3,
         thresholdNum = 4, thresholdDen = 5, minSize = 5,
-        maxDf = Some(TextDedup.MAX_DF))
-        .orderBy(col("a"), col("b"))),
+        maxDf = Some(cap))
+        .orderBy(col("a"), col("b"))
+    }),
 
     // Sequential pattern mining: event-type trigrams WITHIN 30-minute
     // sessions (sessionize -> two leads inside the session window ->
@@ -261,9 +295,15 @@ object Mining {
         .select(col("grp"), col("h").as("h_k"))
       val exact = keyed.groupBy(col("grp"))
         .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
-      kth.join(exact, "grp")
+      // A group with fewer than k distinct keys has no kth hash — KMV
+      // convention is to report the EXACT count there (the sketch holds
+      // the whole set), so exact is the base side and est coalesces to
+      // it rather than the group vanishing (round-8 advisory).
+      exact.join(kth, Seq("grp"), "left")
         .withColumn("est_distinct",
-          expr(s"(${k - 1} * CAST(4503599627370496 AS BIGINT)) div h_k"))
+          coalesce(
+            expr(s"(${k - 1} * CAST(4503599627370496 AS BIGINT)) div h_k"),
+            col("exact_distinct")))
         .select(col("grp"), col("est_distinct"), col("exact_distinct"),
           expr("(1000 * est_distinct) div exact_distinct")
             .as("ratio_permille"))
@@ -518,7 +558,8 @@ object Mining {
 
     "dedup_containment" ->
       s"""WITH ${TextDedup.docsSqlFrom("documents")},
-         |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
+         |${TextDedup.dfShingledSqlCapExpr(
+        s"greatest(${TextDedup.MAX_DF}, (SELECT count(*) FROM documents) // 250)")},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
@@ -738,13 +779,14 @@ object Mining {
         |ex AS (
         |  SELECT grp, count(DISTINCT l_partkey) AS exact_distinct
         |  FROM keyed GROUP BY grp)
-        |SELECT k.grp,
-        |  (63 * CAST(4503599627370496 AS BIGINT)) // h_k AS est_distinct,
+        |SELECT ex.grp,
+        |  coalesce((63 * CAST(4503599627370496 AS BIGINT)) // h_k,
+        |    ex.exact_distinct) AS est_distinct,
         |  ex.exact_distinct,
-        |  (1000 * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k))
-        |    // ex.exact_distinct AS ratio_permille
-        |FROM kth k JOIN ex ON ex.grp = k.grp
-        |ORDER BY k.grp""".stripMargin,
+        |  (1000 * coalesce((63 * CAST(4503599627370496 AS BIGINT)) // h_k,
+        |    ex.exact_distinct)) // ex.exact_distinct AS ratio_permille
+        |FROM ex LEFT JOIN kth k ON ex.grp = k.grp
+        |ORDER BY ex.grp""".stripMargin,
 
     "time_weighted_value" ->
       """WITH d AS (

@@ -555,9 +555,17 @@ object Olap {
         .agg(sum((d2(col("l_extendedprice")) * 100).cast("long") *
           col("l_quantity").cast("long")).as("value_u"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val total = perPart.agg(sum(col("value_u")).as("total_u"))
+      // TPC-H's q11 share threshold is 0.0001/SF — explicitly
+      // scale-DEPENDENT, so a fixed fraction empties under scale-up
+      // (the 10x gate passed on 0 rows). The scale-invariant form keeps
+      // the gate meaningful at any corpus size: parts worth > 3x the
+      // MEAN per-part stock value (value·nparts > 3·total, exact
+      // integers; replication multiplies total and nparts equally).
+      val total = perPart.agg(sum(col("value_u")).as("total_u"),
+        count(lit(1)).as("n_parts"))
       perPart.crossJoin(broadcast(total))
-        .filter(expr("CAST(value_u AS DECIMAL(38,0)) * 1000 > CAST(total_u AS DECIMAL(38,0)) * 2"))
+        .filter(expr("CAST(value_u AS DECIMAL(38,0)) * n_parts > " +
+          "CAST(total_u AS DECIMAL(38,0)) * 3"))
         .select(col("l_partkey"), col("value_u"))
         .orderBy(col("value_u").desc, col("l_partkey"))
     }),
@@ -909,10 +917,12 @@ object Olap {
         |    SELECT s_suppkey FROM supplier JOIN nation
         |      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')
         |  GROUP BY 1),
-        |tot AS (SELECT SUM(value_u) AS total_u FROM per_part)
+        |tot AS (SELECT SUM(value_u) AS total_u, COUNT(*) AS n_parts
+        |        FROM per_part)
         |SELECT l_partkey, CAST(value_u AS BIGINT) AS value_u
         |FROM per_part, tot
-        |WHERE CAST(value_u AS HUGEINT) * 1000 > CAST(total_u AS HUGEINT) * 2
+        |WHERE CAST(value_u AS HUGEINT) * n_parts
+        |    > CAST(total_u AS HUGEINT) * 3
         |ORDER BY value_u DESC, l_partkey""".stripMargin,
 
     "q12_priority_lines" ->

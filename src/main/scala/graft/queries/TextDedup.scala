@@ -65,10 +65,18 @@ object TextDedup {
     * dropped disappear, exactly like the Spark side.
     */
   private[queries] def dfShingledSqlCap(maxDf: Int) =
+    dfShingledSqlCapExpr(maxDf.toString)
+
+  /** As [[dfShingledSqlCap]] but the ceiling is any SQL scalar
+    * expression (e.g. a corpus-relative bound) — used where the cap
+    * must track corpus size so a replicated scale-up doesn't silently
+    * empty the inverted index.
+    */
+  private[queries] def dfShingledSqlCapExpr(maxDfExpr: String) =
     s"""inv AS (
        |  SELECT doc_id, s
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)
-       |  QUALIFY count(*) OVER (PARTITION BY s) <= $maxDf),
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= ($maxDfExpr)),
        |shingled AS (SELECT doc_id, list(s) AS sh FROM inv GROUP BY doc_id)""".stripMargin
 
   private val dfShingledSql = dfShingledSqlCap(MAX_DF)

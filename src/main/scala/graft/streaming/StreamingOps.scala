@@ -339,36 +339,77 @@ object StreamingOps {
     * sink).
     *
     * Additive merges are NOT replay-idempotent the way keyed upserts
-    * are, so exactly-once is enforced explicitly: the last applied
-    * batch id rides in a sidecar file and an already-seen id is
-    * skipped — with foreachBatch's deterministic batch ids this is the
-    * classic transactional-sink recipe (id + data written together; at
-    * warehouse scale both land in one transaction).
+    * are, so exactly-once is enforced explicitly with the standard
+    * transactional-sink recipe, id COMMITTED WITH the data: the new
+    * snapshot is staged to a side directory together with a
+    * `_graft_commit` marker (underscore-prefixed, so parquet readers
+    * skip it) holding `queryTag:batchId`, then swapped into place with
+    * directory renames — a crash at any point leaves either the old
+    * snapshot+old id or the new snapshot+new id, never a snapshot whose
+    * id lags its data (the round-8 advisory's double-count window).
+    * Interrupted swaps are healed at the next batch (path.old rollback /
+    * cleanup).
+    *
+    * `queryTag` names the logical feed: replays keyed on the SAME tag
+    * with an already-applied batch id are skipped (restart-from-
+    * checkpoint replays batch ids deterministically), while a DIFFERENT
+    * tag — a genuinely new query lineage whose ids restart at 0 —
+    * applies from its first batch instead of being silently dropped.
+    * Use one tag per checkpoint location; pointing a fresh checkpoint
+    * at an existing view REQUIRES a fresh tag.
+    *
+    * At warehouse scale the same body targets a transactional sink and
+    * the staged rename becomes the sink's own commit.
     */
   def ivmJoinAggEachBatch(facts: DataFrame, dim: DataFrame, key: String,
                           groupCols: Seq[String], measureCol: String,
-                          path: String) =
+                          path: String, queryTag: String = "default") =
     facts.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      val idFile = new java.io.File(path + ".batchid")
-      val lastApplied =
-        if (idFile.exists())
-          new String(java.nio.file.Files.readAllBytes(idFile.toPath)).trim.toLong
-        else -1L
-      if (batchId > lastApplied) {
+      val dir = new java.io.File(path)
+      val old = new java.io.File(path + ".old")
+      val staging = new java.io.File(path + ".staging")
+      // Heal an interrupted swap: both present -> new snapshot already
+      // committed, drop the backup; only backup present -> the swap
+      // died between renames, roll back (the batch id inside was never
+      // observable, so the source's replay re-applies cleanly).
+      if (dir.exists() && old.exists()) deleteRec(old)
+      if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
+      if (staging.exists()) deleteRec(staging)
+      val marker = new java.io.File(dir, "_graft_commit")
+      val lastApplied: Option[(String, Long)] =
+        if (marker.exists()) {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(marker.toPath)).trim
+          val i = txt.lastIndexOf(':')
+          Some((txt.substring(0, i), txt.substring(i + 1).toLong))
+        } else None
+      val seen = lastApplied.exists { case (tag, id) =>
+        tag == queryTag && batchId <= id }
+      if (!seen) {
         val delta = batch.join(dim, key)
           .groupBy(groupCols.map(col): _*)
           .agg(sum(col(measureCol)).as(measureCol))
         val state =
-          if (new java.io.File(path).exists()) s.read.parquet(path)
+          if (dir.exists()) s.read.parquet(path)
           else delta.limit(0)
         graft.operators.Ivm
           .mergeAggState(state, delta, groupCols, measureCol)
           .localCheckpoint(true)
-          .write.mode("overwrite").parquet(path)
-        java.nio.file.Files.write(idFile.toPath,
-          batchId.toString.getBytes)
+          .write.mode("overwrite").parquet(staging.getPath)
+        java.nio.file.Files.write(
+          new java.io.File(staging, "_graft_commit").toPath,
+          s"$queryTag:$batchId".getBytes)
+        if (dir.exists()) dir.renameTo(old)
+        staging.renameTo(dir)
+        if (old.exists()) deleteRec(old)
       }
       ()
     }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
 }

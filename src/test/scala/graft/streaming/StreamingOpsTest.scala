@@ -397,14 +397,14 @@ class StreamingOpsTest extends AnyFunSuite {
       Map("a" -> 11L, "b" -> 105L))
 
     // exactly-once: additive merges are not idempotent, so the sink
-    // records the last applied batch id in a sidecar and skips ids it
-    // has already seen. A fresh query against the same path restarts
-    // batch ids at 0 — its replayed triggers must leave the view
-    // untouched (this is exactly the failure/restart replay scenario).
-    val idFile = new java.io.File(path + ".batchid")
-    val before = new String(
-      java.nio.file.Files.readAllBytes(idFile.toPath)).trim.toLong
-    assert(before == 1L)
+    // commits the last applied (queryTag, batchId) INSIDE the snapshot
+    // directory (one rename commits data + id together) and skips
+    // same-tag ids it has already seen. A restarted query replaying the
+    // same tag restarts batch ids at 0 — its replayed triggers must
+    // leave the view untouched.
+    val marker = new java.io.File(s"$path/_graft_commit")
+    assert(new String(
+      java.nio.file.Files.readAllBytes(marker.toPath)).trim == "default:1")
     val stateBefore = spark.read.parquet(path).as[(String, Long)].collect().toMap
     val mem2 = MemoryStream[(Long, Long)]
     val sq2 = StreamingOps.ivmJoinAggEachBatch(
@@ -416,5 +416,49 @@ class StreamingOpsTest extends AnyFunSuite {
     sq2.stop()
     assert(spark.read.parquet(path).as[(String, Long)].collect().toMap ==
       stateBefore)
+
+    // A genuinely NEW feed (fresh checkpoint lineage, fresh tag) must
+    // NOT be dropped by the old lineage's recorded ids — this was the
+    // round-8 advisory's silent-data-drop finding.
+    val mem3 = MemoryStream[(Long, Long)]
+    val sq3 = StreamingOps.ivmJoinAggEachBatch(
+      mem3.toDF.toDF("ck", "v"), dim, "ck", Seq("g"), "v", path,
+      queryTag = "feed2").start()
+    mem3.addData((1L, 100L)) // batch 0 under a new tag -> applies
+    sq3.processAllAvailable()
+    sq3.stop()
+    assert(spark.read.parquet(path).as[(String, Long)].collect().toMap ==
+      Map("a" -> 111L, "b" -> 105L))
+    assert(new String(
+      java.nio.file.Files.readAllBytes(marker.toPath)).trim == "feed2:0")
+  }
+
+  test("ivmJoinAggEachBatch heals an interrupted snapshot swap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivm_heal").toString
+    val path = s"$dir/view"
+    val dim = Seq((1L, "a")).toDF("ck", "g")
+    val mem = MemoryStream[(Long, Long)]
+    val sq = StreamingOps.ivmJoinAggEachBatch(
+      mem.toDF.toDF("ck", "v"), dim, "ck", Seq("g"), "v", path).start()
+    mem.addData((1L, 7L))
+    sq.processAllAvailable()
+    sq.stop()
+    // Simulate a crash between the two swap renames: committed snapshot
+    // moved aside to path.old, nothing at path. The next batch must
+    // roll back to the old snapshot before applying (id inside it was
+    // never observable, so replay semantics stay additive-correct).
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val mem2 = MemoryStream[(Long, Long)]
+    val sq2 = StreamingOps.ivmJoinAggEachBatch(
+      mem2.toDF.toDF("ck", "v"), dim, "ck", Seq("g"), "v", path,
+      queryTag = "resume").start()
+    mem2.addData((1L, 3L))
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(spark.read.parquet(path).as[(String, Long)].collect().toMap ==
+      Map("a" -> 10L))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
   }
 }
