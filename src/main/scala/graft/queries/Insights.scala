@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns
+import Util._
+
+/** Round-9 corpus-insight pack: the cross-cutting diagnostics a curation
+  * team reads BEFORE deciding dedup/mixing policy — cross-source content
+  * overlap, vocabulary novelty over ingest order, and changepoint
+  * detection on the revenue series. House rules: exact integer/decimal
+  * arithmetic at every oracle boundary, every query ends in a total
+  * order, no UDFs.
+  */
+object Insights {
+
+  /** Ingest-order slices for novelty: 10 equal doc_id ranges, computed
+    * scale-relatively so replication keeps the slice count fixed.
+    */
+  private val N_SLICES = 10
+
+  def queries: Map[String, Q] = Map(
+    // Cross-SOURCE content overlap: exact Jaccard between each source
+    // pair's distinct 3-gram shingle sets — the "which domains are
+    // mirrors of each other" signal that decides whether dedup must run
+    // across domain boundaries (and which domains double-count in a
+    // mixing recipe). The pair space is SOURCES squared (bounded, ~20²),
+    // never docs squared: the inverted index joins on shingle with
+    // per-shingle fan-out capped at n_sources², and counts reduce
+    // map-side. At 100 TB the same plan holds — source cardinality is a
+    // catalog property, not a data property.
+    "source_similarity" -> ((s, dir) => {
+      val inv = documents(s, dir)
+        .select(col("source"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = inv.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = inv.toDF("sa", "sh")
+        .join(inv.toDF("sb", "sh"), "sh")
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.toDF("sa", "sza")), "sa")
+        .join(broadcast(sizes.toDF("sb", "szb")), "sb")
+        .select(col("sa"), col("sb"), col("n_inter"),
+          expr("(1000 * n_inter) div (sza + szb - n_inter)")
+            .as("jaccard_permille"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Vocabulary novelty over ingest order: split the corpus into 10
+    // equal doc_id slices and report, per slice, how many distinct
+    // shingles appear and what fraction is NEW (first occurrence) — the
+    // "is fresh data still adding content or just re-treading" curve
+    // that decides when a crawl stops paying. First-occurrence is one
+    // min-aggregate keyed by shingle; everything is exact integers.
+    "novelty_by_slice" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val occ = docs
+        .select(col("doc_id"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
+        .crossJoin(broadcast(mx))
+        .select(expr(s"(doc_id * $N_SLICES) div (mx + 1)").as("slice"), col("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perSlice = occ.groupBy(col("slice"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val novel = occ.groupBy(col("sh")).agg(min(col("slice")).as("slice"))
+        .groupBy(col("slice")).agg(count(lit(1)).as("n_new"))
+      perSlice.join(novel, Seq("slice"), "left")
+        .select(col("slice"), col("n_shingles"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("novelty_permille",
+          expr("(1000 * n_new) div n_shingles"))
+        .orderBy(col("slice"))
+    }),
+
+    // CUSUM changepoint on the daily-revenue series: the day where the
+    // cumulative deviation from the period mean peaks in magnitude —
+    // the standard "when did the level shift" detector. Everything is
+    // exact: deviations are scaled by n_days (dev = cents·n − total) so
+    // no division happens anywhere (floor-vs-trunc of negatives is the
+    // classic engine divergence), and the output carries the scale.
+    // The cumulative window is global but runs over the DAILY table —
+    // bounded by the calendar (~2.4k rows), not the fact table.
+    "cusum_changepoint" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(d2(col("o_totalprice")) * 100).cast("decimal(38,0)")
+          .as("cents"))
+      val tot = daily.agg(
+        sum(col("cents")).cast("decimal(38,0)").as("total"),
+        count(lit(1)).as("n_days"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("cents") * col("n_days") - col("total"))
+        .withColumn("s", sum(col("dev")).over(w))
+        .select(col("day"), col("s"), col("n_days"))
+        .orderBy(abs(col("s")).desc, col("day"))
+        .limit(1)
+        .select(col("day"),
+          col("s").cast("long").as("cusum_scaled"),
+          col("n_days"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "source_similarity" ->
+      """WITH inv AS (
+        |  SELECT DISTINCT source, s FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(toks) >= 3
+        |        THEN list_distinct(list_transform(range(1, len(toks)-1),
+        |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |        ELSE []::VARCHAR[] END) AS s
+        |    FROM (SELECT source, regexp_extract_all(lower(text), '\S+') AS toks
+        |          FROM documents))),
+        |sizes AS (SELECT source, count(*) AS sz FROM inv GROUP BY source),
+        |inter AS (
+        |  SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT i.sa, i.sb, CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  (1000 * i.n_inter) // (a.sz + b.sz - i.n_inter) AS jaccard_permille
+        |FROM inter i
+        |JOIN sizes a ON a.source = i.sa
+        |JOIN sizes b ON b.source = i.sb
+        |ORDER BY sa, sb""".stripMargin,
+
+    "novelty_by_slice" ->
+      s"""WITH occ AS (
+         |  SELECT DISTINCT
+         |    (doc_id * $N_SLICES) // ((SELECT max(doc_id) FROM documents) + 1)
+         |      AS slice, s
+         |  FROM (
+         |    SELECT doc_id, unnest(
+         |      CASE WHEN len(toks) >= 3
+         |        THEN list_distinct(list_transform(range(1, len(toks)-1),
+         |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |        ELSE []::VARCHAR[] END) AS s
+         |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+         |          FROM documents))),
+         |per_slice AS (
+         |  SELECT slice, count(*) AS n_shingles FROM occ GROUP BY slice),
+         |novel AS (
+         |  SELECT slice, count(*) AS n_new FROM (
+         |    SELECT s, min(slice) AS slice FROM occ GROUP BY s)
+         |  GROUP BY slice)
+         |SELECT p.slice, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+         |  (1000 * CAST(coalesce(n.n_new, 0) AS BIGINT)) // p.n_shingles
+         |    AS novelty_permille
+         |FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
+         |ORDER BY p.slice""".stripMargin,
+
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n_days FROM daily),
+        |cur AS (
+        |  SELECT day,
+        |    SUM(cents * n_days - total) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    n_days
+        |  FROM daily, tot)
+        |SELECT day, CAST(s AS BIGINT) AS cusum_scaled,
+        |  CAST(n_days AS BIGINT) AS n_days
+        |FROM cur ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin
+  )
+}

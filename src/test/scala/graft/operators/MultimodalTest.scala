@@ -96,6 +96,59 @@ class MultimodalTest extends AnyFunSuite {
       ("gif", 16L, 16L), ("unknown", -1L, -1L)))
   }
 
+  // --- audio fixtures: genuine WAV/FLAC header byte layouts ---
+
+  private def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def u32le(v: Long) = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def wavBytes(rate: Long, ch: Int, bytesPerSample: Int,
+                       nSamples: Long): Array[Byte] = {
+    val byteRate = rate * ch * bytesPerSample
+    val dataLen = nSamples * ch * bytesPerSample
+    val fmt = u16le(1) ++ u16le(ch) ++ u32le(rate) ++ u32le(byteRate) ++
+      u16le(ch * bytesPerSample) ++ u16le(8 * bytesPerSample)
+    val body = "fmt ".getBytes ++ u32le(fmt.length.toLong) ++ fmt ++
+      "data".getBytes ++ u32le(dataLen) // header only; no payload bytes
+    "RIFF".getBytes ++ u32le(4L + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  private def flacBytes(rate: Long, ch: Int, totalSamples: Long): Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(10) = ((rate >> 12) & 0xff).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1)).toByte
+    si(13) = ((totalSamples >> 32) & 0x0f).toByte
+    si(14) = ((totalSamples >> 24) & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  test("parseAudioMeta reads real WAV/FLAC header layouts") {
+    // 2ch 16-bit 44.1k, one second of samples -> 1000 ms
+    assert(Multimodal.parseAudioMeta(wavBytes(44100, 2, 2, 44100)) ==
+      Some(("wav", 44100L, 2L, 1000L)))
+    // FLAC 48k mono, half a second
+    assert(Multimodal.parseAudioMeta(flacBytes(48000, 1, 24000)) ==
+      Some(("flac", 48000L, 1L, 500L)))
+    assert(Multimodal.parseAudioMeta("not audio".getBytes) == None)
+    assert(Multimodal.parseAudioMeta(wavBytes(44100, 2, 2, 44100).take(16)) == None)
+  }
+
+  test("decodeAudioMeta: mapPartitions parses headers; unknown kept visible") {
+    val payloads = Seq(
+      (0L, wavBytes(16000, 1, 2, 8000)),
+      (1L, flacBytes(44100, 2, 441000)),
+      (2L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioMeta(payloads).collect().sortBy(_.doc_id)
+    assert(out.map(a => (a.fmt, a.sample_rate, a.channels, a.duration_ms)).toSeq
+      == Seq(("wav", 16000L, 1L, 500L), ("flac", 44100L, 2L, 10000L),
+        ("unknown", -1L, -1L, -1L)))
+  }
+
   test("sampleFrames yields every stride-th byte index") {
     val out = Multimodal.sampleFrames(Multimodal.attachPayload(docs), stride = 4)
     val idx = out.filter(col("doc_id") === 0).select("frame_idx").as[Seq[Int]].head()
