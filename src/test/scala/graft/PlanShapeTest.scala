@@ -284,4 +284,29 @@ class PlanShapeTest extends AnyFunSuite {
     val p = plan("cheapest_trade_route")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("source_similarity broadcasts the per-source size table") {
+    // The pair space is sources², so the size lookup must ride as a
+    // broadcast — a shuffle join keyed by source would partition a
+    // ~20-row table across the cluster.
+    val p = plan("source_similarity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // intersection counts reduce map-side before the (sa, sb) shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("cusum_changepoint's global window runs over the daily aggregate") {
+    // The single-partition cumulative window is calendar-bounded ONLY
+    // because it consumes the per-day aggregate: the plan must place a
+    // HashAggregate (daily rollup) below the Window operator, and the
+    // final answer is a 1-row TakeOrdered, not a full sort.
+    val p = plan("cusum_changepoint")
+    assert("(?s)Window.*HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("novelty_by_slice reads only doc_id and text") {
+    val p = plan("novelty_by_slice")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }

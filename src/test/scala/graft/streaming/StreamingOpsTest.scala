@@ -472,6 +472,39 @@ class StreamingOpsTest extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(marker.toPath)).trim == "feed2:0")
   }
 
+  test("ivmCdcEachBatch maintains the signed view; retracted groups drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivm_cdc").toString
+    val path = s"$dir/view"
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("ck", "g")
+    val mem = MemoryStream[(Long, Long, Long)] // (ck, v, sign)
+    val changes = mem.toDF.toDF("ck", "v", "sign")
+    val sq = StreamingOps.ivmCdcEachBatch(
+      changes, dim, "ck", Seq("g"), "v", path).start()
+
+    mem.addData((1L, 10L, 1L), (2L, 5L, 1L), (1L, 1L, 1L))
+    sq.processAllAvailable()
+    assert(spark.read.parquet(path).select("g", "v").as[(String, Long)]
+      .collect().toMap == Map("a" -> 11L, "b" -> 5L))
+
+    // retract both group-a rows -> the group disappears; group b grows
+    mem.addData((1L, 10L, -1L), (1L, 1L, -1L), (2L, 100L, 1L))
+    sq.processAllAvailable()
+    sq.stop()
+    assert(spark.read.parquet(path).select("g", "v").as[(String, Long)]
+      .collect().toMap == Map("b" -> 105L))
+    // the incremental state equals the one-shot signed batch algebra
+    val f0 = Seq.empty[(Long, Long, Long)].toDF("id", "ck", "v")
+    val da = Seq((1L, 1L, 10L, 1L), (2L, 2L, 5L, 1L), (3L, 1L, 1L, 1L),
+      (4L, 1L, 10L, -1L), (5L, 1L, 1L, -1L), (6L, 2L, 100L, 1L))
+      .toDF("id", "ck", "v", "sign")
+    val batchEq = graft.operators.Ivm.maintainJoinAggSigned(
+      f0, da, dim, dim.limit(0).withColumn("sign", lit(1L)),
+      "ck", Seq("g"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(batchEq == Map("b" -> 105L))
+  }
+
   test("ivmJoinAggEachBatch heals an interrupted snapshot swap") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivm_heal").toString
