@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Analytics, Core, Curation, Extended, Insights, Mining, Olap, Reshape, SimilarityQ, TemporalQ, TextDedup, TokenizerQ, WindowsQ}
+import graft.queries.{Advanced, Analytics, Core, Curation, Extended, Insights, Mining, Olap, Reshape, Signals, SimilarityQ, TemporalQ, TextDedup, TokenizerQ, WindowsQ}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with an ANSI-SQL
@@ -29,7 +29,8 @@ object SparkEntry {
       (Olap.queries, Olap.oracles),
       (TokenizerQ.queries, TokenizerQ.oracles),
       (Mining.queries, Mining.oracles),
-      (Insights.queries, Insights.oracles))
+      (Insights.queries, Insights.oracles),
+      (Signals.queries, Signals.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

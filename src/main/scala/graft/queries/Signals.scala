@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import Util._
+
+/** Round-9 "signals" pack: graph centrality beyond PageRank (HITS),
+  * exact local clustering under a declared degree cap, dyadic-weight
+  * EWMA smoothing, interval merge/coverage (gaps-and-islands), sketch
+  * mergeability (KMV union), join-key skew profiling, and per-source
+  * exact-dup rates. House rules as everywhere in the repo: exact
+  * integer/decimal arithmetic at every oracle boundary, every query
+  * ends in a total order, no UDFs, every pair space blocked or capped.
+  */
+object Signals {
+
+  /** Portable 52-bit hash both engines compute bit-identically:
+    * first 13 hex chars of md5 of the decimal string.
+    */
+  private def h52(c: org.apache.spark.sql.Column) =
+    expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)),1,13)," +
+      "16,10) AS BIGINT)")
+
+  /** Local-clustering degree cap: nodes above it are excluded from the
+    * wedge enumeration (per-node wedge work is then <= cap², a constant,
+    * so the operator's cost is linear in nodes at any corpus size —
+    * exactly the restriction production systems declare, because
+    * clustering coefficients are only informative for low-degree nodes
+    * anyway).
+    */
+  private val CC_DEG_CAP = 64
+
+  def queries: Map[String, Q] = Map(
+    // HITS hubs-and-authorities on the supplier→part bipartite graph —
+    // the mutually-recursive sibling of pagerank_bipartite: a part is
+    // authoritative when supplied by strong hubs, a supplier is a hub
+    // when it supplies authoritative parts. Two synchronous unnormalized
+    // rounds from h₀ = 1 (auth₁ = indegree, hub₁ = Σ auth₁, auth₂ =
+    // Σ hub₁) keep everything in BIGINT — no float normalization, no
+    // convergence races — and unroll to a plain CTE oracle. Each round
+    // is one join of the frozen edge list against the (node-sized)
+    // score table plus one hash aggregate: PageRank's scale shape.
+    "hits_scores" -> ((s, dir) => {
+      val e = lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val auth1 = e.groupBy(col("pk")).agg(count(lit(1)).as("a1"))
+      val hub1 = e.join(auth1, "pk")
+        .groupBy(col("sk")).agg(sum(col("a1")).as("h1"))
+      e.join(hub1, "sk")
+        .groupBy(col("pk")).agg(sum(col("h1")).as("auth_score"))
+        .orderBy(col("auth_score").desc, col("pk"))
+        .limit(10)
+    }),
+
+    // Exact local clustering coefficient on the BASKET graph (parts are
+    // adjacent when some order contains both), computed for nodes with
+    // degree <= CC_DEG_CAP. The projection is built per order — fan-out
+    // bounded by items-per-order choose 2 — and both the graph's degree
+    // distribution and the capped set are replication-invariant
+    // (orders-per-part is a rate, not a volume), unlike the supplier
+    // co-supply projection, which is near-complete and would leave the
+    // capped set empty at every scale. The wedge enumeration runs only
+    // from capped nodes, so per-node work is <= cap²·closing-join.
+    // cc_permille = 1000·2·triangles(v) / (deg·(deg-1)) in pure integer
+    // arithmetic.
+    "clustering_local" -> ((s, dir) => {
+      val e = lineitem(s, dir)
+        .select(col("l_orderkey").as("pk"), col("l_partkey").as("sk"))
+        .distinct()
+      val proj = e.toDF("pk", "s1")
+        .join(e.toDF("pk", "s2"), "pk")
+        .filter(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sym = proj.union(proj.select(col("s2"), col("s1"))).toDF("u", "v")
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val capped = deg.filter(col("deg").between(2, CC_DEG_CAP))
+      // wedges centered at capped u: two incident edges (u,x),(u,y)
+      // with x < y; the closing join checks (x,y) ∈ proj
+      val inc = sym.join(capped.select(col("u")), "u")
+      val tri = inc.toDF("u", "x")
+        .join(inc.toDF("u", "y"), "u")
+        .filter(col("x") < col("y"))
+        .join(proj.toDF("x", "y"), Seq("x", "y"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+      capped.join(tri, Seq("u"), "left")
+        .select(col("u").as("partkey"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("cc_permille",
+          expr("(2000 * n_tri) div (deg * (deg - 1))"))
+        .orderBy(col("cc_permille").desc, col("deg").desc, col("partkey"))
+        .limit(20)
+    }),
+
+    // Dyadic-weight EWMA over daily revenue: an 8-term trailing window
+    // with weights 2⁷..2⁰ (half-life one day, denominator 255) — every
+    // product and sum is exact BIGINT cents, so the smoothing is
+    // bit-portable where a real exp-decay float EWMA never is (float
+    // sum order). The global window runs over the DAILY table,
+    // calendar-bounded like cusum_changepoint's. Emits the 5 hottest
+    // smoothed days.
+    "ewma_revenue" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(d2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val w = Window.orderBy(col("day"))
+      val num = (0 to 7).map(k => coalesce(lag(col("cents"), k).over(w),
+        lit(0L)) * lit(1L << (7 - k))).reduce(_ + _)
+      daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("num", num)
+        .withColumn("ewma_cents", expr("num div 255"))
+        .filter(col("rn") >= 8)
+        .select(col("day"), col("ewma_cents"))
+        .orderBy(col("ewma_cents").desc, col("day"))
+        .limit(5)
+    }),
+
+    // Interval merge + coverage (gaps-and-islands): each event opens a
+    // 15-minute activity interval; overlapping intervals per user merge
+    // into islands (start > running max of prior ends ⇒ new island),
+    // and the user's coverage is the exact µs sum of merged island
+    // lengths. Everything runs inside user-keyed windows — no global
+    // state, partition-parallel at any scale. Emits the 20
+    // highest-coverage users.
+    "interval_coverage" -> ((s, dir) => {
+      val width = 900000000L // 15 min in µs
+      val ev = events(s, dir)
+        .select(col("user_id"), tsUs(col("ts")).as("st"), col("event_id"))
+        .withColumn("en", col("st") + lit(width))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val flagged = ev
+        .withColumn("prev_max_en",
+          max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_en").isNull ||
+            col("st") > col("prev_max_en"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          ord.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ien") - col("ist")).cast("long").as("coverage_us"))
+        .orderBy(col("coverage_us").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // KMV sketch MERGEABILITY: two disjoint halves of lineitem each
+    // build a k=64 KMV sketch of their distinct partkeys; the union's
+    // distinct count is estimated from the MERGED sketch (the k smallest
+    // of the union of the two hash sets — exactly what a combiner does
+    // with per-partition sketches at 100 TB) and reported against the
+    // exact union count. Same 52-bit portable hash as
+    // kmv_distinct_parts.
+    "kmv_union_distinct" -> ((s, dir) => {
+      val k = 64
+      val keyed = lineitem(s, dir)
+        .select((col("l_orderkey") % 2).as("half"), col("l_partkey"))
+        .distinct()
+        .withColumn("h", h52(col("l_partkey")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perHalf = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("half")).orderBy(col("h"), col("l_partkey"))))
+        .filter(col("rn") <= k)
+      val merged = perHalf.select(col("h")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") === k)
+        .select(col("h").as("h_k"))
+      val exact = keyed.agg(
+        countDistinct(col("l_partkey")).as("exact_union"))
+      exact.crossJoin(merged)
+        .select(
+          expr(s"(${k - 1} * CAST(4503599627370496 AS BIGINT)) div h_k")
+            .as("est_union"),
+          col("exact_union"),
+          expr(s"(1000 * ((${k - 1} * CAST(4503599627370496 AS BIGINT)) " +
+            "div h_k)) div exact_union").as("ratio_permille"))
+    }),
+
+    // Join-key skew profile: the log2-bucket histogram of o_custkey
+    // frequencies in orders — the diagnostic read BEFORE choosing a
+    // join strategy (a fat top bucket ⇒ salt or skew-hint that key).
+    // bucket = ⌊log2 f⌋ via binary string length: pure integer, no
+    // float log. One hash aggregate over keys, one over buckets.
+    "key_skew_profile" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
+        .withColumn("bucket", length(bin(col("f"))).cast("long") - 1)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+          max(col("f")).as("max_f"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Per-source exact-duplicate rate: a doc is a duplicate when an
+    // earlier doc (smaller doc_id) has the same normalized-text md5 —
+    // the "which ingestion source is re-crawling content" table that
+    // decides where dedup budget goes. The min-per-fingerprint runs in
+    // a fingerprint-keyed window (replica groups are small), then one
+    // aggregate per source.
+    "dup_rate_by_source" -> ((s, dir) => {
+      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      documents(s, dir)
+        .select(col("doc_id"), col("source"), fp.as("fp"))
+        .withColumn("rep", min(col("doc_id")).over(
+          Window.partitionBy(col("fp"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") > col("rep"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_permille", expr("(1000 * n_dups) div n_docs"))
+        .orderBy(col("source"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "hits_scores" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |auth1 AS (SELECT pk, count(*) AS a1 FROM e GROUP BY pk),
+        |hub1 AS (
+        |  SELECT e.sk, SUM(a.a1) AS h1 FROM e JOIN auth1 a ON a.pk = e.pk
+        |  GROUP BY e.sk)
+        |SELECT e.pk, CAST(SUM(h.h1) AS BIGINT) AS auth_score
+        |FROM e JOIN hub1 h ON h.sk = e.sk
+        |GROUP BY e.pk
+        |ORDER BY auth_score DESC, pk LIMIT 10""".stripMargin,
+
+    "clustering_local" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey AS pk, l_partkey AS sk FROM lineitem),
+         |proj AS (
+         |  SELECT DISTINCT x.sk AS s1, y.sk AS s2
+         |  FROM e x JOIN e y ON x.pk = y.pk AND x.sk < y.sk),
+         |sym AS (
+         |  SELECT s1 AS u, s2 AS v FROM proj
+         |  UNION ALL SELECT s2, s1 FROM proj),
+         |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+         |capped AS (
+         |  SELECT u, deg FROM deg WHERE deg BETWEEN 2 AND $CC_DEG_CAP),
+         |inc AS (SELECT s.u, s.v FROM sym s JOIN capped c ON c.u = s.u),
+         |tri AS (
+         |  SELECT a.u, count(*) AS n_tri
+         |  FROM inc a JOIN inc b ON a.u = b.u AND a.v < b.v
+         |  JOIN proj p ON p.s1 = a.v AND p.s2 = b.v
+         |  GROUP BY a.u)
+         |SELECT c.u AS partkey, CAST(c.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |  (2000 * CAST(coalesce(t.n_tri, 0) AS BIGINT))
+         |    // (c.deg * (c.deg - 1)) AS cc_permille
+         |FROM capped c LEFT JOIN tri t ON t.u = c.u
+         |ORDER BY cc_permille DESC, deg DESC, partkey LIMIT 20""".stripMargin,
+
+    "ewma_revenue" -> {
+      val terms = (0 to 7).map(k =>
+        s"coalesce(lag(cents, $k) OVER (ORDER BY day), 0) * ${1L << (7 - k)}")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT o_orderdate AS day,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |sm AS (
+         |  SELECT day, row_number() OVER (ORDER BY day) AS rn,
+         |    ($terms) // 255 AS ewma_cents
+         |  FROM daily)
+         |SELECT day, CAST(ewma_cents AS BIGINT) AS ewma_cents FROM sm
+         |WHERE rn >= 8
+         |ORDER BY ewma_cents DESC, day LIMIT 5""".stripMargin
+    },
+
+    "interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 900000000 AS en, event_id
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, st, en, event_id,
+        |    CASE WHEN max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ien - ist) AS BIGINT) AS coverage_us
+        |FROM merged GROUP BY user_id
+        |ORDER BY coverage_us DESC, user_id LIMIT 20""".stripMargin,
+
+    "kmv_union_distinct" ->
+      """WITH keyed AS (
+        |  SELECT half, l_partkey,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT l_orderkey % 2 AS half, l_partkey
+        |        FROM lineitem)),
+        |per_half AS (
+        |  SELECT h FROM (
+        |    SELECT half, h, row_number() OVER (PARTITION BY half
+        |      ORDER BY h, l_partkey) AS rn
+        |    FROM keyed) WHERE rn <= 64),
+        |merged AS (
+        |  SELECT h AS h_k FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT h FROM per_half)) WHERE rn = 64),
+        |exact AS (
+        |  SELECT count(DISTINCT l_partkey) AS exact_union FROM keyed)
+        |SELECT (63 * CAST(4503599627370496 AS BIGINT)) // h_k AS est_union,
+        |  CAST(exact_union AS BIGINT) AS exact_union,
+        |  (1000 * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k))
+        |    // exact_union AS ratio_permille
+        |FROM exact, merged""".stripMargin,
+
+    "key_skew_profile" ->
+      """WITH freq AS (
+        |  SELECT o_custkey, count(*) AS f FROM orders GROUP BY o_custkey)
+        |SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(f) AS BIGINT) AS n_rows,
+        |  CAST(max(f) AS BIGINT) AS max_f
+        |FROM freq GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "dup_rate_by_source" ->
+      """WITH fps AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |marked AS (
+        |  SELECT source, doc_id,
+        |    min(doc_id) OVER (PARTITION BY fp) AS rep
+        |  FROM fps)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  (1000 * SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END))
+        |    // count(*) AS dup_permille
+        |FROM marked GROUP BY source ORDER BY source""".stripMargin
+  )
+}
