@@ -133,22 +133,10 @@ object Signals {
       val ev = events(s, dir)
         .select(col("user_id"), tsUs(col("ts")).as("st"), col("event_id"))
         .withColumn("en", col("st") + lit(width))
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("st"), col("event_id"))
-      val flagged = ev
-        .withColumn("prev_max_en",
-          max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("new_island",
-          when(col("prev_max_en").isNull ||
-            col("st") > col("prev_max_en"), 1L).otherwise(0L))
-        .withColumn("island", sum(col("new_island")).over(
-          ord.rowsBetween(Window.unboundedPreceding, 0)))
-      flagged
-        .groupBy(col("user_id"), col("island"))
-        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_islands"),
-          sum(col("ien") - col("ist")).cast("long").as("coverage_us"))
+      graft.operators.Intervals
+        .coverage(ev, col("user_id"), col("st"), col("en"), col("event_id"))
+        .select(col("k").as("user_id"), col("n_islands"),
+          col("coverage").as("coverage_us"))
         .orderBy(col("coverage_us").desc, col("user_id"))
         .limit(20)
     }),
