@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.TextFns
 import Util._
 
 /** Round-9 "signals" pack: graph centrality beyond PageRank (HITS),
@@ -17,11 +18,10 @@ import Util._
 object Signals {
 
   /** Portable 52-bit hash both engines compute bit-identically:
-    * first 13 hex chars of md5 of the decimal string.
+    * first 13 hex chars of md5 of the string form.
     */
   private def h52(c: org.apache.spark.sql.Column) =
-    expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)),1,13)," +
-      "16,10) AS BIGINT)")
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
 
   /** Local-clustering degree cap: nodes above it are excluded from the
     * wedge enumeration (per-node wedge work is then <= cap², a constant,
@@ -174,6 +174,45 @@ object Signals {
             "div h_k)) div exact_union").as("ratio_permille"))
     }),
 
+    // MinHash SKETCH of each source's shingle set (16 portable
+    // permutations) and the pairwise signature-match estimate of
+    // cross-source Jaccard — the scale path for source_similarity: the
+    // exact inverted-index join reads every shingle ONCE PER PAIR
+    // CANDIDATE, while the sketch reduces each source to 16 longs in a
+    // single pass (min per permutation is map-side combinable) and the
+    // pair comparison runs over a sources×16 table — catalog-sized, so
+    // at 100 TB the cross-source similarity matrix costs one corpus
+    // scan regardless of source count. Estimates are deterministic
+    // integers: n_match of 16 permutations, est_permille granularity
+    // 62.5.
+    "source_minhash_sim" -> ((s, dir) => {
+      val nPerms = 16
+      // One 52-bit base hash per shingle OCCURRENCE (min ignores
+      // duplicates, so no distinct pass is needed), 16 affine
+      // permutations h_p = (h0·(2p+3) + p) mod 2^52 derived
+      // arithmetically (products stay < 2^58 — exact in BIGINT in both
+      // engines), and all 16 mins taken in ONE hash aggregate over the
+      // un-exploded table: no 16x row blow-up, map-side combine down to
+      // sources×16 longs per partition.
+      val sh = documents(s, dir)
+        .select(col("source"), explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
+        .select(col("source"), h52(col("sh")).as("h0"))
+      val minExprs = (0 until nPerms).map(p =>
+        min(expr(s"(h0 * ${2 * p + 3} + $p) % 4503599627370496"))
+          .as(s"mh$p"))
+      val sig = sh.groupBy(col("source")).agg(minExprs.head, minExprs.tail: _*)
+      val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val nMatch = (0 until nPerms).map(p =>
+        when(col(s"a_mh$p") === col(s"b_mh$p"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      a.join(b, col("a_source") < col("b_source"))
+        .select(col("a_source").as("sa"), col("b_source").as("sb"),
+          nMatch.as("n_match"))
+        .withColumn("est_permille", expr(s"(1000 * n_match) div $nPerms"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Join-key skew profile: the log2-bucket histogram of o_custkey
     // frequencies in orders — the diagnostic read BEFORE choosing a
     // join strategy (a fat top bucket ⇒ salt or skew-hint that key).
@@ -318,6 +357,34 @@ object Signals {
         |  (1000 * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k))
         |    // exact_union AS ratio_permille
         |FROM exact, merged""".stripMargin,
+
+    "source_minhash_sim" -> {
+      val mins = (0 until 16).map(p =>
+        s"min((h0 * ${2 * p + 3} + $p) % 4503599627370496) AS mh$p")
+        .mkString(",\n        |    ")
+      val matches = (0 until 16).map(p =>
+        s"CASE WHEN a.mh$p = b.mh$p THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT source,
+         |    CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT) AS h0
+         |  FROM (
+         |    SELECT source, unnest(
+         |      CASE WHEN len(toks) >= 3
+         |        THEN list_distinct(list_transform(range(1, len(toks)-1),
+         |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |        ELSE []::VARCHAR[] END) AS s
+         |    FROM (SELECT source, regexp_extract_all(lower(text), '\\S+') AS toks
+         |          FROM documents))),
+         |sig AS (
+         |  SELECT source,
+         |    $mins
+         |  FROM sh GROUP BY source)
+         |SELECT a.source AS sa, b.source AS sb,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  (1000 * ($matches)) // 16 AS est_permille
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY sa, sb""".stripMargin
+    },
 
     "key_skew_profile" ->
       """WITH freq AS (
