@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -444,6 +445,75 @@ object StreamingOps {
           .agg(sum(col(measureCol)).as(measureCol),
             sum(col("n_rows")).as("n_rows"))
           .filter(col("n_rows") > 0)
+      }
+      ()
+    }
+
+  /** Streaming SCD TYPE 2 dimension maintenance: each micro-batch
+    * carries attribute observations (key, attr, event-time µs, seq) and
+    * the maintained snapshot is the effective-dated dimension —
+    * (k, attr, valid_from_us, valid_to_us) with NULL valid_to_us
+    * marking the current row — equal to batch-recomputing the interval
+    * table over every observation seen so far. The streaming end of the
+    * batch `scd2_intervals` query.
+    *
+    * Per batch the work is CHURN-proportional: observations compress to
+    * per-key change runs, only affected keys' OPEN rows join the batch
+    * (the affected-key set broadcasts), closed history passes through
+    * untouched, and a run that repeats the open row's attr extends it
+    * (no spurious row splits across batch boundaries).
+    *
+    * Late-data policy (the watermark-discard analogue): a run whose
+    * start precedes the affected key's current open row's valid_from_us
+    * is DROPPED — the dimension's past is immutable. Feeds must be
+    * per-key event-time monotone across batches for exact parity with
+    * the batch recompute; `seq` breaks equal-timestamp ties within a
+    * batch.
+    *
+    * Exactly-once via the same (queryTag, batchId) staged-rename commit
+    * as the IVM sinks — interval closing is not replay-idempotent, so
+    * the id commits with the data.
+    */
+  def scd2EachBatch(changes: DataFrame, keyCol: String, attrCol: String,
+                    tsUsCol: String, seqCol: String,
+                    path: String, queryTag: String = "default") =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) { existing =>
+        val w = Window.partitionBy(col("k")).orderBy(col("vf"), col("seq"))
+        val runs = batch
+          .select(col(keyCol).as("k"), col(attrCol).as("attr"),
+            col(tsUsCol).as("vf"), col(seqCol).as("seq"))
+          .withColumn("p", lag(col("attr"), 1).over(w))
+          .filter(col("p").isNull || col("p") =!= col("attr"))
+          .select(col("k"), col("attr"), col("vf"))
+        val snap = existing.getOrElse(
+          runs.select(col("k"), col("attr"),
+            col("vf").as("valid_from_us"),
+            lit(null).cast("long").as("valid_to_us")).limit(0))
+        val affected = runs.select(col("k")).distinct()
+        val closedKept = snap.filter(col("valid_to_us").isNotNull)
+        val openUntouched = snap.filter(col("valid_to_us").isNull)
+          .join(broadcast(affected), Seq("k"), "left_anti")
+        val openAff = snap.filter(col("valid_to_us").isNull)
+          .join(broadcast(affected), Seq("k"))
+          .select(col("k"), col("attr"), col("valid_from_us").as("vf"))
+        // late-run drop: anything starting before the open row's start
+        val bound = openAff.select(col("k"), col("vf").as("open_vf"))
+        val liveRuns = runs.join(broadcast(bound), Seq("k"), "left")
+          .filter(col("open_vf").isNull || col("vf") >= col("open_vf"))
+          .select(col("k"), col("attr"), col("vf"))
+        // rebuild the affected keys' tail: open row (priority 0) + batch
+        // runs (priority 1, so an equal-timestamp batch run sorts after
+        // the row it may extend), re-compressed and re-intervaled
+        val tw = Window.partitionBy(col("k")).orderBy(col("vf"), col("pri"))
+        val tail = openAff.withColumn("pri", lit(0))
+          .unionByName(liveRuns.withColumn("pri", lit(1)))
+          .withColumn("p", lag(col("attr"), 1).over(tw))
+          .filter(col("p").isNull || col("p") =!= col("attr"))
+          .withColumn("valid_to_us", lead(col("vf"), 1).over(tw))
+          .select(col("k"), col("attr"), col("vf").as("valid_from_us"),
+            col("valid_to_us"))
+        closedKept.unionByName(openUntouched).unionByName(tail)
       }
       ()
     }

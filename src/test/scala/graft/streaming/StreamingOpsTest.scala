@@ -533,4 +533,74 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(!new java.io.File(path + ".old").exists())
     assert(!new java.io.File(path + ".staging").exists())
   }
+
+  /** In-memory SCD2 reference: compress per-key runs over (ts, seq)
+    * order, close each run at the next run's start.
+    */
+  private def refScd2(rows: Seq[(Long, String, Long, Long)])
+      : Set[(Long, String, Long, Option[Long])] =
+    rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val runs = rs.sortBy(r => (r._3, r._4))
+        .foldLeft(List.empty[(String, Long)]) { (acc, r) =>
+          if (acc.nonEmpty && acc.head._1 == r._2) acc
+          else (r._2, r._3) :: acc
+        }.reverse
+      runs.zipWithIndex.map { case ((attr, vf), i) =>
+        (k, attr, vf, runs.lift(i + 1).map(_._2))
+      }
+    }.toSet
+
+  test("scd2EachBatch maintains the effective-dated dimension across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2").toString
+    val path = s"$dir/dim"
+    val mem = MemoryStream[(Long, String, Long, Long)] // (k, attr, ts_us, seq)
+    val sq = StreamingOps.scd2EachBatch(
+      mem.toDF.toDF("k", "attr", "ts_us", "seq"),
+      "k", "attr", "ts_us", "seq", path).start()
+
+    def snap(): Set[(Long, String, Long, Option[Long])] =
+      spark.read.parquet(path)
+        .select("k", "attr", "valid_from_us", "valid_to_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSet
+
+    // batch 0: two keys, one in-batch attr flip (+ a same-attr repeat
+    // that must compress away)
+    val b0 = Seq((1L, "bronze", 100L, 1L), (1L, "bronze", 150L, 2L),
+      (1L, "silver", 200L, 3L), (2L, "bronze", 120L, 4L))
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    assert(snap() == refScd2(b0))
+
+    // batch 1: key 1 extends its open run (same attr -> NO new row),
+    // key 2 flips, key 3 appears, and a LATE row for key 1 (ts before
+    // the open row's start) is dropped
+    val b1 = Seq((1L, "silver", 300L, 5L), (2L, "gold", 400L, 6L),
+      (3L, "bronze", 50L, 7L))
+    mem.addData((b1 :+ ((1L, "stale", 10L, 8L))): _*)
+    sq.processAllAvailable()
+    assert(snap() == refScd2(b0 ++ b1))
+
+    // batch 2: flip after the extension — the closed edge lands on the
+    // ORIGINAL run start, proving the extension didn't split the row
+    val b2 = Seq((1L, "gold", 500L, 9L))
+    mem.addData(b2: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(snap() == refScd2(b0 ++ b1 ++ b2))
+    assert(snap().contains((1L, "silver", 200L, Some(500L))))
+
+    // replay skip: same tag, stale batch id -> no-op
+    val mem2 = MemoryStream[(Long, String, Long, Long)]
+    val sq2 = StreamingOps.scd2EachBatch(
+      mem2.toDF.toDF("k", "attr", "ts_us", "seq"),
+      "k", "attr", "ts_us", "seq", path).start()
+    mem2.addData((9L, "x", 999L, 10L)) // replays batch ids from 0
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(snap() == refScd2(b0 ++ b1 ++ b2))
+  }
 }
