@@ -200,7 +200,10 @@ object Signals {
       val minExprs = (0 until nPerms).map(p =>
         min(expr(s"(h0 * ${2 * p + 3} + $p) % 4503599627370496"))
           .as(s"mh$p"))
+      // persist: the self-join below reads sig twice, and without the
+      // cache each side would re-scan + re-tokenize the whole corpus
       val sig = sh.groupBy(col("source")).agg(minExprs.head, minExprs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
       val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
       val nMatch = (0 until nPerms).map(p =>

@@ -309,4 +309,55 @@ class PlanShapeTest extends AnyFunSuite {
     val p = plan("novelty_by_slice")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("hits_scores aggregates partially around every score shuffle, top-10 pre-reduced") {
+    val p = plan("hits_scores")
+    assert(p.contains("partial_"), p)
+    // final ranking ships per-partition top-10, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("clustering_local enumerates wedges via equi-joins only — no cartesian anywhere") {
+    // the projection build, the wedge self-join and the closing-edge
+    // probe are all key-equi joins; a CartesianProduct/BNLJ would be the
+    // all-pairs mistake the per-order fan-out bound exists to prevent
+    val p = plan("clustering_local")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ewma_revenue's global window runs over the daily aggregate") {
+    // same contract as cusum_changepoint: the single-partition window is
+    // calendar-bounded only because a HashAggregate (daily rollup) sits
+    // below it
+    val p = plan("ewma_revenue")
+    assert("(?s)Window.*HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("interval_coverage keeps every window user-partitioned — no single-partition stage") {
+    val p = plan("interval_coverage")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("source_minhash_sim takes all 16 mins in one aggregate — no row blow-up, no window") {
+    val p = plan("source_minhash_sim")
+    // one partial/final min-aggregate pair keyed on source; the 16
+    // permutations are agg expressions, not exploded rows
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    // the signature table is cached: the pair self-join reads the
+    // corpus-scan subtree from memory, not twice from parquet
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("key_skew_profile is two hash aggregates with map-side combine") {
+    val p = plan("key_skew_profile")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 aggs x partial+final
+    assert(p.contains("partial_"), p)
+    // only the o_custkey column is read
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
+  }
 }
