@@ -231,6 +231,32 @@ object Signals {
         .orderBy(col("bucket"))
     }),
 
+    // STORED-sketch mergeability (DataSketches HLL): per-month HLL
+    // sketches of the customer set are built once, then UNION-MERGED per
+    // priority without touching raw rows again — the two-level summary-
+    // table pattern that answers "distinct users this quarter" at 100 TB
+    // from kilobytes of stored sketch state instead of a fact rescan.
+    // Oracle-gated by construction like approx_distinct_parts: exact
+    // twin beside the estimate, within-5% boolean pinned true.
+    "hll_union_custkeys" -> ((s, dir) => {
+      val monthly = orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = monthly
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("n_months"))
+      val exact = orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      exact.join(merged, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_cust"), col("n_months"),
+          (abs(col("est") - col("exact_cust")).cast("double") <=
+            lit(0.05) * col("exact_cust").cast("double")).as("approx_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Per-source exact-duplicate rate: a doc is a duplicate when an
     // earlier doc (smaller doc_id) has the same normalized-text md5 —
     // the "which ingestion source is re-crawling content" table that
@@ -397,6 +423,14 @@ object Signals {
         |  CAST(SUM(f) AS BIGINT) AS n_rows,
         |  CAST(max(f) AS BIGINT) AS max_f
         |FROM freq GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "hll_union_custkeys" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        |  true AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "dup_rate_by_source" ->
       """WITH fps AS (
