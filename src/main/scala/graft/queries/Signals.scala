@@ -231,6 +231,62 @@ object Signals {
         .orderBy(col("bucket"))
     }),
 
+    // POINT-IN-TIME feature join — the leakage-safe training join: each
+    // purchase is credited with the user's status (last non-purchase
+    // event type) VALID AT the purchase's own timestamp, never a later
+    // one — the classic "feature as of label time" discipline. The
+    // status dimension is built as SCD2 runs (change-compress + lead
+    // close) and the PIT lookup is a user-keyed equi-join with an
+    // interval filter — fan-out = runs × purchases per user, co-keyed,
+    // never a corpus-wide band join. Output: revenue by status-at-
+    // purchase.
+    "pit_feature_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          tsUs(col("ts")).as("ts"), col("event_id"),
+          d2(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val dim = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("p", lag(col("event_type"), 1).over(w))
+        .filter(col("p").isNull || col("p") =!= col("event_type"))
+        .withColumn("vt", lead(col("ts"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts").as("vf"), coalesce(col("vt"), lit(Long.MaxValue)).as("vt"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("v"))
+      facts.join(dim, Seq("user_id"))
+        .filter(col("ts") >= col("vf") && col("ts") < col("vt"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v") * 100).cast("long").as("cents"))
+        .orderBy(col("status"))
+    }),
+
+    // Capped per-class downsampling: each language keeps its K docs
+    // with the smallest portable hash — the deterministic "no class
+    // exceeds its budget" rebalancer (stratified_sample_docs keeps a
+    // RATE; this keeps a COUNT). The kept set is content-verified via
+    // an order-independent id sum, not just counted. One lang-keyed
+    // ranking window; at extreme skew the same contract runs as a
+    // TopKAgg per-partition pre-reduction with the window unchanged in
+    // semantics.
+    "capped_sample_by_lang" -> ((s, dir) => {
+      val k = 100
+      val ranked = documents(s, dir)
+        .select(col("lang"), col("doc_id"), h52(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= k, col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // STORED-sketch mergeability (DataSketches HLL): per-month HLL
     // sketches of the customer set are built once, then UNION-MERGED per
     // priority without touching raw rows again — the two-level summary-
@@ -423,6 +479,45 @@ object Signals {
         |  CAST(SUM(f) AS BIGINT) AS n_rows,
         |  CAST(max(f) AS BIGINT) AS max_f
         |FROM freq GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "pit_feature_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type AS status, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER w AS p
+        |    FROM ev WHERE event_type <> 'purchase'
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WHERE p IS NULL OR p <> status),
+        |dim AS (
+        |  SELECT user_id, status, ts AS vf,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 9223372036854775807) AS vt
+        |  FROM runs)
+        |SELECT d.status, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(f.v * 100) AS BIGINT) AS cents
+        |FROM (SELECT user_id, ts, v FROM ev
+        |      WHERE event_type = 'purchase') f
+        |JOIN dim d ON d.user_id = f.user_id
+        |  AND f.ts >= d.vf AND f.ts < d.vt
+        |GROUP BY d.status ORDER BY d.status""".stripMargin,
+
+    "capped_sample_by_lang" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |        AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS kept_id_sum
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
 
     "hll_union_custkeys" ->
       """SELECT o_orderpriority,
