@@ -421,26 +421,64 @@ object Dedup {
     * class a training-data pipeline must catch (and the asymmetry tells
     * you WHICH side is the fragment).
     *
-    * Same inverted-index candidate generation as
-    * [[ngramJaccardPairs]] (shingle-keyed self-join, df ceiling against
-    * the hot-shingle skew bomb) but ORDERED pairs a ≠ b: each unordered
-    * candidate yields both directions, scored independently. The
-    * threshold p/q is enforced EXACTLY in integers (q·|∩| >= p·|A|) and
-    * the score is emitted as floor-permille — no doubles anywhere, so
-    * the oracle comparison is engine-exact. minSize drops docs whose
-    * shingle set is so small that containment is trivially 1.0 (a
-    * two-shingle doc contained anywhere carries no dup signal).
+    * CANDIDATE GENERATION is prefix-filtered on the CONTAINED side (the
+    * asymmetric AllPairs rule): c(a→b) ≥ p/q forces |A∩B| ≥ ⌈t·|A|⌉, so
+    * a's |A| − ⌈t·|A|⌉ + 1 rarest shingles must hit B somewhere — the
+    * candidate join pairs a's PREFIX rows against the FULL index
+    * (Σ df_pre·df_inv fan-out) instead of self-joining the full index
+    * (Σ df_inv², which grows QUADRATICALLY in any corpus-relative df
+    * ceiling — measured 41 s at 10x before this). The regime guard is
+    * measured like [[prefixJaccardPairs]]'s but prices the prefix
+    * tier's FULL cost: candidates ≈ Σ df_pre·df_inv (on a replicated
+    * corpus almost none collapse in the distinct — measured 30.2M
+    * distinct pairs from a 36.1M fan-out at 10x) and each candidate
+    * pays ~avg-doc-size verification rows in interCounts, so the
+    * prefix tier must beat the plain self-join by (1 + avgSz)x, not a
+    * constant margin — under a constant 2x the 10x replica picked
+    * prefix and verification alone was ~1.5 G rows (>600 s) against
+    * the plain tier's 276 M. Either tier is lossless (the filter only
+    * prunes pairs that cannot pass the threshold). ORDERED pairs a ≠ b:
+    * each unordered candidate yields both directions, scored
+    * independently. The threshold p/q is enforced EXACTLY in integers
+    * (q·|∩| >= p·|A|) and the score is emitted as floor-permille — no
+    * doubles anywhere, so the oracle comparison is engine-exact.
+    * minSize drops docs whose shingle set is so small that containment
+    * is trivially 1.0 (a two-shingle doc contained anywhere carries no
+    * dup signal).
     */
   def containmentPairs(docs: DataFrame, n: Int, thresholdNum: Int,
                        thresholdDen: Int, minSize: Int,
                        maxDf: Option[Int] = None): DataFrame = {
     val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
     val sizes = shingleSizes(inv)
-    val inter = inv.select(col("s"), col("doc_id").as("a"))
-      .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
+    val t = thresholdNum.toDouble / thresholdDen
+    val pre = materialized(prefixRows(inv, t))
+    def fanout(left: DataFrame, right: DataFrame): Long = {
+      val lf = left.groupBy(col("s")).agg(count(lit(1)).as("lf"))
+      val rf = right.groupBy(col("s")).agg(count(lit(1)).as("rf"))
+      val r = lf.join(rf, "s")
+        .agg(sum(col("lf") * col("rf")).as("c")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // avg shingles per doc: the per-candidate price of verification
+    val avgSz = {
+      val r = sizes.agg(avg(col("sz"))).first()
+      if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
+    }
+    val inter =
+      if (fanout(pre, inv) * (1 + avgSz) <= fanout(inv, inv)) {
+        val cand = pre.select(col("s"), col("doc_id").as("a"))
+          .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"))
+          .distinct()
+        interCounts(cand, inv)
+      } else
+        inv.select(col("s"), col("doc_id").as("a"))
+          .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
       .filter(col("sz_a") >= minSize)

@@ -98,15 +98,15 @@ object Mining {
     // Asymmetric containment dedup (operators/Dedup.containmentPairs):
     // catches the excerpt/truncation dup class Jaccard is blind to.
     // Threshold 4/5 enforced in exact integers. The df ceiling is
-    // CORPUS-RELATIVE here — max(MAX_DF, ndocs/250), i.e. "drop
-    // shingles in > 0.4% of docs" once the corpus outgrows 5k — because
+    // CORPUS-RELATIVE here — max(MAX_DF, ndocs/500), i.e. "drop
+    // shingles in > 0.2% of docs" once the corpus outgrows 10k — because
     // a replicated scale-up multiplies every df by the replication
     // factor and a fixed cap silently empties the index (the round-8
     // advisory's vacuous-at-10x finding). The count() is one scalar
     // aggregate, not a data collect.
     "dedup_containment" -> ((s, dir) => {
       val docs = documents(s, dir)
-      val cap = math.max(TextDedup.MAX_DF.toLong, docs.count() / 250L).toInt
+      val cap = math.max(TextDedup.MAX_DF.toLong, docs.count() / 500L).toInt
       Dedup.containmentPairs(docs, n = 3,
         thresholdNum = 4, thresholdDen = 5, minSize = 5,
         maxDf = Some(cap))
@@ -559,7 +559,7 @@ object Mining {
     "dedup_containment" ->
       s"""WITH ${TextDedup.docsSqlFrom("documents")},
          |${TextDedup.dfShingledSqlCapExpr(
-        s"greatest(${TextDedup.MAX_DF}, (SELECT count(*) FROM documents) // 250)")},
+        s"greatest(${TextDedup.MAX_DF}, (SELECT count(*) FROM documents) // 500)")},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter

@@ -287,6 +287,44 @@ object Signals {
         .orderBy(col("lang"))
     }),
 
+    // LINEAR multi-touch attribution — the equal-credit sibling of
+    // attribution_last_touch: each purchase's cents split 1/n across
+    // ALL the user's preceding touches, by channel. The naive form
+    // joins purchases to their touch sets (quadratic in user history);
+    // here the bounded channel alphabet turns it into |channels|
+    // conditional running-count window columns + one aggregate — no
+    // join, no fan-out, one user-keyed shuffle. Credits are exact
+    // millicents (cents·1000·cnt div total, deterministic truncation);
+    // touchless purchases credit 'direct'.
+    "attribution_linear" -> ((s, dir) => {
+      val channels = Seq("click", "error", "signup", "view")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id"),
+          (d2(col("value")) * 100).cast("long").as("cents"))
+      val withCnt = channels.foldLeft(base)((d, t) =>
+        d.withColumn(s"c_$t",
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w)))
+      val tot = channels.map(t => col(s"c_$t")).reduce(_ + _)
+      val p = withCnt.filter(col("event_type") === "purchase")
+        .withColumn("tot", tot)
+      val aggs = channels.map(t =>
+        sum(when(col("tot") > 0,
+          expr(s"(cents * 1000 * c_$t) div tot")).otherwise(0L))
+          .as(s"m_$t")) :+
+        sum(when(col("tot") === 0, col("cents") * 1000).otherwise(0L))
+          .as("m_direct")
+      val stackArgs = (channels.map(t => s"'$t', m_$t") :+
+        "'direct', m_direct").mkString(", ")
+      p.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${channels.size + 1}, $stackArgs) " +
+          "AS (channel, millicents)"))
+        .orderBy(col("channel"))
+    }),
+
     // STORED-sketch mergeability (DataSketches HLL): per-month HLL
     // sketches of the customer set are built once, then UNION-MERGED per
     // priority without touching raw rows again — the two-level summary-
@@ -518,6 +556,39 @@ object Signals {
         |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS kept_id_sum
         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "attribution_linear" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      val cnts = channels.map(t =>
+        s"""SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+           |      OVER w AS c_$t""".stripMargin).mkString(",\n    ")
+      val tot = channels.map(t => s"c_$t").mkString(" + ")
+      val sums = channels.map(t =>
+        s"SUM(CASE WHEN tot > 0 THEN (cents * 1000 * c_$t) // tot " +
+          s"ELSE 0 END) AS m_$t").mkString(",\n  ")
+      val rows = (channels.map(t => s"SELECT '$t' AS channel, m_$t AS millicents FROM agg") :+
+        "SELECT 'direct', m_direct FROM agg").mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |cnt AS (
+         |  SELECT user_id, event_type, cents,
+         |    $cnts
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (
+         |  SELECT *, $tot AS tot FROM cnt WHERE event_type = 'purchase'),
+         |agg AS (
+         |  SELECT
+         |  $sums,
+         |  SUM(CASE WHEN tot = 0 THEN cents * 1000 ELSE 0 END) AS m_direct
+         |  FROM p)
+         |SELECT channel, CAST(millicents AS BIGINT) AS millicents FROM (
+         |  $rows)
+         |ORDER BY channel""".stripMargin
+    },
 
     "hll_union_custkeys" ->
       """SELECT o_orderpriority,
