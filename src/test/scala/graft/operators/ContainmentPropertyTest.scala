@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Dedup.containmentPairs]] against a brute-force in-memory
+  * reference on random corpora — whichever candidate tier the measured
+  * regime guard picks (prefix-filtered or plain self-join), the OUTPUT
+  * must equal the definitionally-computed containment pairs, so this
+  * test is what makes the tier choice a pure physical-plan decision.
+  * Corpora are generated from a small vocabulary with deliberate
+  * duplication (truncations = the containment class, plus unrelated
+  * docs), which exercises both regimes across samples.
+  */
+class ContainmentPropertyTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen(Gen.Parameters.default.withSize(25), Seed(911L + i)))
+
+  /** Mirror of TextFns tokenization + 3-gram shingle sets. */
+  private def shingleSet(text: String): Set[String] = {
+    val toks = "\\S+".r.findAllIn(text.toLowerCase).toVector
+    if (toks.size < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  /** Brute-force containment with the same df ceiling / threshold /
+    * minSize contract as the operator.
+    */
+  private def refContainment(docs: Seq[(Long, String)], maxDf: Int,
+      tNum: Int, tDen: Int, minSize: Int): Set[(Long, Long, Long)] = {
+    val sets0 = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val df = sets0.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val hot = df.filter(_._2 > maxDf).keys.toSet
+    val sets = sets0.view.mapValues(_ -- hot).toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.size >= minSize
+      inter = (sa & sb).size
+      if inter * tDen >= sa.size * tNum && inter > 0
+    } yield (a, b, (1000L * inter) / sa.size)).toSet
+  }
+
+  private val wordGen = Gen.oneOf(
+    (0 until 12).map(i => s"w$i"))
+
+  private val corpusGen: Gen[List[String]] = Gen.listOf(for {
+    len <- Gen.choose(3, 14)
+    words <- Gen.listOfN(len, wordGen)
+  } yield words.mkString(" "))
+
+  test("containmentPairs == brute force on random corpora (incl. truncations)") {
+    for ((texts, i) <- samples(corpusGen, 6).zipWithIndex) {
+      // append truncations of the first docs: the excerpt class the
+      // operator exists to catch
+      val trunc = texts.take(3).filter(_.split(" ").length >= 6)
+        .map(t => t.split(" ").take(5).mkString(" "))
+      val docs = (texts ++ trunc).zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, n = 3,
+          thresholdNum = 4, thresholdDen = 5, minSize = 3,
+          maxDf = Some(6))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = refContainment(docs, maxDf = 6, tNum = 4, tDen = 5,
+        minSize = 3)
+      assert(got == want, s"sample $i: ${docs.size} docs")
+    }
+  }
+}
