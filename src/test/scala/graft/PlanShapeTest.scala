@@ -353,6 +353,38 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("pit_feature_join stays co-keyed on user_id — no band join, no cartesian") {
+    // the PIT lookup must be an equi-join on user_id with the interval
+    // predicate as a residual filter; a range/cartesian join here would
+    // pair every purchase with every interval corpus-wide
+    val p = plan("pit_feature_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("attribution_linear has no join at all — window columns + one aggregate") {
+    val p = plan("attribution_linear")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("capped_sample_by_lang reads only lang and doc_id") {
+    val p = plan("capped_sample_by_lang")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>") ||
+      p.contains("ReadSchema: struct<lang:string,doc_id:bigint>"), p)
+  }
+
+  test("hll_union_custkeys merges sketches through partial aggregation") {
+    // both the per-month sketch build and the union re-aggregate must
+    // partially aggregate (mergeable sketch state on the map side)
+    val p = plan("hll_union_custkeys")
+    assert(p.contains("partial_hll_sketch_agg") ||
+      p.contains("partial_"), p)
+    assert(p.contains("hll_union_agg"), p)
+  }
+
   test("key_skew_profile is two hash aggregates with map-side combine") {
     val p = plan("key_skew_profile")
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 aggs x partial+final

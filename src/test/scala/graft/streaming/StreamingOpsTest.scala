@@ -602,5 +602,22 @@ class StreamingOpsTest extends AnyFunSuite {
     sq2.processAllAvailable()
     sq2.stop()
     assert(snap() == refScd2(b0 ++ b1 ++ b2))
+
+    // crash healing: simulate dying between the two swap renames
+    // (snapshot moved to .old, nothing at path) — the next batch under
+    // a fresh tag must roll back, then apply on top of the restored
+    // dimension
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val mem3 = MemoryStream[(Long, String, Long, Long)]
+    val sq3 = StreamingOps.scd2EachBatch(
+      mem3.toDF.toDF("k", "attr", "ts_us", "seq"),
+      "k", "attr", "ts_us", "seq", path, queryTag = "heal").start()
+    val b3 = Seq((2L, "platinum", 600L, 11L))
+    mem3.addData(b3: _*)
+    sq3.processAllAvailable()
+    sq3.stop()
+    assert(snap() == refScd2(b0 ++ b1 ++ b2 ++ b3))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
   }
 }
