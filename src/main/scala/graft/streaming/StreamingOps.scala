@@ -518,6 +518,42 @@ object StreamingOps {
       ()
     }
 
+  /** Incremental interval-COVERAGE mirror: each micro-batch of keyed
+    * intervals merges into a per-key table of maximal islands
+    * ([[graft.operators.Intervals]] semantics: closed-open, touching
+    * merges). Island merge is ASSOCIATIVE, COMMUTATIVE and IDEMPOTENT —
+    * state absorbs batches in any order (late intervals welcome, unlike
+    * the SCD2 sink's monotone contract) and re-applying a batch is a
+    * no-op, so replay safety needs no batch-id commit at all: the plain
+    * overwrite is exactly-once effective, the same argument as the
+    * keyed-upsert mirror. Per batch only affected keys' islands rebuild
+    * (the batch-sized key set broadcasts); a reader gets per-key
+    * coverage with one sum over the mirror.
+    */
+  def coverageMirrorEachBatch(intervals: DataFrame, keyCol: String,
+                              stCol: String, enCol: String, tieCol: String,
+                              path: String) =
+    intervals.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val b = graft.operators.Intervals
+        .mergedIslands(batch, col(keyCol), col(stCol), col(enCol), col(tieCol))
+        .select(col("k"), col("ist"), col("ien"))
+      val mirror =
+        if (new java.io.File(path).exists()) s.read.parquet(path)
+        else b.limit(0)
+      val affected = b.select(col("k")).distinct()
+      val untouched = mirror.join(broadcast(affected), Seq("k"), "left_anti")
+      val remerged = graft.operators.Intervals
+        .mergedIslands(
+          mirror.join(broadcast(affected), Seq("k")).unionByName(b),
+          col("k"), col("ist"), col("ien"), col("ien"))
+        .select(col("k"), col("ist"), col("ien"))
+      untouched.unionByName(remerged)
+        .localCheckpoint(true) // cut lineage off the file being replaced
+        .write.mode("overwrite").parquet(path)
+      ()
+    }
+
   /** The shared exactly-once transactional-sink skeleton: skip if
     * (queryTag, batchId) is already committed in the snapshot's
     * `_graft_commit` marker, else compute the new state from the

@@ -620,4 +620,35 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(!new java.io.File(path + ".old").exists())
     assert(!new java.io.File(path + ".staging").exists())
   }
+
+  test("coverageMirrorEachBatch absorbs out-of-order batches; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cov").toString
+    val path = s"$dir/islands"
+    val mem = MemoryStream[(Long, Long, Long, Long)] // (k, st, en, id)
+    val sq = StreamingOps.coverageMirrorEachBatch(
+      mem.toDF.toDF("k", "st", "en", "id"), "k", "st", "en", "id", path)
+      .start()
+
+    def islands(): Set[(Long, Long, Long)] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ist"),
+          r.getAs[Long]("ien"))).toSet
+
+    mem.addData((1L, 10L, 20L, 1L), (1L, 40L, 50L, 2L), (2L, 0L, 5L, 3L))
+    sq.processAllAvailable()
+    assert(islands() == Set((1L, 10L, 20L), (1L, 40L, 50L), (2L, 0L, 5L)))
+
+    // batch 2 arrives OUT OF ORDER (earlier times) and bridges the two
+    // key-1 islands into one; touching interval extends key 2
+    mem.addData((1L, 15L, 45L, 4L), (2L, 5L, 8L, 5L))
+    sq.processAllAvailable()
+    assert(islands() == Set((1L, 10L, 50L), (2L, 0L, 8L)))
+
+    // replay the SAME intervals (idempotent merge -> no change)
+    mem.addData((1L, 15L, 45L, 6L), (1L, 10L, 20L, 7L))
+    sq.processAllAvailable()
+    sq.stop()
+    assert(islands() == Set((1L, 10L, 50L), (2L, 0L, 8L)))
+  }
 }
