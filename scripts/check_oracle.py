@@ -28,6 +28,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def canon_types(rel) -> list:
+    """Name-sorted (column, normalized DuckDB type) pairs for a relation.
+
+    The driver's hash is type-sensitive exactly where pandas dtype mapping
+    is: every DuckDB integer width up to 64 bits lands in an int64-family
+    dtype and hashes identically (driver-verified green for INT-vs-BIGINT
+    pairs like Spark row_number() INT vs DuckDB's BIGINT across rounds
+    1-9), but HUGEINT becomes object/float and hashed red three rounds
+    running (q11/q12/dup_rate_by_source) while the local value compare
+    stayed green. So: collapse <=64-bit integer widths to one class, keep
+    HUGEINT/UHUGEINT distinct (the class this check exists to catch), and
+    treat Spark parquet's TIMESTAMP WITH TIME ZONE (isAdjustedToUTC) as
+    the oracles' TIMESTAMP — both UTC micros on disk.
+    """
+    out = []
+    for c, ty in zip(rel.columns, rel.types):
+        s = str(ty).upper()
+        if s == "TIMESTAMP WITH TIME ZONE":
+            s = "TIMESTAMP"
+        if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER"):
+            s = "INT64CLASS"
+        out.append((c, s))
+    return sorted(out)
+
+
 def main(sf_dir: str, out_dir: str, json_out: str = None,
          only: set = None) -> int:
     con = duckdb.connect()
@@ -57,15 +83,25 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
     status = {}
     for name, sql in sorted(oracles.items()):
         try:
-            want = canon(con.execute(sql).fetchdf())
+            want_rel = con.sql(sql)
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output")
                 status[name] = "fail: no spark output"
                 failures += 1
                 continue
-            got = canon(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            # type compare FIRST: the driver hash is type-sensitive and the
+            # pandas value compare below is not (the HUGEINT slip class)
+            tw, tg = canon_types(want_rel), canon_types(got_rel)
+            if [c for c, _ in tw] == [c for c, _ in tg] and tw != tg:
+                diff = [(a, b) for a, b in zip(tg, tw) if a != b]
+                print(f"FAIL {name}: type mismatch spark-vs-oracle {diff}")
+                status[name] = f"fail: type mismatch {diff}"
+                failures += 1
+                continue
+            want = canon(want_rel.fetchdf())
+            got = canon(got_rel.fetchdf())
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
                 status[name] = "fail: column mismatch"

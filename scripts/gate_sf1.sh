@@ -12,6 +12,11 @@ SAMPLE=dedup_exact,dedup_minhash_lsh,dedup_clusters,dedup_simhash,er_clusters,de
 
 OUT=${1:-/tmp/verify_sf1}
 rm -rf "$OUT"
+# Full-surface oracle type lint first (every oracle, not just the sample):
+# an uncast HUGEINT can never hash-match Spark BIGINT at the driver.
+java -cp "target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+  graft.DumpOracles /tmp/oracle_all.json
+python3 scripts/lint_oracle_types.py /root/testdata/sf0.01 /tmp/oracle_all.json
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_ONLY="$SAMPLE" \
   java -cp "target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
   graft.Verify tmp_sf1 "$OUT"

@@ -96,28 +96,60 @@ object Bench {
     // pass is the per-query entry and lands in the headline total; the
     // cold pass is reported separately as `streaming_cold` so the
     // fixed-cost story stays visible without distorting the total.
-    def timeStreamingOnce(): Option[Double] = {
+    // Streamed documents table: file-stream source requires a
+    // directory. The driver's sf dirs hold one FILE per table (list the
+    // parent, glob the file); GenBig's probe dirs hold one DIRECTORY
+    // per table (stream it directly). The glob-on-parent branch must
+    // never run against a table directory: it would match no files and
+    // silently time a zero-row stream.
+    def docStream(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, timestamp_seconds}
+      val src = s"$sfDir/documents.parquet"
+      val schema = spark.read.parquet(src).schema
+      val reader = spark.readStream.schema(schema)
+      val raw =
+        if (new java.io.File(src).isDirectory) reader.parquet(src)
+        else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      raw.withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
+    }
+    // Three streaming sinks, each timed end-to-end under AvailableNow
+    // over the streamed documents table (deterministic synthesized
+    // keys/timestamps off doc_id), so every maintained-state sink in
+    // the streaming surface has a bench entry — streaming_curate_mirror
+    // once silently timed a zero-row stream, which is why test-pass
+    // alone is not enough for this family.
+    val streamingEntries: Seq[(String,
+        (org.apache.spark.sql.DataFrame, String) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      Seq(
+        ("streaming_curate_mirror", (docs, dir) =>
+          graft.streaming.StreamingOps.overwriteMirrorEachBatch(
+            graft.streaming.StreamingOps.curationIngest(docs), s"$dir/mirror")),
+        // SCD2 dimension maintenance: 256 dimension keys, attr = lang,
+        // event time = doc_id (per-key monotone), seq = doc_id
+        ("streaming_scd2_dim", (docs, dir) =>
+          graft.streaming.StreamingOps.scd2EachBatch(
+            docs.select((col("doc_id") % 256).as("k"), col("lang").as("attr"),
+              col("doc_id").as("ts_us"), col("doc_id").as("seq")),
+            "k", "attr", "ts_us", "seq", s"$dir/dim")),
+        // interval-coverage mirror: stride-256 intervals of length 512
+        // per key, so in-key islands genuinely merge
+        ("streaming_coverage_mirror", (docs, dir) =>
+          graft.streaming.StreamingOps.coverageMirrorEachBatch(
+            docs.select((col("doc_id") % 256).as("k"), col("doc_id").as("st"),
+              (col("doc_id") + lit(512L)).as("en"), col("doc_id").as("id")),
+            "k", "st", "en", "id", s"$dir/islands")))
+    }
+    def timeStreamingOnce(name: String,
+        mk: (org.apache.spark.sql.DataFrame, String) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+        : Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        import org.apache.spark.sql.functions.{col, timestamp_seconds}
         val dir = java.nio.file.Files
           .createTempDirectory("graft_stream_bench").toString
-        // File-stream source requires a directory. The driver's sf dirs
-        // hold one FILE per table (list the parent, glob the file);
-        // GenBig's probe dirs hold one DIRECTORY per table (stream it
-        // directly). The glob-on-parent branch must never run against a
-        // table directory: it would match no files and silently time a
-        // zero-row stream.
-        val src = s"$sfDir/documents.parquet"
-        val schema = spark.read.parquet(src).schema
-        val reader = spark.readStream.schema(schema)
-        val raw =
-          if (new java.io.File(src).isDirectory) reader.parquet(src)
-          else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-        val docs = raw
-          .withColumn("ts", timestamp_seconds(col("doc_id") + 1700000000L))
-        val q = graft.streaming.StreamingOps.overwriteMirrorEachBatch(
-            graft.streaming.StreamingOps.curationIngest(docs), s"$dir/mirror")
+        val q = mk(docStream(), dir)
           .option("checkpointLocation", s"$dir/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -126,14 +158,24 @@ object Bench {
       } catch {
         case t: Throwable =>
           System.err.println(
-            s"BENCH FAIL streaming_curate_mirror: ${t.getClass.getName}: ${t.getMessage}")
+            s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           None
       }
     }
-    def timeStreaming(): (Option[Double], (String, Option[Double])) = {
-      val cold = timeStreamingOnce()
-      val warm = if (cold.isDefined) timeStreamingOnce() else None
-      (cold, ("streaming_curate_mirror", warm))
+    // Per entry: one cold pass (one-off source-listing / state-store /
+    // codegen costs — real but session-noisy), one warm pass with a
+    // fresh checkpoint+state dir. The warm pass is the headline entry;
+    // colds ship as the `streaming_cold` map (a single number through
+    // round 9, a per-entry object from round 10).
+    def timeStreaming(): (Seq[(String, Option[Double])],
+        Seq[(String, Option[Double])]) = {
+      val colds = streamingEntries.map { case (n, mk) =>
+        n -> timeStreamingOnce(n, mk) }
+      val warms = streamingEntries.map { case (n, mk) =>
+        val cold = colds.find(_._1 == n).flatMap(_._2)
+        n -> (if (cold.isDefined) timeStreamingOnce(n, mk) else None)
+      }
+      (colds, warms)
     }
 
     val p1 = names.map(n => n -> timeOne(n)).toMap
@@ -146,13 +188,13 @@ object Bench {
     val suspects = names.filter(n =>
       p1(n).isEmpty || p1(n).min > math.max(1.5, 3 * median))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
-    val (streamCold, streamEntry) = timeStreaming()
+    val (streamColds, streamEntries) = timeStreaming()
     val samples: Map[String, Seq[Double]] =
       names.map(n => n -> (p1(n) ++ p2.getOrElse(n, Nil))).toMap
     val results = names.map { n =>
       val runs = samples(n)
       n -> (if (runs.isEmpty) None else Some(runs.min))
-    } :+ streamEntry
+    } ++ streamEntries
     // 3-decimal seconds (1 ms granularity — an order below the shared
     // host's jitter) keep the one-line JSON as short as possible; full
     // 17-digit doubles overflowed the driver's log-tail capture in
@@ -165,7 +207,9 @@ object Bench {
     val total = fmt(results.flatMap(_._2).sum)
     val failedJson = results.collect { case (n, None) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val coldJson = streamCold.map(fmt).getOrElse("null")
+    val coldJson = streamColds.map { case (n, v) =>
+      "\"" + n + "\":" + v.map(fmt).getOrElse("null")
+    }.mkString("{", ",", "}")
     // All timed samples per query (2 + possible outlier-retry extras):
     // the spread the round-8 judge asked the artifact to carry, so
     // round-over-round comparisons can use a variance-robust statistic.

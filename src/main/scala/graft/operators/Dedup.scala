@@ -322,16 +322,38 @@ object Dedup {
     * toString), not double — same rounding hazard as
     * [[dfCeilingFraction]].
     */
-  private[operators] def prefixRows(inv: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def prefixRows(inv: DataFrame, threshold: Double): DataFrame =
+    prefixRowsBy(inv,
+      ceil(col("sz").cast("decimal(20,6)") *
+        lit(BigDecimal(threshold.toString))))
+
+  /** Exact-rational prefix rows for callers whose threshold is a true
+    * p/q rational: ⌈p·sz/q⌉ = (p·sz + q − 1) div q in pure integer
+    * column arithmetic. The double round-trip in [[prefixRows]] can
+    * overshoot the real ceiling for ratios whose nearest double rounds
+    * HIGH (5/7 → 0.7142857142857143 > 5/7), which silently SHRINKS the
+    * prefix and drops qualifying pairs — a correctness leak, not a
+    * physical-plan choice, so the rational API never goes through a
+    * double at all.
+    */
+  private[operators] def prefixRowsExact(inv: DataFrame, num: Int,
+                                         den: Int): DataFrame = {
+    require(num > 0 && den > 0, "threshold must be a positive rational")
+    prefixRowsBy(inv, expr(s"(${num}L * sz + ${den - 1}L) div ${den}L"))
+  }
+
+  /** Shared body: rank each doc's shingles in the global rarest-first
+    * order and keep ranks ≤ sz − ceilOfTSz + 1, where ceilOfTSz is the
+    * caller's column formula for ⌈t·sz⌉ over the window-computed `sz`.
+    */
+  private def prefixRowsBy(inv: DataFrame, ceilOfTSz: Column): DataFrame = {
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     val wsz = Window.partitionBy(col("doc_id"))
     inv.join(dfreq, "s")
       .withColumn("sz", count(lit(1)).over(wsz))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <=
-        col("sz") - ceil(col("sz").cast("decimal(20,6)") *
-          lit(BigDecimal(threshold.toString))) + 1)
+      .filter(col("rnk") <= col("sz") - ceilOfTSz + 1)
       .select(col("s"), col("doc_id"))
   }
 
@@ -451,8 +473,7 @@ object Dedup {
                        maxDf: Option[Int] = None): DataFrame = {
     val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
     val sizes = shingleSizes(inv)
-    val t = thresholdNum.toDouble / thresholdDen
-    val pre = materialized(prefixRows(inv, t))
+    val pre = materialized(prefixRowsExact(inv, thresholdNum, thresholdDen))
     def fanout(left: DataFrame, right: DataFrame): Long = {
       val lf = left.groupBy(col("s")).agg(count(lit(1)).as("lf"))
       val rf = right.groupBy(col("s")).agg(count(lit(1)).as("rf"))

@@ -93,20 +93,43 @@ object Extended {
     // digits (the blocking key bounds the pair space), verified with
     // exact levenshtein <= 2 — catches prefix-digit typos of the same
     // entity id.
+    //
+    // Factored through DISTINCT names (the jw_best_match treatment, not
+    // a length band — every c_name is fixed-width so a band has zero
+    // discrimination here): the edit distance depends only on the name
+    // pair, so the block self-join and the DP verification run over one
+    // row per name and members expand afterwards through two equi-joins
+    // on the name. On a duplicate-heavy corpus an exact-name group of k
+    // rows otherwise multiplies the in-block candidate space by k² AND
+    // re-verifies the same string pair k² times; after factoring the
+    // candidate/verify stage is replication-invariant and only the
+    // (inherently k²-sized) output expansion scales with density. The
+    // emitted set is identical on any corpus: each unordered member
+    // pair {x, y} with lev(name_x, name_y) ≤ 2 appears exactly once —
+    // cross-name pairs via the canonical na < nb orientation, same-name
+    // pairs via ka < kb — re-oriented to (min, max) like the raw a < b
+    // self-join.
     "dedup_levenshtein" -> ((s, dir) => {
-      val c = customer(s, dir)
-        .select(col("c_custkey"), col("c_name"),
-          substring(col("c_name"), 15, 4).as("blk"))
-      val l = c.select(col("blk"), col("c_custkey").as("a"), col("c_name").as("name_a"))
-      val r = c.select(col("blk"), col("c_custkey").as("b"), col("c_name").as("name_b"))
-      l.join(r, Seq("blk"))
-        .filter(col("a") < col("b"))
+      val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
+      val names = c.select(col("c_name").as("na")).distinct()
+        .withColumn("blk", substring(col("na"), 15, 4))
+      val np = names
+        .join(names.select(col("na").as("nb"),
+          substring(col("nb"), 15, 4).as("blk")), Seq("blk"))
+        .filter(col("na") <= col("nb"))
         // threshold-bounded levenshtein: banded DP, O(t·n) per pair
         // instead of O(n·m); -1 marks "beyond the bound" (never ≤ t, so
         // the filter must test -1, not the bound)
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 2))
+        .withColumn("lev", levenshtein(col("na"), col("nb"), 2))
         .filter(col("lev") =!= -1)
-        .select(col("a"), col("b"), col("lev").cast("long").as("lev"))
+        .select(col("na"), col("nb"), col("lev"))
+      np
+        .join(c.select(col("c_name").as("na"), col("c_custkey").as("ka")), "na")
+        .join(c.select(col("c_name").as("nb"), col("c_custkey").as("kb")), "nb")
+        .filter(col("na") < col("nb") || col("ka") < col("kb"))
+        .select(least(col("ka"), col("kb")).as("a"),
+          greatest(col("ka"), col("kb")).as("b"),
+          col("lev").cast("long").as("lev"))
         .orderBy(col("a"), col("b"))
     }),
 

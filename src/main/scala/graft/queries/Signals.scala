@@ -352,13 +352,18 @@ object Signals {
     }),
 
     // Per-source exact-duplicate rate: a doc is a duplicate when an
-    // earlier doc (smaller doc_id) has the same normalized-text md5 —
-    // the "which ingestion source is re-crawling content" table that
-    // decides where dedup budget goes. The min-per-fingerprint runs in
-    // a fingerprint-keyed window (replica groups are small), then one
+    // earlier doc (smaller doc_id) has the same fingerprint — the
+    // "which ingestion source is re-crawling content" table that
+    // decides where dedup budget goes. The fingerprint hashes the
+    // first 60 chars of the normalized text (excerpt-class boilerplate
+    // re-crawls share openings long before they share full bodies), so
+    // the signal is nonzero even on small slices where full-body exact
+    // dups are absent. The min-per-fingerprint runs in a
+    // fingerprint-keyed window (replica groups are small), then one
     // aggregate per source.
     "dup_rate_by_source" -> ((s, dir) => {
-      val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      val fp = md5(substring(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 60))
       documents(s, dir)
         .select(col("doc_id"), col("source"), fp.as("fp"))
         .withColumn("rep", min(col("doc_id")).over(
@@ -601,7 +606,8 @@ object Signals {
     "dup_rate_by_source" ->
       """WITH fps AS (
         |  SELECT doc_id, source,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |        1, 60)) AS fp
         |  FROM documents),
         |marked AS (
         |  SELECT source, doc_id,
@@ -610,8 +616,8 @@ object Signals {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dups,
-        |  (1000 * SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END))
-        |    // count(*) AS dup_permille
+        |  CAST((1000 * SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS dup_permille
         |FROM marked GROUP BY source ORDER BY source""".stripMargin
   )
 }

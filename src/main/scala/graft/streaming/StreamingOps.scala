@@ -480,12 +480,17 @@ object StreamingOps {
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) { existing =>
         val w = Window.partitionBy(col("k")).orderBy(col("vf"), col("seq"))
+        // seq rides along past compression: two runs with EQUAL vf
+        // (same-timestamp observations of different attrs) are ordered
+        // only by seq, so dropping it here would make the tail rebuild
+        // below an arbitrary-order merge and the emitted dimension
+        // nondeterministic vs the batch recompute.
         val runs = batch
           .select(col(keyCol).as("k"), col(attrCol).as("attr"),
             col(tsUsCol).as("vf"), col(seqCol).as("seq"))
           .withColumn("p", lag(col("attr"), 1).over(w))
           .filter(col("p").isNull || col("p") =!= col("attr"))
-          .select(col("k"), col("attr"), col("vf"))
+          .select(col("k"), col("attr"), col("vf"), col("seq"))
         val snap = existing.getOrElse(
           runs.select(col("k"), col("attr"),
             col("vf").as("valid_from_us"),
@@ -496,16 +501,23 @@ object StreamingOps {
           .join(broadcast(affected), Seq("k"), "left_anti")
         val openAff = snap.filter(col("valid_to_us").isNull)
           .join(broadcast(affected), Seq("k"))
-          .select(col("k"), col("attr"), col("valid_from_us").as("vf"))
+          .select(col("k"), col("attr"), col("valid_from_us").as("vf"),
+            // sentinel seq below any real batch seq: pri already places
+            // the open row first at equal vf, the sentinel just keeps
+            // the (vf, pri, seq) order TOTAL
+            lit(Long.MinValue).as("seq"))
         // late-run drop: anything starting before the open row's start
         val bound = openAff.select(col("k"), col("vf").as("open_vf"))
         val liveRuns = runs.join(broadcast(bound), Seq("k"), "left")
           .filter(col("open_vf").isNull || col("vf") >= col("open_vf"))
-          .select(col("k"), col("attr"), col("vf"))
+          .select(col("k"), col("attr"), col("vf"), col("seq"))
         // rebuild the affected keys' tail: open row (priority 0) + batch
         // runs (priority 1, so an equal-timestamp batch run sorts after
-        // the row it may extend), re-compressed and re-intervaled
-        val tw = Window.partitionBy(col("k")).orderBy(col("vf"), col("pri"))
+        // the row it may extend), re-compressed and re-intervaled; seq
+        // breaks equal-(vf, pri) ties so the order is total and the
+        // rebuild deterministic
+        val tw = Window.partitionBy(col("k"))
+          .orderBy(col("vf"), col("pri"), col("seq"))
         val tail = openAff.withColumn("pri", lit(0))
           .unionByName(liveRuns.withColumn("pri", lit(1)))
           .withColumn("p", lag(col("attr"), 1).over(tw))
@@ -524,22 +536,28 @@ object StreamingOps {
     * merges). Island merge is ASSOCIATIVE, COMMUTATIVE and IDEMPOTENT —
     * state absorbs batches in any order (late intervals welcome, unlike
     * the SCD2 sink's monotone contract) and re-applying a batch is a
-    * no-op, so replay safety needs no batch-id commit at all: the plain
+    * no-op, so replay safety needs no batch-id commit at all: the
     * overwrite is exactly-once effective, the same argument as the
-    * keyed-upsert mirror. Per batch only affected keys' islands rebuild
-    * (the batch-sized key set broadcasts); a reader gets per-key
-    * coverage with one sum over the mirror.
+    * keyed-upsert mirror. CRASH safety is separate from replay safety —
+    * idempotence cannot recover state a mid-overwrite crash deleted —
+    * so the snapshot goes through the same staged-rename swap as the
+    * batch-id sinks (minus the marker): a crash at any point leaves
+    * either the previous or the new mirror on disk, never a hole. Per
+    * batch only affected keys' islands rebuild (the batch-sized key set
+    * broadcasts); a reader gets per-key coverage with one sum over the
+    * mirror.
     */
   def coverageMirrorEachBatch(intervals: DataFrame, keyCol: String,
                               stCol: String, enCol: String, tieCol: String,
                               path: String) =
     intervals.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.sparkSession
+      val (dir, old, staging) = healSwap(path)
       val b = graft.operators.Intervals
         .mergedIslands(batch, col(keyCol), col(stCol), col(enCol), col(tieCol))
         .select(col("k"), col("ist"), col("ien"))
       val mirror =
-        if (new java.io.File(path).exists()) s.read.parquet(path)
+        if (dir.exists()) s.read.parquet(path)
         else b.limit(0)
       val affected = b.select(col("k")).distinct()
       val untouched = mirror.join(broadcast(affected), Seq("k"), "left_anti")
@@ -548,9 +566,11 @@ object StreamingOps {
           mirror.join(broadcast(affected), Seq("k")).unionByName(b),
           col("k"), col("ist"), col("ien"), col("ien"))
         .select(col("k"), col("ist"), col("ien"))
+      // staging write never touches the dir being read, so no lineage
+      // cut is needed before the swap
       untouched.unionByName(remerged)
-        .localCheckpoint(true) // cut lineage off the file being replaced
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(staging.getPath)
+      commitSwap(dir, old, staging)
       ()
     }
 
@@ -565,16 +585,7 @@ object StreamingOps {
   private def applyOnceAtomically(s: org.apache.spark.sql.SparkSession,
       path: String, queryTag: String,
       batchId: Long)(computeState: Option[DataFrame] => DataFrame): Unit = {
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    val staging = new java.io.File(path + ".staging")
-    // Heal an interrupted swap: both present -> new snapshot already
-    // committed, drop the backup; only backup present -> the swap
-    // died between renames, roll back (the batch id inside was never
-    // observable, so the source's replay re-applies cleanly).
-    if (dir.exists() && old.exists()) deleteRec(old)
-    if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
-    if (staging.exists()) deleteRec(staging)
+    val (dir, old, staging) = healSwap(path)
     val marker = new java.io.File(dir, "_graft_commit")
     val lastApplied: Option[(String, Long)] =
       if (marker.exists()) {
@@ -594,10 +605,38 @@ object StreamingOps {
       java.nio.file.Files.write(
         new java.io.File(staging, "_graft_commit").toPath,
         s"$queryTag:$batchId".getBytes)
-      if (dir.exists()) dir.renameTo(old)
-      staging.renameTo(dir)
-      if (old.exists()) deleteRec(old)
+      commitSwap(dir, old, staging)
     }
+  }
+
+  /** Heal an interrupted staged-rename swap and return (dir, backup,
+    * staging) for a new one: both dir+backup present -> the new snapshot
+    * already committed, drop the backup; only the backup present -> the
+    * swap died between renames, roll back (any marker inside was never
+    * observable, so a source replay re-applies cleanly); stale staging
+    * is discarded. Shared by the batch-id sinks and the idempotent
+    * coverage mirror.
+    */
+  private def healSwap(path: String):
+      (java.io.File, java.io.File, java.io.File) = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    val staging = new java.io.File(path + ".staging")
+    if (dir.exists() && old.exists()) deleteRec(old)
+    if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
+    if (staging.exists()) deleteRec(staging)
+    (dir, old, staging)
+  }
+
+  /** Second half of the swap: back up the live dir, promote staging,
+    * drop the backup. A crash between any two steps is healed by the
+    * next [[healSwap]]. */
+  private def commitSwap(dir: java.io.File, old: java.io.File,
+                         staging: java.io.File): Unit = {
+    if (dir.exists()) dir.renameTo(old)
+    staging.renameTo(dir)
+    if (old.exists()) deleteRec(old)
+    ()
   }
 
   private def deleteRec(f: java.io.File): Unit = {

@@ -57,6 +57,10 @@ class ContainmentPropertyTest extends AnyFunSuite {
   } yield words.mkString(" "))
 
   test("containmentPairs == brute force on random corpora (incl. truncations)") {
+    // 5/7 and 2/3 round HIGH as doubles (0.7142857142857143 > 5/7) — the
+    // exact-rational prefix must not shrink the prefix for them; 4/5 is
+    // decimal-exact and covers the original contract
+    val thresholds = Seq((4, 5), (5, 7), (2, 3))
     for ((texts, i) <- samples(corpusGen, 6).zipWithIndex) {
       // append truncations of the first docs: the excerpt class the
       // operator exists to catch
@@ -65,15 +69,27 @@ class ContainmentPropertyTest extends AnyFunSuite {
       val docs = (texts ++ trunc).zipWithIndex
         .map { case (t, id) => (id.toLong, t) }
       val df = docs.toDF("doc_id", "text")
+      val (tn, td) = thresholds(i % thresholds.size)
       val got = Dedup.containmentPairs(df, n = 3,
-          thresholdNum = 4, thresholdDen = 5, minSize = 3,
+          thresholdNum = tn, thresholdDen = td, minSize = 3,
           maxDf = Some(6))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
-      val want = refContainment(docs, maxDf = 6, tNum = 4, tDen = 5,
+      val want = refContainment(docs, maxDf = 6, tNum = tn, tDen = td,
         minSize = 3)
-      assert(got == want, s"sample $i: ${docs.size} docs")
+      assert(got == want, s"sample $i: ${docs.size} docs at $tn/$td")
     }
+  }
+
+  test("prefixRowsExact never overshoots the true rational ceiling (5/7 class)") {
+    // one doc of 7 distinct shingles: ⌈(5/7)·7⌉ = 5 ⇒ prefix length 3.
+    // The double path computes BigDecimal("0.7142857142857143")·7 > 5
+    // and ceils to 6 (prefix 2) — the leak ADVICE r9 flagged.
+    val idx = Seq.tabulate(7)(j => (1L, s"s$j")).toDF("doc_id", "s")
+    assert(Dedup.prefixRowsExact(idx, 5, 7).count() === 3L)
+    assert(Dedup.prefixRows(idx, 5.0 / 7).count() === 2L,
+      "double path is expected to overshoot — if this starts passing, " +
+        "the decimal recovery changed and the exact overload may be moot")
   }
 }

@@ -650,5 +650,51 @@ class StreamingOpsTest extends AnyFunSuite {
     sq.processAllAvailable()
     sq.stop()
     assert(islands() == Set((1L, 10L, 50L), (2L, 0L, 8L)))
+
+    // crash healing: idempotence covers replay, not lost state — the
+    // staged-rename swap must cover a crash BETWEEN the two renames
+    // (snapshot at .old, nothing at path). The next batch rolls back
+    // and merges on top of the RESTORED islands.
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val mem2 = MemoryStream[(Long, Long, Long, Long)]
+    val sq2 = StreamingOps.coverageMirrorEachBatch(
+      mem2.toDF.toDF("k", "st", "en", "id"), "k", "st", "en", "id", path)
+      .start()
+    mem2.addData((2L, 8L, 12L, 8L))
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(islands() == Set((1L, 10L, 50L), (2L, 0L, 12L)))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
+  test("scd2EachBatch is deterministic for equal-timestamp runs (seq total order)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2eq").toString
+    val path = s"$dir/dim"
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val sq = StreamingOps.scd2EachBatch(
+      mem.toDF.toDF("k", "attr", "ts_us", "seq"),
+      "k", "attr", "ts_us", "seq", path).start()
+    val b0 = Seq((1L, "a", 100L, 1L))
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    // two runs at the SAME vf, tie-broken only by seq: the tail rebuild
+    // must order (vf, pri, seq), so "b" (seq 2) closes at 200 and "c"
+    // (seq 3) stays open — any other order diverges from the batch
+    // recompute
+    val b1 = Seq((1L, "b", 200L, 2L), (1L, "c", 200L, 3L))
+    mem.addData(b1: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val got = spark.read.parquet(path)
+      .select("k", "attr", "valid_from_us", "valid_to_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(got == refScd2(b0 ++ b1))
+    assert(got.contains((1L, "b", 200L, Some(200L))))
+    assert(got.contains((1L, "c", 200L, None)))
   }
 }
