@@ -7,16 +7,23 @@ import graft.functions.TextFns
 
 /** Multimodal-column plumbing (SURVEY §2.9 [EXT]): images/audio/video ride
   * as opaque `binary` columns with typed metadata beside them. Container
-  * HEADER decode (PNG/JPEG/GIF format + dimensions) is real byte-layout
-  * parsing ([[decodeDims]]); only pixel-level decode is a clearly-marked
-  * deterministic STUB (no image/audio codec libs in this container).
-  * Everything Spark-side — schema, batch iteration, partition-level
-  * processing, output encoding — is real and tested.
+  * HEADER decode (PNG/JPEG/GIF/WAV/FLAC format + dimensions) is real
+  * byte-layout parsing ([[decodeDims]], [[parseAudioMeta]]), and — since
+  * round 10 — pixel and PCM-sample decode are REAL too, via the JDK's own
+  * codecs ([[decodePixelStats]], [[decodeAudioStats]]): `javax.imageio`
+  * (PNG/JPEG/GIF read+write) and `javax.sound.sampled` (WAV) ship in the
+  * `java.desktop` module of every full JDK, verified present here. Only
+  * VIDEO frame decode remains metadata-level (the JDK carries no video
+  * codec). [[decodeFeatures]] stays as the featurizer for payloads of
+  * unknown/opaque format, where no codec applies by construction.
   *
   * Scale notes: at 100 TB media payloads dominate row size. Keep them in
   * their own column (parquet stores it in a separate chunk, so metadata
   * queries never read the bytes — column pruning), process per-partition
-  * with bounded batches, and never collect payloads to the driver.
+  * with bounded batches, and never collect payloads to the driver. The
+  * codec step itself is embarrassingly parallel — O(pixels) per row, zero
+  * shuffle — so end-to-end scaling is governed by the surrounding joins
+  * and aggregates, never by the decode.
   */
 object Multimodal {
 
@@ -48,12 +55,14 @@ object Multimodal {
 
   /** Decode payloads to feature vectors, partition-at-a-time.
     *
-    * STUB DECODER: a real implementation would hand each partition's
-    * payload batch to an image/audio codec (that library is absent here).
-    * The stub derives a deterministic 8-float vector from the payload
-    * bytes. The Spark plumbing — mapPartitions over a typed Dataset,
-    * Array[Float] output schema, no driver materialization — is the real
-    * contract and is what the tests pin.
+    * OPAQUE-FORMAT FEATURIZER: for payloads whose container format is
+    * unknown (no codec applies by construction) this derives a
+    * deterministic 8-float vector from the payload bytes. Known formats
+    * go through the REAL codecs instead — [[decodePixelStats]] for
+    * PNG/JPEG/GIF pixels, [[decodeAudioStats]] for WAV PCM samples. The
+    * Spark plumbing — mapPartitions over a typed Dataset, Array[Float]
+    * output schema, no driver materialization — is the shared contract
+    * and is what the tests pin.
     */
   def decodeFeatures(withPayload: DataFrame): Dataset[MediaFeatures] = {
     val spark = withPayload.sparkSession
@@ -132,13 +141,12 @@ object Multimodal {
     else None
   }
 
-  /** Decode REAL container headers partition-at-a-time: the non-stub half
-    * of the decode story. Format sniffing and dimension parsing are the
-    * genuine PNG/JPEG/GIF byte layouts ([[parseDims]]); only pixel-level
-    * decode (which needs a codec library this container doesn't ship)
-    * remains behind [[decodeFeatures]]'s stub. Same plumbing contract:
-    * typed Dataset out of mapPartitions, payload bytes never leave the
-    * executors.
+  /** Decode REAL container headers partition-at-a-time. Format sniffing
+    * and dimension parsing are the genuine PNG/JPEG/GIF byte layouts
+    * ([[parseDims]]) — header-only, so a 100 TB metadata profile never
+    * pays pixel-decode cost; full pixel decode lives in
+    * [[decodePixelStats]]. Same plumbing contract: typed Dataset out of
+    * mapPartitions, payload bytes never leave the executors.
     */
   def decodeDims(withPayload: DataFrame): Dataset[MediaDims] = {
     val spark = withPayload.sparkSession
@@ -214,8 +222,9 @@ object Multimodal {
 
   /** Decode REAL audio container headers partition-at-a-time — the audio
     * sibling of [[decodeDims]]: WAV/FLAC sniffing and header layout are
-    * genuine; only waveform decode (codec) stays stubbed. Payload bytes
-    * never leave the executors.
+    * genuine byte-layout parsing; full PCM sample decode lives in
+    * [[decodeAudioStats]] (FLAC waveform decode has no JDK codec and
+    * stays header-only). Payload bytes never leave the executors.
     */
   def decodeAudioMeta(withPayload: DataFrame): Dataset[AudioMeta] = {
     val spark = withPayload.sparkSession
@@ -274,4 +283,292 @@ object Multimodal {
         when(col("width") >= col("height"),
           greatest(lit(1L), floor(col("height") * box / col("width")).cast("long")))
           .otherwise(lit(box.toLong)))
+
+  // --------------------------------------------------------------------
+  // REAL pixel / PCM-sample decode via the JDK's own codecs (round 10).
+  //
+  // javax.imageio (PNG/JPEG/GIF readers AND writers) and
+  // javax.sound.sampled (WAV) are public JDK API in the java.desktop
+  // module — present in this environment's JDK 17 (verified), which
+  // retires the earlier "no codec libs in this container" stub
+  // justification. Encode and decode both run partition-at-a-time on
+  // executors; payload bytes never reach the driver.
+  // --------------------------------------------------------------------
+
+  /** Per-JVM codec init: headless AWT (no display server anywhere near a
+    * Spark executor) and no ImageIO stream cache (the default file-backed
+    * cache hits temp-file creation per tiny image — pure overhead when
+    * payloads are already byte arrays in memory).
+    */
+  private lazy val codecInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Deterministic RGB test-card image per document, REALLY encoded as
+    * PNG by the JDK writer: width = 8 + id%9, height = 8 + (id/9)%7, and
+    * each channel of pixel (x, y) is integer mod arithmetic in
+    * (id, x, y). The closed form is deliberately SQL-expressible, so a
+    * DuckDB oracle can recompute the expected pixel sums WITHOUT a codec
+    * — and because PNG is lossless, a decode after the real encode →
+    * decode round-trip must match it exactly, bit for bit. That makes
+    * the codec path itself (not just the plumbing) hash-checkable.
+    */
+  def encodePngPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        codecInit
+        ids.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Exact per-image pixel statistics from a REAL codec decode. */
+  final case class PixelStats(doc_id: Long, fmt: String, width: Long,
+                              height: Long, n_pixels: Long, sum_r: Long,
+                              sum_g: Long, sum_b: Long)
+
+  /** REAL pixel decode partition-at-a-time: `ImageIO.read` (PNG/JPEG/GIF
+    * via the JDK's codecs) then an exact integer sum over every pixel's
+    * RGB channels. Unreadable payloads yield a sentinel row (fmt
+    * "unknown", width = height = -1) rather than throwing — a 100 TB
+    * crawl always contains garbage bytes, and dropping them silently
+    * would hide ingest corruption from quality gates.
+    */
+  def decodePixelStats(withPayload: DataFrame): Dataset[PixelStats] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        codecInit
+        rows.map { case (id, bytes) =>
+          val fmt = parseDims(bytes).map(_._1).getOrElse("unknown")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) PixelStats(id, "unknown", -1L, -1L, 0L, 0L, 0L, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            PixelStats(id, fmt, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** 8x8 grayscale PNG per document rendered from its text fingerprint:
+    * 64 pixel bytes are md5(fp + "#" + k) for k in 0..3 concatenated, so
+    * identical normalized text ⇒ identical image bytes ⇒ identical
+    * perceptual hash — the deterministic bridge that lets a SQL oracle
+    * (which groups by the fingerprint directly) validate the whole
+    * pixel-space dedup pipeline. Input must carry a string `fp` column
+    * (see [[graft.functions.TextFns.fingerprint]]).
+    */
+  def encodeFingerprintImage(withFp: DataFrame): DataFrame = {
+    val spark = withFp.sparkSession
+    import spark.implicits._
+    withFp.select(col("doc_id"), col("fp"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        codecInit
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, fp) =>
+          val px = new Array[Byte](64)
+          var k = 0
+          while (k < 4) {
+            md.reset()
+            val d = md.digest(
+              (fp + "#" + k).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            System.arraycopy(d, 0, px, k * 16, 16)
+            k += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var i = 0
+          while (i < 64) {
+            raster.setSample(i % 8, i / 8, 0, px(i) & 0xff)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class AHashRow(doc_id: Long, ahash: Long)
+
+  /** 64-bit average hash (aHash) from a REAL decode of an 8x8 grayscale
+    * image: bit (y*8 + x) is set iff pixel*64 > sum of all pixels — the
+    * strict integer form of "above the mean", so no floating point
+    * anywhere. Gray PNG round-trips losslessly and raster samples are
+    * read raw (getRGB would push gray through an sRGB color-space
+    * conversion and stop being the identity). Unreadable payloads hash
+    * to -1.
+    */
+  def decodeAHash(withPayload: DataFrame): Dataset[AHashRow] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        codecInit
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth != 8 || img.getHeight != 8)
+            AHashRow(id, -1L)
+          else {
+            val raster = img.getRaster
+            val s = new Array[Int](64)
+            var sum = 0L
+            var i = 0
+            while (i < 64) {
+              s(i) = raster.getSample(i % 8, i / 8, 0)
+              sum += s(i)
+              i += 1
+            }
+            var hash = 0L
+            i = 0
+            while (i < 64) {
+              if (s(i).toLong * 64 > sum) hash |= (1L << i)
+              i += 1
+            }
+            AHashRow(id, hash)
+          }
+        }
+      }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV per document: n = 64 + id%64
+    * samples at 8 kHz, sample(i) = ((id*37 + i*17) % 4001) − 2000. Same
+    * design as [[encodePngPayload]]: the closed form is SQL-expressible
+    * and PCM is lossless, so the REAL `javax.sound.sampled` decode is
+    * exactly checkable by a codec-free oracle. The writer here is the
+    * canonical 44-byte RIFF/WAVE layout (the byte layout
+    * [[parseAudioMeta]] documents), built directly — encode is byte
+    * layout, decode exercises the JDK codec.
+    */
+  def encodeWavPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 64).toInt
+          val rate = 8000
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2) // sample rate, byte rate
+            .putShort(2).putShort(16) // block align, bits/sample
+          bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            bb.putShort((((id * 37 + i * 17) % 4001) - 2000).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Exact per-clip sample statistics from a REAL codec decode. */
+  final case class AudioStats(doc_id: Long, n_samples: Long, sum_s: Long,
+                              sum_sq: Long, min_s: Long, max_s: Long,
+                              zero_cross: Long)
+
+  /** REAL PCM decode partition-at-a-time: `AudioSystem.getAudioInputStream`
+    * parses the WAV container (the JDK's codec, not our byte walker) and
+    * yields the PCM frames; stats are exact 64-bit integers — sum, sum of
+    * squares, min/max, and sign-change count (zero crossings, the
+    * classic cheap voice-activity feature). Unparseable payloads yield a
+    * sentinel row (n_samples = -1) rather than throwing.
+    */
+  def decodeAudioStats(withPayload: DataFrame): Dataset[AudioStats] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = ais.getFormat
+            val data = ais.readAllBytes()
+            ais.close()
+            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
+              AudioStats(id, -1L, 0L, 0L, 0L, 0L, 0L)
+            else {
+              val n = data.length / 2
+              var sum = 0L; var sq = 0L; var zc = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var prevNeg = false
+              var i = 0
+              while (i < n) {
+                val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+                sum += v; sq += v * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                val neg = v < 0
+                if (i > 0 && neg != prevNeg) zc += 1
+                prevNeg = neg
+                i += 1
+              }
+              if (n == 0) AudioStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
+              else AudioStats(id, n.toLong, sum, sq, mn, mx, zc)
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              AudioStats(id, -1L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
 }

@@ -154,4 +154,78 @@ class MultimodalTest extends AnyFunSuite {
     val idx = out.filter(col("doc_id") === 0).select("frame_idx").as[Seq[Int]].head()
     assert(idx == Seq(0, 4, 8, 12))
   }
+
+  // -------- REAL codec decode (JDK javax.imageio / javax.sound.sampled)
+
+  test("encodePngPayload -> decodePixelStats: lossless codec round-trip matches the closed form") {
+    val ids = Seq(0L, 1L, 9L, 63L, 12345L).toDF("doc_id")
+    val out = Multimodal.decodePixelStats(Multimodal.encodePngPayload(ids))
+      .collect().sortBy(_.doc_id)
+    out.foreach { p =>
+      val id = p.doc_id
+      val w = 8 + id % 9
+      val h = 8 + (id / 9) % 7
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 11 + y * 3) % 256
+        sb += (id * 23 + x * 5 + y * 19) % 256
+      }
+      assert((p.fmt, p.width, p.height, p.n_pixels, p.sum_r, p.sum_g, p.sum_b)
+        == ("png", w, h, w * h, sr, sg, sb), s"doc $id")
+    }
+  }
+
+  test("decodePixelStats decodes JPEG and GIF via the JDK codecs; garbage stays visible") {
+    // JPEG: lossy, so assert format + dims + plausible sums, not exact values.
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | 128)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val payloads = Seq((0L, enc("jpeg")), (1L, enc("gif")), (2L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePixelStats(payloads).collect().sortBy(_.doc_id)
+    assert(out(0).fmt == "jpeg" && out(0).width == 6 && out(0).height == 4
+      && out(0).n_pixels == 24 && out(0).sum_r > 0)
+    assert(out(1).fmt == "gif" && out(1).width == 6 && out(1).height == 4
+      && out(1).n_pixels == 24)
+    assert(out(2).fmt == "unknown" && out(2).width == -1L && out(2).height == -1L)
+  }
+
+  test("encodeFingerprintImage -> decodeAHash: equal fp => equal hash, distinct fp differ, garbage -> -1") {
+    val fps = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"))
+      .toDF("doc_id", "fp")
+    val out = Multimodal.decodeAHash(Multimodal.encodeFingerprintImage(fps))
+      .collect().sortBy(_.doc_id).map(_.ahash)
+    assert(out(0) == out(1))
+    assert(Set(out(0), out(2), out(3)).size == 3)
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.decodeAHash(bad).head().ahash == -1L)
+  }
+
+  test("encodeWavPayload -> decodeAudioStats: the JDK WAV codec round-trip matches the closed form") {
+    val ids = Seq(0L, 5L, 63L, 777L).toDF("doc_id")
+    val out = Multimodal.decodeAudioStats(Multimodal.encodeWavPayload(ids))
+      .collect().sortBy(_.doc_id)
+    out.foreach { a =>
+      val id = a.doc_id
+      val n = (64 + id % 64).toInt
+      val s = (0 until n).map(i => (id * 37 + i * 17) % 4001 - 2000)
+      val zc = (1 until n).count(i => (s(i - 1) < 0) != (s(i) < 0))
+      assert((a.n_samples, a.sum_s, a.sum_sq, a.min_s, a.max_s, a.zero_cross)
+        == (n.toLong, s.sum, s.map(v => v * v).sum, s.min, s.max, zc.toLong),
+        s"doc $id")
+    }
+    // the encoded container really is the RIFF/WAVE layout our header
+    // walker understands — codec and byte-walker agree on the format
+    val metaRow = Multimodal.decodeAudioMeta(
+      Multimodal.encodeWavPayload(Seq(5L).toDF("doc_id"))).head()
+    assert(metaRow.fmt == "wav" && metaRow.sample_rate == 8000L
+      && metaRow.channels == 1L)
+    val bad = Seq((9L, "nope".getBytes)).toDF("doc_id", "payload")
+    assert(Multimodal.decodeAudioStats(bad).head().n_samples == -1L)
+  }
 }
