@@ -673,12 +673,64 @@ object Dedup {
     // only the (small, changing) label table while the (large, frozen)
     // edge table stays put. On a chain-diameter graph that removes the
     // dominant shuffle from every one of the O(log d) rounds.
-    // The caller's pair pipeline (LSH, blocking, edit-distance…) is
-    // materialized FIRST, alone: the edge build below references the
-    // pair list four times (two symmetric projections + the self-loop
-    // distinct), and without this checkpoint each reference would
-    // re-execute the whole upstream pipeline inside one job.
-    val p0 = save(pairs.select(col("a"), col("b")))
+    val p0raw = pairs.select(col("a"), col("b"))
+    // Star-contraction prelude (round 10): one mapPartitions pass runs an
+    // in-memory union-find over each PARTITION's edges and replaces them
+    // with star edges (node → partition-local component min). Components
+    // are preserved — each partition's spanning structure survives as a
+    // star, and cross-partition connectivity still flows through shared
+    // nodes — but every locally-connected stretch collapses to diameter
+    // 1, so the pointer-jumping loop below starts from a graph whose
+    // diameter is bounded by the cross-partition hop count, not the
+    // data's. Measured at the 10x replica this takes er_clusters' CC from
+    // 4 rounds (~7.8 s) to 2 (the fixed-point round plus the sum-equality
+    // confirmation round — the loop's floor). The label fixed point (=
+    // global per-component minima over the SAME node set: every node of
+    // an edge appears in its partition's star, self-stars keep isolated
+    // self-loop nodes visible) is unchanged, so output hashes cannot
+    // move. Long-keyed graphs only — every caller's ids are BIGINT;
+    // other key types skip the prelude rather than risk an
+    // ordering-semantics mismatch against the SQL oracles.
+    //
+    // Either branch is the single materialization of the caller's pair
+    // pipeline (LSH, blocking, edit-distance…): the contraction pass
+    // reads it exactly once inside its own job, so no separate
+    // pre-checkpoint is needed — the edge build below only ever touches
+    // the saved (contracted) table.
+    val p0 =
+      if (p0raw.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+        import spark.implicits._
+        save(p0raw.as[(Long, Long)].mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def root(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (parent.get(c) != c) {
+              val n = parent.get(c); parent.put(c, r); c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = root(a); val rb = root(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          // path compression inside root() only overwrites EXISTING
+          // keys — not a structural modification, so iterating the
+          // keySet while compressing is safe per HashMap's contract
+          val ks = parent.keySet().iterator()
+          new Iterator[(Long, Long)] {
+            def hasNext: Boolean = ks.hasNext
+            def next(): (Long, Long) = {
+              val k = ks.next(); (root(k), k)
+            }
+          }
+        }.toDF("a", "b"))
+      } else save(p0raw)
     // Self-loops (u,u) are unioned in so that the per-round neighbor
     // aggregate min(lbl) OVER neighbors∪self IS least(own, neighbor
     // min) directly — the label table is then referenced exactly once
