@@ -224,6 +224,34 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    // Weighted sampling without replacement via PRIORITY SAMPLING
+    // (Duffield–Lund–Thorup, "Priority sampling for estimation of
+    // arbitrary subset sums"): each doc gets priority
+    // q = w div u, u uniform on (0,1] — here exact-integer as
+    // (w · 2^40) div (h40 + 1) with h40 the top 40 bits of the portable
+    // 52-bit md5 hash of doc_id — and the sample is the k largest
+    // priorities. Inclusion probability is proportional-to-size without
+    // replacement, the estimator property Horvitz–Thompson needs, and
+    // the draw is deterministic: same corpus → same sample on any
+    // engine, partitioning, or run. Scale shape: one map-side
+    // projection computes priorities at the scan; top-k via
+    // orderBy+limit is TakeOrderedAndProject (per-partition heaps, only
+    // k rows per partition travel) — no global sort, no shuffle of the
+    // corpus. w stays < 2^23 (n_chars), so w · 2^40 cannot overflow
+    // BIGINT in either engine.
+    "weighted_sample_docs" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("weight"))
+        .withColumn("h40", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) " +
+            "AS BIGINT) div 4096"))
+        .withColumn("priority",
+          expr("(weight * 1099511627776) div (h40 + 1)"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
     })
   )
 
@@ -379,7 +407,20 @@ object Curation {
            |        FROM curated))
            |SELECT split, lang, COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-           |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin
+           |FROM labeled GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      // Mirrors weighted_sample_docs: identical 52-bit md5 hash, top 40
+      // bits, integer priority, top-50 by (priority, doc_id).
+      "weighted_sample_docs" ->
+        s"""WITH p AS (
+           |  SELECT doc_id, lang, n_chars AS weight,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+           |      AS BIGINT) // 4096 AS h40
+           |  FROM documents)
+           |SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+           |  CAST((weight * 1099511627776) // (h40 + 1) AS BIGINT)
+           |    AS priority
+           |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
     )
   }
 }

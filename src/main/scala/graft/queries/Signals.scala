@@ -174,6 +174,55 @@ object Signals {
             "div h_k)) div exact_union").as("ratio_permille"))
     }),
 
+    // KMV sketch INTERSECTION (Beyer et al., "On synopses for
+    // distinct-value estimation under multiset operations"): from the
+    // same two per-half k=64 KMV sketches, the merged sketch K(A∪B) is
+    // the k smallest hashes of K(A)∪K(B); ρ = |K(A∪B) ∩ K(A) ∩ K(B)|
+    // estimates the Jaccard of the two key sets, and
+    // est_inter = ρ · est_union div k — set algebra entirely on
+    // catalog-sized sketches, the reason mergeable summaries can answer
+    // overlap questions about 100 TB partitions without a join of the
+    // raw tables. Everything after the per-half sketch build runs over
+    // ≤ 2k rows (the bounded global window + 1-row crossJoins below),
+    // so cost is the one distinct + one windowed top-k pass.
+    "kmv_intersect_parts" -> ((s, dir) => {
+      val k = 64
+      val keyed = lineitem(s, dir)
+        .select((col("l_orderkey") % 2).as("half"), col("l_partkey"))
+        .distinct()
+        .withColumn("h", h52(col("l_partkey")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perHalf = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("half")).orderBy(col("h"), col("l_partkey"))))
+        .filter(col("rn") <= k)
+      // membership of each sketch hash in A's / B's sketch; the global
+      // row_number window runs over <= 2k rows — bounded by design
+      val memb = perHalf.groupBy(col("h")).agg(
+        max(when(col("half") === 0, 1L).otherwise(0L)).as("in_a"),
+        max(when(col("half") === 1, 1L).otherwise(0L)).as("in_b"))
+      val merged = memb
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rn") <= k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kth = merged.filter(col("rn") === k).select(col("h").as("h_k"))
+      val rho = merged.agg(
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("rho"))
+      val exact = keyed.groupBy(col("l_partkey"))
+        .agg(countDistinct(col("half")).as("nh"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("nh") === 2, 1L).otherwise(0L)).as("exact_inter"))
+      val estU = s"(${k - 1} * CAST(4503599627370496 AS BIGINT)) div h_k"
+      exact.crossJoin(kth).crossJoin(rho)
+        .select(
+          expr(estU).as("est_union"),
+          col("exact_union"),
+          col("rho"),
+          expr(s"(rho * ($estU)) div $k").as("est_inter"),
+          col("exact_inter"))
+    }),
+
     // MinHash SKETCH of each source's shingle set (16 portable
     // permutations) and the pairwise signature-match estimate of
     // cross-source Jaccard — the scale path for source_similarity: the
@@ -485,6 +534,47 @@ object Signals {
         |  (1000 * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k))
         |    // exact_union AS ratio_permille
         |FROM exact, merged""".stripMargin,
+
+    // Mirrors kmv_intersect_parts: identical sketches, merged-sketch
+    // membership flags, rho over the k smallest, inclusion–exclusion-free
+    // intersection estimate rho * est_union // k.
+    "kmv_intersect_parts" ->
+      """WITH keyed AS (
+        |  SELECT half, l_partkey,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT l_orderkey % 2 AS half, l_partkey
+        |        FROM lineitem)),
+        |per_half AS (
+        |  SELECT half, h FROM (
+        |    SELECT half, h, row_number() OVER (PARTITION BY half
+        |      ORDER BY h, l_partkey) AS rn
+        |    FROM keyed) WHERE rn <= 64),
+        |memb AS (
+        |  SELECT h, max(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM per_half GROUP BY h),
+        |merged AS (
+        |  SELECT h, in_a, in_b, rn FROM (
+        |    SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn
+        |    FROM memb) WHERE rn <= 64),
+        |kth AS (SELECT h AS h_k FROM merged WHERE rn = 64),
+        |rho AS (
+        |  SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rho
+        |  FROM merged),
+        |exact AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        |    CAST(SUM(CASE WHEN nh = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS exact_inter
+        |  FROM (SELECT l_partkey, count(DISTINCT half) AS nh
+        |        FROM keyed GROUP BY l_partkey))
+        |SELECT (63 * CAST(4503599627370496 AS BIGINT)) // h_k AS est_union,
+        |  exact_union, rho,
+        |  (rho * ((63 * CAST(4503599627370496 AS BIGINT)) // h_k)) // 64
+        |    AS est_inter,
+        |  exact_inter
+        |FROM exact, kth, rho""".stripMargin,
 
     "source_minhash_sim" -> {
       val mins = (0 until 16).map(p =>

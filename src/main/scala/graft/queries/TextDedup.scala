@@ -594,6 +594,38 @@ object TextDedup {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    }),
+
+    // Repeated-n-gram coverage per source — the corpus-level profile of
+    // exact substring duplication (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better": the signal their suffix-array
+    // pass acts on, here at 3-gram shingle granularity). A shingle is
+    // "repeated" when its document frequency exceeds 1; each doc
+    // reports the fraction of its distinct shingles that are repeated,
+    // rolled up per source as exact integer permille. Scale shape: the
+    // tokenized shingle table is built ONCE and persisted (two
+    // consumers: the df aggregate and the annotate join — without the
+    // cache each would re-scan + re-tokenize the corpus), df is one
+    // hash aggregate with map-side combine, and the annotate join fans
+    // out 1:1 (each shingle occurrence picks up its df) — no pair
+    // join anywhere, so cost stays linear in corpus shingles at 100 TB.
+    "repeated_ngram_coverage" -> ((s, dir) => {
+      val sh = documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.shingleSet(col("text"), 3)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfq, Seq("sh"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_shingled"),
+          sum(col("n_sh")).as("total_shingles"),
+          sum(col("n_rep")).as("repeated_shingles"))
+        .withColumn("coverage_permille",
+          expr("(1000 * repeated_shingles) div total_shingles"))
+        .orderBy(col("source"))
     })
   )
 
@@ -971,6 +1003,32 @@ object TextDedup {
           |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
           |      FROM documents)
           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      // Mirrors repeated_ngram_coverage: distinct 3-gram shingles per
+      // doc (the docsSqlFrom shape, plus source), df over the corpus,
+      // repeated = df > 1, per-source integer-permille rollup.
+      "repeated_ngram_coverage" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, source, unnest(list_distinct(
+           |    CASE WHEN len(toks) >= 3
+           |      THEN list_transform(range(1, len(toks)-1),
+           |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |      ELSE []::VARCHAR[] END)) AS s
+           |  FROM (SELECT doc_id, source,
+           |          regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents)),
+           |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+           |per_doc AS (
+           |  SELECT sh.doc_id, sh.source, count(*) AS n_sh,
+           |    SUM(CASE WHEN dfq.df > 1 THEN 1 ELSE 0 END) AS n_rep
+           |  FROM sh JOIN dfq USING (s)
+           |  GROUP BY sh.doc_id, sh.source)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_shingled,
+           |  CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+           |  CAST(sum(n_rep) AS BIGINT) AS repeated_shingles,
+           |  CAST((1000 * sum(n_rep)) // sum(n_sh) AS BIGINT)
+           |    AS coverage_permille
+           |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
 
       "oov_rate" ->
         s"""WITH tok AS (
