@@ -93,4 +93,66 @@ object PageRank {
         prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
     }
   }
+
+  /** Personalized PageRank: the damped walk teleports to the SEED SET
+    * instead of everywhere, so rank measures proximity to the seeds —
+    * the graph-similarity primitive behind "related items" and
+    * seed-expansion retrieval. Update (floor division everywhere, same
+    * oracle-portable integer discipline as [[ranks]]):
+    *
+    *   rank'(v) = (15·scale·[v ∈ S] + 85·Σ_{u→v} (rank(u) div deg(u))) div 100
+    *
+    * with rank0(v) = scale·[v ∈ S]: mass enters only at seeds and
+    * diffuses outward, decaying 0.85 per hop — after i iterations only
+    * nodes within i hops of a seed hold rank, which is the locality
+    * that makes PPR cheap relative to global PageRank.
+    *
+    * `seeds`: (node: long), assumed catalog-sized — it broadcasts for
+    * the per-node membership flag, so the per-iteration dataflow is
+    * identical to [[ranks]] (one shuffle join on src + one hash
+    * aggregate on dst; the flagged node table is persisted once and
+    * reused every round). Same src-coverage contract as [[ranks]].
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
+                        scale: Long = 1000000L, checkpointEvery: Int = 8,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "personalizedRanks needs at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = edges.sparkSession
+    val prevCheckpointDir = spark.sparkContext.getCheckpointDir
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    try {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // node table with its seed flag: consumed by every iteration's
+      // rebuild (and the initial ranks), so persist — without it the
+      // degree aggregate + broadcast join re-run once per round.
+      val nodes = deg.select(col("src").as("node"))
+        .join(broadcast(seeds.select(col("node")).distinct()
+          .withColumn("is_seed", lit(1L))), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var ranks = nodes.select(col("node"),
+        (col("is_seed") * scale).as("rank"))
+      for (i <- 1 to iters) {
+        val contrib = ed.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            expr(s"(15 * cast($scale as bigint) * is_seed " +
+              "+ 85 * coalesce(s, 0)) div 100").as("rank"))
+        if (i % checkpointEvery == 0 && i < iters) ranks = save(ranks)
+      }
+      ranks
+    } finally {
+      if (checkpointDir.isDefined)
+        prevCheckpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
 }

@@ -350,6 +350,27 @@ object Advanced {
         .groupBy(col("community_size"))
         .agg(count(lit(1)).as("n_communities"))
         .orderBy(col("community_size"))
+    }),
+
+    // Personalized PageRank from a seed set (partkeys < 10): proximity
+    // to the seeds under the damped walk — the seed-expansion
+    // "related items" primitive next to global pagerank_bipartite.
+    // Mass starts at the seeds and teleports only to them, so after 3
+    // iterations rank is nonzero only within 3 hops — the locality
+    // that keeps PPR a fraction of global PageRank at 100 TB. Top-10
+    // via orderBy+limit (TakeOrderedAndProject).
+    "ppr_part_seeds" -> ((s, dir) => {
+      val e0 = lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") < 20).distinct()
+      PageRank.personalizedRanks(edges, seeds, PR_ITERS)
+        .filter(col("rank") > 0)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(10)
     })
   )
 
@@ -372,6 +393,15 @@ object Advanced {
     def prStep(prev: String): String =
       s"""SELECT e.dst AS node,
          |  CAST((15 * 1000000 + 85 * SUM($prev.rank // d.deg)) // 100
+         |    AS BIGINT) AS rank
+         |FROM e JOIN $prev ON e.src = $prev.node JOIN d ON e.src = d.src
+         |GROUP BY e.dst""".stripMargin
+
+    // prStep with the teleport gated on seed membership (node < 20).
+    def pprStep(prev: String): String =
+      s"""SELECT e.dst AS node,
+         |  CAST((15 * 1000000 * (CASE WHEN e.dst < 20 THEN 1 ELSE 0 END)
+         |    + 85 * SUM($prev.rank // d.deg)) // 100
          |    AS BIGINT) AS rank
          |FROM e JOIN $prev ON e.src = $prev.node JOIN d ON e.src = d.src
          |GROUP BY e.dst""".stripMargin
@@ -592,6 +622,26 @@ object Advanced {
            |r2 AS (${prStep("r1")}),
            |r3 AS (${prStep("r2")})
            |SELECT node, rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
+
+      // Mirrors ppr_part_seeds: same edge/degree CTEs, seed-conditional
+      // teleport (node < 20), seed-only start mass, 3 unrolled rounds.
+      "ppr_part_seeds" ->
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |      FROM e GROUP BY src),
+           |r0 AS (SELECT src AS node,
+           |  CAST(CASE WHEN src < 20 THEN 1000000 ELSE 0 END AS BIGINT)
+           |    AS rank FROM d),
+           |r1 AS (${pprStep("r0")}),
+           |r2 AS (${pprStep("r1")}),
+           |r3 AS (${pprStep("r2")})
+           |SELECT node, rank FROM r3
+           |WHERE rank > 0
            |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
       "communities_lpa" ->

@@ -83,4 +83,45 @@ class PageRankTest extends AnyFunSuite {
     assert(total <= 3 * 1000000L)
     assert(total > 3 * 1000000L / 2, "floor leakage should stay small")
   }
+
+  test("personalized: rank reaches exactly the i-hop neighborhood of the seeds") {
+    // path 1-2-3-4-5 (undirected), seed {1}. After i iterations only
+    // nodes within i hops of the seed can hold mass.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val afterTwo = PageRank.personalizedRanks(edges, seeds, iters = 2)
+      .filter(col("rank") > 0).orderBy("node").as[(Long, Long)].collect()
+    assert(afterTwo.map(_._1).toSet == Set(1L, 2L, 3L),
+      s"2 iterations must cover hops <= 2, got ${afterTwo.toSeq}")
+    assert(afterTwo.toMap.apply(1L) > afterTwo.toMap.apply(3L),
+      "the seed must outrank the frontier")
+  }
+
+  test("personalized: seed-only teleport, exact one-hop values on a star") {
+    // hub 0 <-> leaves 1..4, seed {0}. One iteration: leaves start at 0
+    // and contribute nothing, so hub = (15S + 0) div 100 (teleport
+    // only); each leaf receives the hub's spread, (0 + 85*(S div 4))
+    // div 100. Both exact integers.
+    val leaves = (1L to 4L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val s = 1000000L
+    val out = PageRank.personalizedRanks(edges, Seq(0L).toDF("node"),
+      iters = 1, scale = s)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 15 * s / 100)
+    leaves.foreach(l => assert(out(l) == 85 * (s / 4) / 100))
+  }
+
+  test("personalized: checkpoint cadence changes no values") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(2L, 4L).toDF("node")
+    val cut = PageRank.personalizedRanks(edges, seeds, iters = 9,
+      checkpointEvery = 2).orderBy("node").as[(Long, Long)].collect().toSeq
+    val plain = PageRank.personalizedRanks(edges, seeds, iters = 9,
+      checkpointEvery = 1000).orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cut == plain)
+  }
 }
