@@ -26,6 +26,7 @@ object SimilarityQ {
   private val PQ_KSUB = 8    // codewords per subspace; seeds vec_id [8,16)
   private val FRAME_STRIDE = 3
   private val RESIZE_BOX = 64
+  private val SEM_THRESHOLD = 0.95 // semdedup within-cluster cosine
 
   // ---- shared DuckDB snippets ------------------------------------------
 
@@ -216,6 +217,67 @@ object SimilarityQ {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): cluster the
+    // embedding space, then prune within-cluster semantic duplicates —
+    // pairs whose cosine exceeds a high threshold — keeping the lowest
+    // id. Assignment is argmax cosine to the k seed centroids (the
+    // paper clusters normalized embeddings, where L2 and cosine agree;
+    // cosine keeps the planted scaled copies in their source's cluster
+    // exactly). The pair stage is all-pairs WITHIN a cluster — the
+    // paper's own cost model: k grows with the corpus so cluster sizes
+    // stay bounded and the per-cluster quadratic never sees the whole
+    // table; k is fixed at 8 here only so the oracle stays an unrolled
+    // CTE. The corpus carries the embed_near_dup planted 0.9-scaled
+    // copies (cosine-preserving), so the prune stage emits nonzero rows
+    // at EVERY scale — the gate is never vacuous. Output: per-cluster
+    // size, pruned count, and kept permille.
+    "semdedup_prune" -> ((s, dir) => {
+      val base = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+      val vecs = corpus.select(col("vec_id").as("id"),
+          VectorFns.quantize(col("embedding")).as("qv"))
+        .withColumn("nrm", VectorFns.normQ(col("qv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = vecs.filter(col("id") < KMEANS_K)
+        .select(col("id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
+      // argmax-cosine assignment: centroids broadcast, ties -> lowest
+      // cid ((-cos, cid) struct min; integer dot = 0 always yields
+      // +0.0 cos, so the negation cannot manufacture a -0.0/+0.0
+      // ordering split vs the oracle's ORDER BY cos DESC)
+      val asg = vecs.crossJoin(broadcast(cents))
+        .withColumn("cos",
+          VectorFns.dotQ(col("qv"), col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cos")).as("nc"), col("cid").as("c"))).as("m"))
+        .select(col("id"), col("m.c").as("cid"))
+      // membership table feeds both pair sides and the final rollup
+      val mem = asg.join(vecs, Seq("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val aSide = mem.select(col("cid"), col("id").as("a"),
+        col("qv").as("qa"), col("nrm").as("na"))
+      val bSide = mem.select(col("cid"), col("id").as("b"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+      val pruned = aSide.join(bSide, Seq("cid"))
+        .filter(col("a") < col("b"))
+        .withColumn("cos",
+          VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= SEM_THRESHOLD)
+        .select(col("b").as("id")).distinct()
+      mem.select(col("cid"), col("id"))
+        .join(pruned.withColumn("p", lit(1L)), Seq("id"), "left")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("p"), lit(0L))).as("n_pruned"))
+        .withColumn("keep_permille",
+          expr("(1000 * (n_vecs - n_pruned)) div n_vecs"))
+        .orderBy(col("cid"))
+    }),
+
     // Multimodal metadata: opaque binary payload + typed header fields,
     // no payload decode (column pruning keeps the bytes unread at scale).
     "multimodal_meta" -> ((s, dir) => {
@@ -248,6 +310,49 @@ object SimilarityQ {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // Mirrors semdedup_prune: same planted corpus, argmax-cosine
+    // assignment to the 8 seed centroids (row_number DESC, cid), same
+    // within-cluster pair threshold, per-cluster rollup.
+    "semdedup_prune" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  FROM base WHERE vec_id % 5 = 0),
+         |n AS (
+         |  SELECT vec_id AS id, q,
+         |    sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS nrm
+         |  FROM (SELECT vec_id,
+         |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))
+         |      AS q FROM corpus)),
+         |cents AS (SELECT id AS cid, q AS cq, nrm AS cnrm FROM n
+         |          WHERE id < $KMEANS_K),
+         |asg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT n.id, c.cid, row_number() OVER (PARTITION BY n.id
+         |      ORDER BY CAST(${dotSql("n.q", "c.cq")} AS DOUBLE)
+         |        / (n.nrm * c.cnrm) DESC, c.cid) AS rn
+         |    FROM n CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |mem AS (SELECT asg.id, asg.cid, n.q, n.nrm
+         |        FROM asg JOIN n USING (id)),
+         |pruned AS (
+         |  SELECT DISTINCT y.id
+         |  FROM mem x JOIN mem y ON x.cid = y.cid AND x.id < y.id
+         |  WHERE CAST(${dotSql("x.q", "y.q")} AS DOUBLE) / (x.nrm * y.nrm)
+         |    >= $SEM_THRESHOLD),
+         |agg AS (
+         |  SELECT mem.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CASE WHEN pruned.id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pruned
+         |  FROM mem LEFT JOIN pruned ON mem.id = pruned.id
+         |  GROUP BY mem.cid)
+         |SELECT cid, n_vecs, n_pruned,
+         |  (1000 * (n_vecs - n_pruned)) // n_vecs AS keep_permille
+         |FROM agg ORDER BY cid""".stripMargin,
 
     "ann_bruteforce_top5" ->
       s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
