@@ -400,6 +400,68 @@ object Signals {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Mergeable QUANTILE sketch (the GK/KLL shape in relational form):
+    // each (priority, month) shard keeps K=32 evenly-rank-spaced order
+    // statistics of the price distribution — point r is selected iff
+    // floor(rK/n) > floor((r-1)K/n), an exact-integer predicate — each
+    // carrying the number of rows since the previous selected point, so
+    // shard weights sum to n exactly. Shards merge per priority by
+    // UNION + cumulative weight (associative/commutative — the
+    // combiner property that lets 100 TB of per-partition sketches
+    // reduce in one shuffle of K rows per shard), and the merged lower
+    // weighted median is compared against the exact one computed by
+    // the distinct-cents cumulative trick (bounded by value
+    // cardinality, never a fact-sized window). All integers: the
+    // estimate, the exact value, and the permille error are
+    // deterministic in both engines. The per-shard rank window is the
+    // sketch BUILD — per-shard sort, parallel across shards, the cost
+    // a sketch pass pays anywhere.
+    "quantile_sketch_union" -> ((s, dir) => {
+      val K = 32
+      val rows = orders(s, dir).select(col("o_orderpriority").as("pri"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        (d2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      val shardW = Window.partitionBy(col("pri"), col("m"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val ranked = rows
+        .withColumn("r", row_number().over(shardW))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("pri"), col("m"))))
+      val selected = ranked
+        .filter(expr(s"(r * $K) div n > ((r - 1) * $K) div n"))
+        .withColumn("w", col("r") - coalesce(lag(col("r"), 1).over(
+          Window.partitionBy(col("pri"), col("m")).orderBy(col("r"))),
+          lit(0L)))
+      // merged estimate: cumulative weight over the sketch points only
+      // (<= K * shards rows per priority — sketch-sized by design)
+      val mergedW = Window.partitionBy(col("pri"))
+        .orderBy(col("cents"), col("m"), col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rows.groupBy(col("pri")).agg(count(lit(1)).as("n_rows"))
+      val est = selected.withColumn("cum", sum(col("w")).over(mergedW))
+        .join(broadcast(tot), Seq("pri"))
+        .filter(col("cum") * 2 >= col("n_rows"))
+        .groupBy(col("pri"), col("n_rows"))
+        .agg(min(col("cents")).as("est_median_cents"))
+      // exact lower weighted median via distinct-cents cumulative
+      val grouped = rows.groupBy(col("pri"), col("cents"))
+        .agg(count(lit(1)).as("gw"))
+      val exactW = Window.partitionBy(col("pri")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = grouped.withColumn("cum", sum(col("gw")).over(exactW))
+        .join(broadcast(tot), Seq("pri"))
+        .filter(col("cum") * 2 >= col("n_rows"))
+        .groupBy(col("pri"))
+        .agg(min(col("cents")).as("exact_median_cents"))
+      est.join(exact, Seq("pri"))
+        .select(col("pri"), col("n_rows"), col("est_median_cents"),
+          col("exact_median_cents"),
+          expr("(1000 * abs(est_median_cents - exact_median_cents)) " +
+            "div exact_median_cents").as("err_permille"))
+        .orderBy(col("pri"))
+    }),
+
     // Per-source exact-duplicate rate: a doc is a duplicate when an
     // earlier doc (smaller doc_id) has the same fingerprint — the
     // "which ingestion source is re-crawling content" table that
@@ -575,6 +637,57 @@ object Signals {
         |    AS est_inter,
         |  exact_inter
         |FROM exact, kth, rho""".stripMargin,
+
+    // Mirrors quantile_sketch_union: same rank-spaced selection
+    // predicate, carried-row weights, merged cumulative median, and
+    // distinct-cents exact median.
+    "quantile_sketch_union" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderpriority AS pri,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderkey
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT pri, m, cents,
+        |    CAST(row_number() OVER (PARTITION BY pri, m
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY pri, m) AS BIGINT) AS n
+        |  FROM rows_),
+        |sel AS (
+        |  SELECT pri, m, cents, r,
+        |    r - CAST(coalesce(lag(r) OVER (PARTITION BY pri, m
+        |      ORDER BY r), 0) AS BIGINT) AS w
+        |  FROM ranked
+        |  WHERE (r * 32) // n > ((r - 1) * 32) // n),
+        |tot AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_rows
+        |        FROM rows_ GROUP BY pri),
+        |est AS (
+        |  SELECT pri, n_rows, min(cents) AS est_median_cents
+        |  FROM (SELECT sel.pri, sel.cents, tot.n_rows,
+        |          CAST(SUM(w) OVER (PARTITION BY sel.pri
+        |            ORDER BY cents, m, r
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum
+        |        FROM sel JOIN tot ON sel.pri = tot.pri)
+        |  WHERE cum * 2 >= n_rows GROUP BY pri, n_rows),
+        |g AS (SELECT pri, cents, CAST(count(*) AS BIGINT) AS gw
+        |      FROM rows_ GROUP BY pri, cents),
+        |ex AS (
+        |  SELECT pri, min(cents) AS exact_median_cents
+        |  FROM (SELECT g.pri, g.cents, tot.n_rows,
+        |          CAST(SUM(gw) OVER (PARTITION BY g.pri ORDER BY cents
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum
+        |        FROM g JOIN tot ON g.pri = tot.pri)
+        |  WHERE cum * 2 >= n_rows GROUP BY pri)
+        |SELECT est.pri, est.n_rows, est.est_median_cents,
+        |  ex.exact_median_cents,
+        |  (1000 * abs(est_median_cents - exact_median_cents))
+        |    // exact_median_cents AS err_permille
+        |FROM est JOIN ex ON est.pri = ex.pri
+        |ORDER BY est.pri""".stripMargin,
 
     "source_minhash_sim" -> {
       val mins = (0 until 16).map(p =>
