@@ -400,6 +400,39 @@ object Signals {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Join-size estimation from per-key frequency statistics — the
+    // optimizer-grade diagnostic next to key_skew_profile: the
+    // self-join size on l_partkey is EXACTLY Σf² (what a skewed key
+    // does to a join is this number exploding), and the estimate is
+    // the classic end-biased synopsis (Ioannidis/Christodoulakis):
+    // the H=64 heaviest keys kept exactly (they dominate Σf² under
+    // skew), the tail assumed uniform at (Σ_tail f)² / ndv_tail. At
+    // 100 TB the synopsis is one hash aggregate + a TakeOrdered of 64
+    // rows per table — what a CBO actually materializes — while the
+    // exact Σf² here prices how good that synopsis is. All integers.
+    "join_size_estimate" -> ((s, dir) => {
+      val H = 64
+      val freq = lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = freq.agg(sum(col("f") * col("f")).as("exact_size"))
+      val topStats = freq.orderBy(col("f").desc, col("l_partkey")).limit(H)
+        .agg(sum(col("f") * col("f")).as("head_size"),
+          count(lit(1)).as("n_head"), sum(col("f")).as("head_rows"))
+      val allStats = freq.agg(count(lit(1)).as("ndv"),
+        sum(col("f")).as("total_rows"))
+      exact.crossJoin(topStats).crossJoin(allStats)
+        .select(col("exact_size"),
+          expr("head_size + CASE WHEN ndv > n_head THEN " +
+            "((total_rows - head_rows) * (total_rows - head_rows)) " +
+            "div (ndv - n_head) ELSE 0 END").as("est_size"),
+          col("ndv"), col("total_rows"))
+        .select(col("exact_size"), col("est_size"), col("ndv"),
+          col("total_rows"),
+          expr("(1000 * abs(est_size - exact_size)) div exact_size")
+            .as("err_permille"))
+    }),
+
     // Mergeable QUANTILE sketch (the GK/KLL shape in relational form):
     // each (priority, month) shard keeps K=32 evenly-rank-spaced order
     // statistics of the price distribution — point r is selected iff
@@ -637,6 +670,34 @@ object Signals {
         |    AS est_inter,
         |  exact_inter
         |FROM exact, kth, rho""".stripMargin,
+
+    // Mirrors join_size_estimate: same top-64 head by (f DESC, key),
+    // same uniform-tail estimate.
+    "join_size_estimate" ->
+      """WITH freq AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1),
+        |top_ AS (
+        |  SELECT f FROM (
+        |    SELECT f, row_number() OVER (ORDER BY f DESC, l_partkey)
+        |      AS rn FROM freq) WHERE rn <= 64),
+        |hs AS (SELECT CAST(SUM(f * f) AS BIGINT) AS head_size,
+        |         CAST(count(*) AS BIGINT) AS n_head,
+        |         CAST(SUM(f) AS BIGINT) AS head_rows FROM top_),
+        |als AS (SELECT CAST(count(*) AS BIGINT) AS ndv,
+        |          CAST(SUM(f) AS BIGINT) AS total_rows FROM freq),
+        |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS exact_size FROM freq),
+        |joined AS (
+        |  SELECT exact_size,
+        |    CAST(head_size + CASE WHEN ndv > n_head THEN
+        |      ((total_rows - head_rows) * (total_rows - head_rows))
+        |        // (ndv - n_head) ELSE 0 END AS BIGINT) AS est_size,
+        |    ndv, total_rows
+        |  FROM ex, hs, als)
+        |SELECT exact_size, est_size, ndv, total_rows,
+        |  (1000 * abs(est_size - exact_size)) // exact_size
+        |    AS err_permille
+        |FROM joined""".stripMargin,
 
     // Mirrors quantile_sketch_union: same rank-spaced selection
     // predicate, carried-row weights, merged cumulative median, and

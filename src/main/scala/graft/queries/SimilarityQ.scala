@@ -278,6 +278,52 @@ object SimilarityQ {
         .orderBy(col("cid"))
     }),
 
+    // Johnson–Lindenstrauss projection audit: project the 64-dim
+    // quantized embeddings onto 16 deterministic pseudo-random
+    // directions (the same LCG weight family the LSH buckets use) and
+    // measure, over the deterministic consecutive-id pair sample, how
+    // the projected squared distance tracks the original — the
+    // distance-preservation check run BEFORE trusting a reduced-dim
+    // index at 100 TB (16 longs per vector instead of 64 is 4x less
+    // shuffle in every downstream ANN/cluster pass). Ratios are exact
+    // integers (projected diffs are pre-scaled by div 32 so the squared
+    // sum stays in BIGINT), bucketed by log2 — JL says they
+    // concentrate; a flat histogram means the projection family is
+    // broken. Map-side projection at the scan, one self-join on id+1
+    // (1:1, no fan-out), one bucket aggregate.
+    "jl_projection_audit" -> ((s, dir) => {
+      val JDIMS = 16
+      val vecs = embeddings(s, dir).select(col("vec_id").as("id"),
+        VectorFns.quantize(col("embedding")).as("qv"))
+      val projCols = (0 until JDIMS).map { j =>
+        aggregate(
+          zip_with(col("qv"),
+            typedLit((0 until DIMS).map(i => VectorFns.projWeight(j, i, DIMS))),
+            (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x).as(s"y$j")
+      }
+      val proj = vecs.select(col("id") +: col("qv") +: projCols: _*)
+      val a = proj.columns.foldLeft(proj)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = proj.columns.foldLeft(proj)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val d2o = aggregate(zip_with(col("a_qv"), col("b_qv"),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      // abs BEFORE the scaling div: Spark div truncates toward zero
+      // while DuckDB // floors, and they only agree on non-negatives
+      val d2p = (0 until JDIMS).map(j =>
+        expr(s"(abs(a_y$j - b_y$j) div 32) * (abs(a_y$j - b_y$j) div 32)"))
+        .reduce(_ + _)
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(d2o.as("d2_orig"), d2p.as("d2_proj"))
+        .filter(col("d2_orig") > 0)
+        .withColumn("ratio", expr("d2_proj div d2_orig"))
+        .withColumn("bucket", length(bin(greatest(col("ratio"), lit(1L))))
+          .cast("long") - 1)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("ratio")).as("min_ratio"),
+          max(col("ratio")).as("max_ratio"))
+        .orderBy(col("bucket"))
+    }),
+
     // Multimodal metadata: opaque binary payload + typed header fields,
     // no payload decode (column pruning keeps the bytes unread at scale).
     "multimodal_meta" -> ((s, dir) => {
@@ -353,6 +399,39 @@ object SimilarityQ {
          |SELECT cid, n_vecs, n_pruned,
          |  (1000 * (n_vecs - n_pruned)) // n_vecs AS keep_permille
          |FROM agg ORDER BY cid""".stripMargin,
+
+    // Mirrors jl_projection_audit: same LCG weight family, abs-scaled
+    // projected diffs, consecutive-id pairs, log2 ratio buckets.
+    "jl_projection_audit" -> {
+      def projSql(q: String, j: Int) = {
+        val weights = (0 until DIMS).map(i =>
+          VectorFns.projWeight(j, i, DIMS)).mkString(", ")
+        s"list_sum(list_transform(range(1, ${DIMS + 1}), " +
+          s"i -> $q[i] * ([$weights]::BIGINT[])[i]))"
+      }
+      val yCols = (0 until 16).map(j =>
+        s"CAST(${projSql("q", j)} AS BIGINT) AS y$j").mkString(",\n         |    ")
+      val d2p = (0 until 16).map(j =>
+        s"(abs(a.y$j - b.y$j) // 32) * (abs(a.y$j - b.y$j) // 32)")
+        .mkString("\n         |      + ")
+      s"""WITH e AS (SELECT vec_id AS id, $qSql AS q FROM embeddings),
+         |p AS (SELECT id, q,
+         |    $yCols
+         |  FROM e),
+         |pairs AS (
+         |  SELECT CAST(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT)
+         |      AS d2_orig,
+         |    CAST($d2p AS BIGINT) AS d2_proj
+         |  FROM p a JOIN p b ON b.id = a.id + 1)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
+         |FROM (SELECT d2_proj // d2_orig AS ratio,
+         |        CAST(length(bin(greatest(d2_proj // d2_orig, 1))) - 1
+         |          AS BIGINT) AS bucket
+         |      FROM pairs WHERE d2_orig > 0)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "ann_bruteforce_top5" ->
       s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
