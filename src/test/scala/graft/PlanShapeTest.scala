@@ -392,4 +392,61 @@ class PlanShapeTest extends AnyFunSuite {
     // only the o_custkey column is read
     assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
   }
+
+  test("semdedup_prune broadcasts the centroids and caches vecs + members") {
+    // assignment is a broadcast nested-loop against the k centroids —
+    // the corpus never shuffles for scoring — and the two multi-consumer
+    // frames (quantized vecs, cluster members) come from cache
+    val p = plan("semdedup_prune")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("repeated_ngram_coverage tokenizes the corpus once (cache), no pair join") {
+    val df = SparkEntry.queries("repeated_ngram_coverage")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both consumers (df aggregate + annotate join) read the cached
+    // shingle table — two InMemoryTableScans, one Generate (inside the
+    // cached build subtree, which the plan string includes)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("weighted_sample_docs is a map-side projection + partial top-k") {
+    val p = plan("weighted_sample_docs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p) // no shuffle at all before the take
+  }
+
+  test("jl_projection_audit pairs by an equi-join, never a cartesian") {
+    val p = plan("jl_projection_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ppr_part_seeds broadcasts the seed flags and partially aggregates") {
+    val p = plan("ppr_part_seeds")
+    assert(p.contains("BroadcastExchange") || p.contains("InMemoryTableScan"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quantile_sketch_union exact path pre-aggregates by (pri, cents)") {
+    // the exact median must come from the distinct-cents cumulative —
+    // a (pri, cents) hash aggregate with map-side combine — never a
+    // fact-sized single-partition window
+    val p = plan("quantile_sketch_union")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("join_size_estimate builds the frequency table once (cache) + partial top-k") {
+    val df = SparkEntry.queries("join_size_estimate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
