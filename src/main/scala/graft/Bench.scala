@@ -139,7 +139,13 @@ object Bench {
           graft.streaming.StreamingOps.coverageMirrorEachBatch(
             docs.select((col("doc_id") % 256).as("k"), col("doc_id").as("st"),
               (col("doc_id") + lit(512L)).as("en"), col("doc_id").as("id")),
-            "k", "st", "en", "id", s"$dir/islands")))
+            "k", "st", "en", "id", s"$dir/islands")),
+        // priority-sample mirror: global top-256 by the deterministic
+        // integer priority, maintained across batches
+        ("streaming_priority_sample", (docs, dir) =>
+          graft.streaming.StreamingOps.prioritySampleEachBatch(
+            docs.select(col("doc_id"), col("lang"), col("n_chars")),
+            k = 256, s"$dir/sample")))
     }
     def timeStreamingOnce(name: String,
         mk: (org.apache.spark.sql.DataFrame, String) =>

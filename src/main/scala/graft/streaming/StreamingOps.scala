@@ -574,6 +574,43 @@ object StreamingOps {
       ()
     }
 
+  /** Streaming priority-sample mirror: maintains the k
+    * highest-priority docs (priority sampling, the exact-integer
+    * weighted_sample_docs formula) across micro-batches. Top-k under a
+    * TOTAL order (priority desc, doc_id) is associative —
+    * topk(topk(A∪B)∪C) = topk(A∪B∪C), since every element of the final
+    * top-k survives the top-k of each prefix union containing it —
+    * commutative, and idempotent (a replayed doc re-derives the same
+    * priority and dropDuplicates keeps one), so like the coverage
+    * mirror it needs NO batch-id marker: any replay or batch reorder
+    * converges to the batch recompute. Crash safety is the shared
+    * staged-rename swap. Per batch: one map-side priority projection
+    * over the batch, a k-row mirror read, one TakeOrdered — churn
+    * cost, never corpus cost.
+    */
+  def prioritySampleEachBatch(docs: DataFrame, k: Int, path: String) =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val (dir, old, staging) = healSwap(path)
+      val scored = batch
+        .select(col("doc_id"), col("lang"), col("n_chars").as("weight"))
+        .withColumn("priority", expr(
+          "(weight * 1099511627776) div " +
+            "((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), " +
+            "16, 10) AS BIGINT) div 4096) + 1)"))
+      val mirror =
+        if (dir.exists()) s.read.parquet(path) else scored.limit(0)
+      // staging write reads `path` lazily but never writes it, so no
+      // lineage cut is needed before the swap (coverageMirror argument)
+      mirror.unionByName(scored)
+        .dropDuplicates("doc_id")
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(k)
+        .write.mode("overwrite").parquet(staging.getPath)
+      commitSwap(dir, old, staging)
+      ()
+    }
+
   /** The shared exactly-once transactional-sink skeleton: skip if
     * (queryTag, batchId) is already committed in the snapshot's
     * `_graft_commit` marker, else compute the new state from the

@@ -668,6 +668,62 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(!new java.io.File(path + ".staging").exists())
   }
 
+  test("prioritySampleEachBatch keeps the global top-k across batches; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("psamp").toString
+    val path = s"$dir/sample"
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, lang, n_chars)
+    val sq = StreamingOps.prioritySampleEachBatch(
+      mem.toDF.toDF("doc_id", "lang", "n_chars"), k = 3, path).start()
+
+    def sample(): Set[Long] =
+      spark.read.parquet(path).collect().map(_.getAs[Long]("doc_id")).toSet
+    // batch recompute of the same top-k, the convergence target
+    def refTopK(rows: Seq[(Long, String, Long)], k: Int): Set[Long] = {
+      import spark.implicits._
+      rows.toDF("doc_id", "lang", "n_chars")
+        .select(col("doc_id"), expr(
+          "(n_chars * 1099511627776) div " +
+            "((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), " +
+            "16, 10) AS BIGINT) div 4096) + 1)").as("priority"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+    }
+
+    val b0 = Seq((1L, "en", 100L), (2L, "en", 200L), (3L, "de", 50L),
+      (4L, "en", 400L))
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    assert(sample() == refTopK(b0, 3))
+
+    // batch 2: new docs can evict, never grow past k
+    val b1 = Seq((5L, "fr", 900L), (6L, "en", 10L))
+    mem.addData(b1: _*)
+    sq.processAllAvailable()
+    assert(sample() == refTopK(b0 ++ b1, 3))
+    assert(sample().size == 3)
+
+    // replaying an old batch changes nothing (idempotent merge)
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(sample() == refTopK(b0 ++ b1, 3))
+
+    // crash healing: snapshot stranded at .old rolls back and the next
+    // batch merges on top of the restored sample
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val sq2 = StreamingOps.prioritySampleEachBatch(
+      mem2.toDF.toDF("doc_id", "lang", "n_chars"), k = 3, path).start()
+    val b2 = Seq((7L, "en", 800L))
+    mem2.addData(b2: _*)
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(sample() == refTopK(b0 ++ b1 ++ b2, 3))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
+  }
+
   test("scd2EachBatch is deterministic for equal-timestamp runs (seq total order)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("scd2eq").toString
