@@ -433,6 +433,31 @@ object Signals {
             .as("err_permille"))
     }),
 
+    // AMS (Alon–Matias–Szegedy) F2 sketch — the one-pass streaming
+    // estimate of the same Σf² that join_size_estimate prices from a
+    // top-k synopsis: 16 ±1-signed counters (sign = bit j of the
+    // portable 52-bit hash), each an UNBIASED estimator of F2 when
+    // squared, averaged. The whole sketch is ONE hash aggregate whose
+    // 16 sums are map-side combinable — at 100 TB the counters reduce
+    // per partition and 16 longs cross the wire, the property that
+    // makes F2 (join size, self-join skew, repeat rate) streamable.
+    // Exact integers end to end: counters < Σf, squares < 2⁶³.
+    "ams_f2_estimate" -> ((s, dir) => {
+      val nSk = 16
+      val freq = lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+        .withColumn("h", h52(col("l_partkey")))
+      val sums = (0 until nSk).map(j =>
+        sum(expr(s"f * (1 - 2 * ((h div ${1L << j}) % 2))")).as(s"c$j")) ++
+        Seq(sum(expr("f * f")).as("exact_f2"))
+      val est = (0 until nSk).map(j => s"c$j * c$j").mkString(" + ")
+      freq.agg(sums.head, sums.tail: _*)
+        .select(col("exact_f2"), expr(s"($est) div $nSk").as("est_f2"))
+        .select(col("exact_f2"), col("est_f2"),
+          expr("(1000 * abs(est_f2 - exact_f2)) div exact_f2")
+            .as("err_permille"))
+    }),
+
     // Mergeable QUANTILE sketch (the GK/KLL shape in relational form):
     // each (priority, month) shard keeps K=32 evenly-rank-spaced order
     // statistics of the price distribution — point r is selected iff
@@ -670,6 +695,29 @@ object Signals {
         |    AS est_inter,
         |  exact_inter
         |FROM exact, kth, rho""".stripMargin,
+
+    // Mirrors ams_f2_estimate: same hash-bit signs, 16 counters, mean
+    // of squares.
+    "ams_f2_estimate" -> {
+      val cs = (0 until 16).map(j =>
+        s"CAST(SUM(f * (1 - 2 * ((h // ${1L << j}) % 2))) AS BIGINT) AS c$j")
+        .mkString(",\n        |    ")
+      val est = (0 until 16).map(j => s"c$j * c$j").mkString(" + ")
+      s"""WITH freq AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS h
+        |  FROM lineitem GROUP BY 1),
+        |cnt AS (
+        |  SELECT
+        |    $cs,
+        |    CAST(SUM(f * f) AS BIGINT) AS exact_f2
+        |  FROM freq),
+        |est AS (SELECT exact_f2, ($est) // 16 AS est_f2 FROM cnt)
+        |SELECT exact_f2, est_f2,
+        |  (1000 * abs(est_f2 - exact_f2)) // exact_f2 AS err_permille
+        |FROM est""".stripMargin
+    },
 
     // Mirrors join_size_estimate: same top-64 head by (f DESC, key),
     // same uniform-tail estimate.

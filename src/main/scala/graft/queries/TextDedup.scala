@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -596,6 +597,40 @@ object TextDedup {
         .limit(20)
     }),
 
+    // Vocabulary growth curve (Heaps' law audit): new distinct token
+    // types per doc-id bucket and the cumulative type count — the
+    // corpus-health read that catches templated/synthetic text (its
+    // type curve flattens far too early) and ingestion re-crawls (no
+    // new types where fresh content should add them). A token's first
+    // bucket is just min(bucket) — one hash aggregate keyed by token,
+    // map-side combinable; the cumulative window runs over <= 17
+    // bucket rows (width = max_id div 16 + 1, so the bucket count is
+    // bounded at any corpus size), never over tokens. The tokenized
+    // corpus is built once and persisted for its two aggregates.
+    "vocab_growth_curve" -> ((s, dir) => {
+      val w = documents(s, dir)
+        .agg(expr("(max(doc_id) div 16) + 1").as("w"))
+      val tb = documents(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .crossJoin(broadcast(w))
+        .withColumn("bucket", expr("doc_id div w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val occ = tb.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val newTypes = tb.groupBy(col("token"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+      occ.join(newTypes, Seq("bucket"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_types", sum(col("new_types")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          col("new_types"), col("cum_types"))
+        .orderBy(col("bucket"))
+    }),
+
     // Repeated-n-gram coverage per source — the corpus-level profile of
     // exact substring duplication (Lee et al., "Deduplicating Training
     // Data Makes Language Models Better": the signal their suffix-array
@@ -1003,6 +1038,31 @@ object TextDedup {
           |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
           |      FROM documents)
           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+      // Mirrors vocab_growth_curve: same bucket width, first-bucket
+      // aggregate, bounded cumulative window.
+      "vocab_growth_curve" ->
+        s"""WITH w AS (SELECT (max(doc_id) // 16) + 1 AS w FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+'))
+           |    AS token
+           |  FROM documents),
+           |tb AS (SELECT doc_id // w.w AS bucket, doc_id, token
+           |       FROM tok, w),
+           |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+           |          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |        FROM tb GROUP BY bucket),
+           |fo AS (SELECT token, min(bucket) AS bucket FROM tb
+           |       GROUP BY token),
+           |nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+           |       FROM fo GROUP BY bucket)
+           |SELECT occ.bucket, n_docs, n_tokens,
+           |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+           |  CAST(SUM(coalesce(nt.new_types, 0)) OVER (ORDER BY occ.bucket
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum_types
+           |FROM occ LEFT JOIN nt ON occ.bucket = nt.bucket
+           |ORDER BY occ.bucket""".stripMargin,
 
       // Mirrors repeated_ngram_coverage: distinct 3-gram shingles per
       // doc (the docsSqlFrom shape, plus source), df over the corpus,
