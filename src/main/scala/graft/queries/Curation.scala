@@ -252,6 +252,34 @@ object Curation {
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(50)
         .select(col("doc_id"), col("lang"), col("weight"), col("priority"))
+    }),
+
+    // k-anonymity / l-diversity audit — the release gate a corpus passes
+    // before leaving the curation pipeline (Sweeney, "k-Anonymity: a
+    // model for protecting privacy"; Machanavajjhala et al.,
+    // "l-Diversity"). Quasi-identifier = (source, 256-char length
+    // bucket); sensitive attribute = lang. Every QI equivalence class is
+    // one group; a class smaller than k=5 re-identifies its members, and
+    // a class whose members all share one lang leaks the sensitive value
+    // even at size >= k. Per source: class count, smallest class, classes
+    // below k, rows at risk, worst l-diversity. Scale shape: two cascaded
+    // hash aggregates with map-side combine (the distinct-lang count
+    // rides the first as a tagged expand) — no join, no window, linear in
+    // rows at any corpus size.
+    "k_anonymity_audit" -> ((s, dir) => {
+      val classes = documents(s, dir)
+        .groupBy(col("source"), expr("n_chars div 256").as("bucket"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("lang")).as("l_div"))
+      classes.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("class_size")).as("min_class_size"),
+          sum(when(col("class_size") < 5, 1L).otherwise(0L))
+            .as("classes_below_k"),
+          sum(when(col("class_size") < 5, col("class_size"))
+            .otherwise(lit(0L))).as("rows_at_risk"),
+          min(col("l_div")).as("min_l_diversity"))
+        .orderBy(col("source"))
     })
   )
 
@@ -279,6 +307,22 @@ object Curation {
           |      FROM w)
           |SELECT source, n_docs, weight_permille, ess_permille
           |FROM w, e ORDER BY source""".stripMargin,
+
+      "k_anonymity_audit" ->
+        """WITH classes AS (
+          |  SELECT source, n_chars // 256 AS bucket,
+          |    count(*) AS class_size,
+          |    count(DISTINCT lang) AS l_div
+          |  FROM documents GROUP BY source, bucket)
+          |SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_classes,
+          |  CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+          |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS classes_below_k,
+          |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+          |    AS BIGINT) AS rows_at_risk,
+          |  CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+          |FROM classes GROUP BY source ORDER BY source""".stripMargin,
 
       "scrub_mask_report" ->
         """WITH c AS (

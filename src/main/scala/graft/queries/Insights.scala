@@ -133,6 +133,47 @@ object Insights {
         .select(col("day"),
           col("s").cast("long").as("cusum_scaled"),
           col("n_days"))
+    }),
+
+    // Theil–Sen trend over monthly revenue — the robust slope estimator
+    // (median of all pairwise slopes; Sen 1968) that OLS-vs-outliers
+    // audits need beside ols_price_on_qty. Everything stays exact: the
+    // median slope is reported as the rational pair (slope_num cents,
+    // slope_den months) of the median-ranked pair, never divided. The
+    // DOUBLE dc/dm appears ONLY as a sort key — both inputs are exact
+    // integers < 2^53 so the IEEE division is correctly rounded and
+    // identical on any engine; (i, j) breaks value ties. Lower median at
+    // rank (n+1) div 2 on positive ints avoids the floor-vs-trunc
+    // divergence entirely. Scale shape: the pair self-join and the
+    // global windows run over the MONTHLY table — bounded by the
+    // calendar (~84 rows → ~3.5k pairs), never the fact table; the only
+    // corpus-scale work is the one monthly hash aggregate.
+    "theil_sen_trend" -> ((s, dir) => {
+      val monthly = orders(s, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"))
+        .agg(sum(d2(col("o_totalprice")) * 100).cast("decimal(38,0)")
+          .as("cents"))
+      val a = monthly.select(col("m").as("i"), col("cents").as("ca"))
+      val b = monthly.select(col("m").as("j"), col("cents").as("cb"))
+      val pairs = a.join(b, col("j") > col("i"))
+        .select(col("i"), col("j"),
+          (col("cb") - col("ca")).as("dc"),
+          (col("j") - col("i")).as("dm"))
+      val bySlope = Window.orderBy(
+        (col("dc").cast("double") / col("dm")).asc, col("i"), col("j"))
+      val all = Window.partitionBy()
+      pairs
+        .withColumn("rn", row_number().over(bySlope))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("n_up",
+          sum(when(col("dc") > 0, 1L).otherwise(0L)).over(all))
+        .withColumn("n_down",
+          sum(when(col("dc") < 0, 1L).otherwise(0L)).over(all))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("dc").cast("long").as("slope_num"),
+          col("dm").cast("long").as("slope_den"),
+          col("n").as("n_pairs"), col("n_up"), col("n_down"))
     })
   )
 
@@ -214,6 +255,32 @@ object Insights {
         |  FROM daily, tot)
         |SELECT day, CAST(s AS BIGINT) AS cusum_scaled,
         |  CAST(n_days AS BIGINT) AS n_days
-        |FROM cur ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin
+        |FROM cur ORDER BY abs(s) DESC, day LIMIT 1""".stripMargin,
+
+    // Mirrors theil_sen_trend: monthly cents, all ordered pairs, lower
+    // median by the (exact-input) double slope sort key.
+    "theil_sen_trend" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.m AS i, b.m AS j,
+        |    b.cents - a.cents AS dc, b.m - a.m AS dm
+        |  FROM monthly a JOIN monthly b ON b.m > a.m),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY CAST(dc AS DOUBLE) / dm, i, j) AS rn,
+        |    count(*) OVER () AS n,
+        |    SUM(CASE WHEN dc > 0 THEN 1 ELSE 0 END) OVER () AS n_up,
+        |    SUM(CASE WHEN dc < 0 THEN 1 ELSE 0 END) OVER () AS n_down
+        |  FROM pairs)
+        |SELECT CAST(dc AS BIGINT) AS slope_num,
+        |  CAST(dm AS BIGINT) AS slope_den,
+        |  CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(n_up AS BIGINT) AS n_up,
+        |  CAST(n_down AS BIGINT) AS n_down
+        |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
   )
 }

@@ -661,6 +661,37 @@ object TextDedup {
         .withColumn("coverage_permille",
           expr("(1000 * repeated_shingles) div total_shingles"))
         .orderBy(col("source"))
+    }),
+
+    // Near-dup survivorship — the curation "keep best" step that turns a
+    // dup-cluster labeling into a pruned corpus. Over the verified LSH
+    // component labels (same graph as dedup_clusters), each cluster keeps
+    // exactly one canonical document — longest n_chars, doc_id the
+    // deterministic tie-break — and reports what the prune saves. Scale
+    // shape: components are pointer-jumped (never all-pairs), the argmax
+    // is one window over cluster members (partition = cluster, bounded by
+    // the dup graph's component sizes), and singleton docs never enter
+    // the join — cost is proportional to the dup graph, not the corpus.
+    "dedup_survivorship" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
+      val comp = Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
+      val members = comp.join(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      val w = Window.partitionBy(col("rep_doc_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      members.withColumn("rn", row_number().over(w))
+        .groupBy(col("rep_doc_id"))
+        .agg(
+          max(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+          count(lit(1)).as("n_members"),
+          sum(when(col("rn") === 1, col("n_chars")).otherwise(lit(0L)))
+            .as("chars_kept"),
+          sum(when(col("rn") =!= 1, col("n_chars")).otherwise(lit(0L)))
+            .as("chars_dropped"))
+        .orderBy(col("rep_doc_id"))
     })
   )
 
@@ -785,6 +816,26 @@ object TextDedup {
            |  WHERE w.d < 30)
            |SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS layer
            |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+      // Survivorship: per-component canonical pick (n_chars desc, doc_id
+      // asc) over the same component labels as dedup_clusters.
+      "dedup_survivorship" ->
+        s"""WITH RECURSIVE $lshCommon,
+           |${clusterTailSql(0.5)},
+           |members AS (
+           |  SELECT c.rep_doc_id, d.doc_id, d.n_chars,
+           |    row_number() OVER (PARTITION BY c.rep_doc_id
+           |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+           |SELECT rep_doc_id,
+           |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+           |    AS kept_doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           |    AS chars_kept,
+           |  CAST(SUM(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           |    AS chars_dropped
+           |FROM members GROUP BY rep_doc_id
+           |ORDER BY rep_doc_id""".stripMargin,
       "dedup_ngram_jaccard" -> ngramSql,
       // Prefix filtering is lossless, so the prefix-filtered tier is
       // pinned to the full-inverted-index oracle at ITS threshold (0.8)
