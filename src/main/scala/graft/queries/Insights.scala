@@ -174,6 +174,37 @@ object Insights {
         .select(col("dc").cast("long").as("slope_num"),
           col("dm").cast("long").as("slope_den"),
           col("n").as("n_pairs"), col("n_up"), col("n_down"))
+    }),
+
+    // Distribution-drift monitor — the training-data shift audit every
+    // recurring ingest needs: compare the categorical distribution of a
+    // column between two snapshot slices (here order priority, early
+    // years vs late) as exact-integer total-variation numerators. Per
+    // category the TV term is |n_early·N_late − n_late·N_early| over the
+    // common denominator N_early·N_late — no division, no floats, so the
+    // statistic is engine-portable and never vacuously zero (sampling
+    // noise alone makes the cross-products differ). tv_total carries the
+    // summed numerator; TV distance = tv_total / (2·N_early·N_late).
+    // Scale shape: one hash aggregate over the fact table, then
+    // category-bounded (≤5 rows) broadcast totals and windows.
+    "priority_drift_tv" -> ((s, dir) => {
+      val buckets = orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(year(col("o_orderdate")) <= 1995, 1L).otherwise(0L))
+            .as("n_early"),
+          sum(when(year(col("o_orderdate")) > 1995, 1L).otherwise(0L))
+            .as("n_late"))
+      val tot = buckets.agg(sum(col("n_early")).as("t_early"),
+        sum(col("n_late")).as("t_late"))
+      buckets.crossJoin(broadcast(tot))
+        .withColumn("tv_num",
+          abs(col("n_early") * col("t_late") - col("n_late") * col("t_early")))
+        .withColumn("tv_total",
+          sum(col("tv_num")).over(Window.partitionBy()))
+        .select(col("o_orderpriority"), col("n_early"), col("n_late"),
+          col("tv_num"), col("tv_total"), col("t_early"), col("t_late"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -281,6 +312,27 @@ object Insights {
         |  CAST(n AS BIGINT) AS n_pairs,
         |  CAST(n_up AS BIGINT) AS n_up,
         |  CAST(n_down AS BIGINT) AS n_down
-        |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
+        |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // Mirrors priority_drift_tv: exact-integer TV numerators between the
+    // early/late order-priority distributions.
+    "priority_drift_tv" ->
+      """WITH buckets AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_early,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) > 1995 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_late
+        |  FROM orders GROUP BY o_orderpriority),
+        |tot AS (SELECT CAST(SUM(n_early) AS BIGINT) AS t_early,
+        |          CAST(SUM(n_late) AS BIGINT) AS t_late FROM buckets),
+        |terms AS (
+        |  SELECT o_orderpriority, n_early, n_late,
+        |    CAST(abs(n_early * t_late - n_late * t_early) AS BIGINT) AS tv_num,
+        |    t_early, t_late
+        |  FROM buckets, tot)
+        |SELECT o_orderpriority, n_early, n_late, tv_num,
+        |  CAST(SUM(tv_num) OVER () AS BIGINT) AS tv_total, t_early, t_late
+        |FROM terms ORDER BY o_orderpriority""".stripMargin
   )
 }
