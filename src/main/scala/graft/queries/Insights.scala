@@ -149,11 +149,15 @@ object Insights {
     // calendar (~84 rows → ~3.5k pairs), never the fact table; the only
     // corpus-scale work is the one monthly hash aggregate.
     "theil_sen_trend" -> ((s, dir) => {
+      // persisted: both sides of the pair self-join read the monthly
+      // table — without the cache each side re-scans + re-aggregates
+      // the fact table (plan-asserted in PlanShapeTest)
       val monthly = orders(s, dir)
         .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .as("m"))
         .agg(sum(d2(col("o_totalprice")) * 100).cast("decimal(38,0)")
           .as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = monthly.select(col("m").as("i"), col("cents").as("ca"))
       val b = monthly.select(col("m").as("j"), col("cents").as("cb"))
       val pairs = a.join(b, col("j") > col("i"))
@@ -188,6 +192,8 @@ object Insights {
     // Scale shape: one hash aggregate over the fact table, then
     // category-bounded (≤5 rows) broadcast totals and windows.
     "priority_drift_tv" -> ((s, dir) => {
+      // persisted: the totals aggregate and the per-category probe both
+      // read buckets — the cache keeps the fact scan single
       val buckets = orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -195,6 +201,7 @@ object Insights {
             .as("n_early"),
           sum(when(year(col("o_orderdate")) > 1995, 1L).otherwise(0L))
             .as("n_late"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = buckets.agg(sum(col("n_early")).as("t_early"),
         sum(col("n_late")).as("t_late"))
       buckets.crossJoin(broadcast(tot))

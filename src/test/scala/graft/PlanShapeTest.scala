@@ -449,4 +449,45 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("dedup_survivorship never pairs the corpus; window is cluster-keyed") {
+    val df = SparkEntry.queries("dedup_survivorship")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the canonical-pick window partitions by rep_doc_id, never global
+    assert(p.contains("windowspecdefinition(rep_doc_id"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("k_anonymity_audit prunes the text column and partial-aggregates") {
+    val p = plan("k_anonymity_audit")
+    // the audit must never read the document bodies
+    assert("ReadSchema: struct<[^>]*>".r.findFirstIn(p)
+      .exists(s => !s.contains("text") && s.contains("n_chars")), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("theil_sen_trend scans the fact table once (cached monthly agg)") {
+    // the pair join and windows run over the calendar-bounded monthly
+    // table; both join sides read the CACHED monthly aggregate, so the
+    // fact scan + partial aggregate happen exactly once
+    // (the plan STRING inlines the cached relation's build plan under
+    // every InMemoryTableScan, so FileScan occurrences can't be counted
+    // textually; >=2 cache reads is what proves the single build)
+    val df = SparkEntry.queries("theil_sen_trend")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("priority_drift_tv scans the fact table once and partial-aggregates") {
+    val df = SparkEntry.queries("priority_drift_tv")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
 }
