@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Brute-force cross-checks for the round-10 robust-stats / curation
+  * queries: each query's distributed formulation is recomputed on the
+  * driver from the same sf0.001 parquet with naive scala collections,
+  * so a wrong window frame, tie-break, or aggregate boundary fails here
+  * even though the DuckDB oracle (being a mirror of the same SQL) might
+  * share the mistake.
+  */
+class RobustStatsTest extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("theil_sen_trend equals the brute-force median of pairwise slopes") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+    val monthly = orders.groupBy { r =>
+      val d = r.getAs[java.time.LocalDateTime](0)
+      d.getYear * 12 + d.getMonthValue
+    }.map { case (m, rs) =>
+      val cents = rs.map(r => BigDecimal(r.getDouble(1)).setScale(2) * 100)
+        .sum.toBigInt
+      (m, cents)
+    }.toSeq.sortBy(_._1)
+    val pairs = for {
+      (i, ca) <- monthly; (j, cb) <- monthly if j > i
+    } yield (i, j, cb - ca, j - i)
+    val sorted = pairs.sortBy { case (i, j, dc, dm) =>
+      (dc.toDouble / dm, i, j)
+    }
+    val med = sorted((pairs.size + 1) / 2 - 1)
+    val nUp = pairs.count(_._3 > 0)
+    val nDown = pairs.count(_._3 < 0)
+
+    val out = rows("theil_sen_trend")
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("slope_num") == med._3.toLong)
+    assert(r.getAs[Long]("slope_den") == med._4.toLong)
+    assert(r.getAs[Long]("n_pairs") == pairs.size.toLong)
+    assert(r.getAs[Long]("n_up") == nUp.toLong)
+    assert(r.getAs[Long]("n_down") == nDown.toLong)
+  }
+
+  test("priority_drift_tv equals the brute-force TV numerators") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderdate").collect()
+    val byPri = orders.groupBy(_.getString(0)).map { case (p, rs) =>
+      val early = rs.count(
+        _.getAs[java.time.LocalDateTime](1).getYear <= 1995)
+      (p, early.toLong, (rs.length - early).toLong)
+    }.toSeq.sortBy(_._1)
+    val tEarly = byPri.map(_._2).sum
+    val tLate = byPri.map(_._3).sum
+    val expected = byPri.map { case (p, ne, nl) =>
+      (p, ne, nl, math.abs(ne * tLate - nl * tEarly))
+    }
+    val tvTotal = expected.map(_._4).sum
+
+    val out = rows("priority_drift_tv")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (p, ne, nl, tv)) =>
+      assert(r.getAs[String]("o_orderpriority") == p)
+      assert(r.getAs[Long]("n_early") == ne)
+      assert(r.getAs[Long]("n_late") == nl)
+      assert(r.getAs[Long]("tv_num") == tv)
+      assert(r.getAs[Long]("tv_total") == tvTotal)
+      assert(r.getAs[Long]("t_early") == tEarly)
+      assert(r.getAs[Long]("t_late") == tLate)
+    }
+  }
+
+  test("dedup_survivorship picks max-n_chars (min doc_id) per dedup_clusters cluster") {
+    val chars = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = rows("dedup_clusters")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep_doc_id")))
+      .groupBy(_._2)
+    assert(clusters.nonEmpty, "sf0.001 corpus must have dup clusters")
+    val out = rows("dedup_survivorship")
+    assert(out.length == clusters.size)
+    out.foreach { r =>
+      val rep = r.getAs[Long]("rep_doc_id")
+      val members = clusters(rep).map(_._1)
+      val kept = members.minBy(d => (-chars(d), d))
+      assert(r.getAs[Long]("kept_doc_id") == kept)
+      assert(r.getAs[Long]("n_members") == members.length.toLong)
+      assert(r.getAs[Long]("chars_kept") == chars(kept))
+      assert(r.getAs[Long]("chars_dropped") ==
+        members.filterNot(_ == kept).map(chars).sum)
+    }
+  }
+
+  test("k_anonymity_audit equals the brute-force QI-class profile") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 256, r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rs) =>
+      val classes = rs.groupBy(_._2).values.toSeq
+      val sizes = classes.map(_.length.toLong)
+      val lDivs = classes.map(_.map(_._3).distinct.length.toLong)
+      (src, classes.length.toLong, sizes.min,
+        sizes.count(_ < 5).toLong, sizes.filter(_ < 5).sum, lDivs.min)
+    }.toSeq.sortBy(_._1)
+    val out = rows("k_anonymity_audit")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[String]("source"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("min_class_size"), r.getAs[Long]("classes_below_k"),
+        r.getAs[Long]("rows_at_risk"), r.getAs[Long]("min_l_diversity")) == e)
+    }
+  }
+}
