@@ -76,7 +76,12 @@ object Clustering {
     */
   def kmeansSummary(vecs0: DataFrame, k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "kmeansSummary needs at least one iteration")
+    // persisted: the quantized-vector table feeds the seed guard, every
+    // iteration's assign AND update, and the final counts (ScanAudit:
+    // embeddings x9 for 2 iterations) — without the cache each consumer
+    // re-scans + re-quantizes the corpus
     val vecs = vecs0.withColumn("sq", VectorFns.dotQ(col("qv"), col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = vecs.filter(col("id") >= 0 && col("id") < k)
       .select(col("id").as("cid"), col("qv").as("cv"), col("sq").as("csq"))
     // Seed-set guard: the [0,k) filter must yield exactly k rows with k

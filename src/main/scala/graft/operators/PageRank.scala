@@ -70,7 +70,13 @@ object PageRank {
     // with iteration count and scan cost.
     val ed = edges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nodes is consumed by EVERY iteration's rank rebuild (and the
+    // initial ranks) — unpersisted, each round re-runs the degree
+    // aggregate over the raw edge lineage (ScanAudit: lineitem x8 for
+    // 6 iterations in pagerank_bipartite). personalizedRanks already
+    // persisted its node table; same treatment here.
     val nodes = deg.select(col("src").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
       val contrib = ed.join(ranks, col("src") === col("node"))

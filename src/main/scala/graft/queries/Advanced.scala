@@ -152,8 +152,12 @@ object Advanced {
         .select(col("event_type"), (d2(col("value")) * 100).cast("long").as("v"))
       val med = ev.groupBy(col("event_type"))
         .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+      // persisted: dev feeds the MAD aggregate AND the outlier count —
+      // unpersisted, each consumer re-scans events and re-runs the
+      // median join (ScanAudit: events x6)
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .withColumn("dev2", abs(lit(2L) * col("v") - col("med2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val st = dev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), max(col("med2")).as("m2"),
           (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
@@ -183,10 +187,15 @@ object Advanced {
     // the corpus; dl/N/SUMDL come from one unfiltered count pass.
     "bm25_search" -> ((s, dir) => {
       val qTerms = Seq("spark", "window", "table")
+      // persisted: the token stream feeds dl AND tf (two tokenization
+      // passes otherwise — ScanAudit: documents x4), and dl feeds the
+      // corpus aggregate AND the score join
       val toks = documents(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
       val tf = toks.filter(col("term").isin(qTerms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

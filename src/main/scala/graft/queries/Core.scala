@@ -128,9 +128,13 @@ object Core {
     // path reproduces truncate-reload exactly without rewriting the
     // mirror.
     "mirror_apply" -> ((s, dir) => {
+      // persisted: truth feeds the 3 mirror branches, the change set,
+      // and the merge (ScanAudit: orders x11) — in production these are
+      // two distinct tables; the harness derives both from one scan
       val truth = orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mirror = truth.filter(col("o_orderkey") % 10 =!= 3)
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1)

@@ -119,8 +119,11 @@ object Curation {
     // free at any corpus size.
     "domain_reweight" -> ((s, dir) => {
       val d38 = "decimal(38,0)"
+      // persisted: the per-source counts feed the totals aggregate AND
+      // the weight projection (ScanAudit: documents x4)
       val bySrc = documents(s, dir)
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSrc = bySrc.agg(count(lit(1)).as("n_sources"),
         sum(col("n_docs")).as("n_total"))
       val weighted = bySrc.crossJoin(broadcast(nSrc))

@@ -88,10 +88,14 @@ object Insights {
     // orderkey % 7 == 3 arrive as inserts, % 7 == 1 leave as deletes;
     // orders with orderkey % 11 == 5 arrive as dimension inserts.
     "ivm_retract_view" -> ((s, dir) => {
+      // persisted: the base/delta slices of BOTH relations derive from
+      // these projections (ScanAudit: lineitem x6, orders x4)
       val li = lineitem(s, dir).select(col("l_orderkey"),
         col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ord = orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
         col("o_orderpriority"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a0 = li.filter(col("l_orderkey") % 7 =!= 3)
       val da = li.filter(col("l_orderkey") % 7 === 3)
         .withColumn("sign", lit(1L))

@@ -288,6 +288,10 @@ object Mining {
         .withColumn("h",
           expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)),1,13)," +
             "16,10) AS BIGINT)"))
+        // persisted: the ranked kth-hash branch AND the exact-count
+        // branch both consume this (ScanAudit: lineitem x4 — the two
+        // distinct shuffles + md5 ran twice)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ranked = keyed
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("grp")).orderBy(col("h"), col("l_partkey"))))
@@ -443,10 +447,15 @@ object Mining {
     // At scale only the delta terms shuffle fresh data; the state merge
     // is keyed by the bounded group key.
     "ivm_join_view" -> ((s, dir) => {
+      // persisted: base + delta slices of each relation derive from
+      // these projections (ScanAudit: orders x4, customer x4 — same
+      // treatment as ivm_retract_view)
       val o = orders(s, dir).select(col("o_custkey").as("ck"),
         col("o_orderkey"), d2(col("o_totalprice")).as("price"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c = customer(s, dir).select(col("c_custkey").as("ck"),
         col("c_mktsegment"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (o0, dO) = (o.filter(col("o_orderkey") % 97 =!= 0),
         o.filter(col("o_orderkey") % 97 === 0))
       val (c0, dC) = (c.filter(col("ck") % 101 =!= 0),

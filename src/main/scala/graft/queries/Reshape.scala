@@ -60,8 +60,12 @@ object Reshape {
     "winsorized_mean_price" -> ((s, dir) => {
       val o = orders(s, dir).select(col("o_orderpriority"),
         (d2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      // persisted: the (priority, cents) pre-aggregate feeds the
+      // cumulative fence computation AND the final clamp join
+      // (ScanAudit: orders x5 without the cache)
       val g = o.groupBy(col("o_orderpriority"), col("cents"))
         .agg(count(lit(1)).as("gn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
       val win = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -173,11 +177,15 @@ object Reshape {
     // (min,max) broadcast, one bucket-keyed shuffle, windows partitioned
     // by bucket, and a B-row cumulative-min side table.
     "skyline_parts" -> ((s, dir) => {
+      // persisted: the bucket-parallel frontier consumes the point table
+      // in its local-frontier and global-filter passes (ScanAudit:
+      // part x4)
       val pts = part(s, dir)
         .select(col("p_partkey"),
           (d2(col("p_retailprice")) * 100).cast("long").as("price_cents"),
           col("p_size").cast("long").as("p_size"),
           (-col("p_size")).cast("long").as("neg_size"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.operators.Skyline.skylineMinMin(pts, "price_cents", "neg_size")
         .select(col("p_partkey"), col("price_cents"), col("p_size"))
         .orderBy(col("p_partkey"))
@@ -387,10 +395,14 @@ object Reshape {
     // math so a 100 TB revenue total times the budget cannot wrap.
     "allocate_budget" -> ((s, dir) => {
       val B = 1000000L
+      // persisted: the per-segment aggregate (a fact-table join + agg)
+      // feeds the total, the floor allocation, and the largest-remainder
+      // pass (ScanAudit: orders x4, customer x4)
       val seg = orders(s, dir)
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(sum((d2(col("o_totalprice")) * 100).cast("long")).as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = seg.agg(sum(col("cents")).as("total"))
       val f = seg.crossJoin(broadcast(tot))
         .withColumn("alloc_floor",
@@ -417,8 +429,12 @@ object Reshape {
     // the tiny per-type totals broadcast back. int64 headroom: n_ab and
     // n_users below ~3e9 keep the cross product under 2^63.
     "event_cooccurrence" -> ((s, dir) => {
+      // persisted: the distinct (user, type) table feeds the self-join's
+      // BOTH sides, the per-type totals, and the user count (ScanAudit:
+      // events x5 — four distinct shuffles over the fact table otherwise)
       val ut = events(s, dir).select(col("user_id"), col("event_type"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = ut.as("x")
         .join(ut.as("y"),
           col("x.user_id") === col("y.user_id") &&
