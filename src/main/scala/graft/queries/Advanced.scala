@@ -91,9 +91,12 @@ object Advanced {
     // operator under test.
     "heavy_hitters_mg" -> ((s, dir) => {
       import s.implicits._
+      // persisted: the sketch aggregate AND the exact twin both consume
+      // the token stream (ScanAudit: documents x3 — two tokenize passes)
       val toks = documents(s, dir)
         .select(explode(graft.functions.TextFns.tokens(col("text")))
           .as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // .toColumn stays a TypedColumn (an .as(...) alias would demote it
       // to an untyped Column and the typed select would reject it).
       val sketch = toks.as[String]
@@ -240,9 +243,12 @@ object Advanced {
     // aggregates BEFORE the join, so the spine join touches one row per
     // (type, hour), never raw events.
     "events_gapfill" -> ((s, dir) => {
+      // persisted: the hourly aggregate, the spine bounds, and the type
+      // list all consume this projection (ScanAudit: events x3)
       val ev = events(s, dir)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
           (d2(col("value")) * 100).cast("long").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val agg = ev.groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
       val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -265,9 +271,12 @@ object Advanced {
     // the carry-forward window runs per event_type over one row per
     // (type, hour), never raw events.
     "events_locf" -> ((s, dir) => {
+      // persisted: the hourly aggregate, the spine bounds, and the type
+      // list all consume this projection (ScanAudit: events x3)
       val ev = events(s, dir)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
           (d2(col("value")) * 100).cast("long").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val agg = ev.groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("cents"))
       val spine = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -296,20 +305,27 @@ object Advanced {
     "dq_profile" -> ((s, dir) => {
       val o = orders(s, dir)
       val c = customer(s, dir)
+      // each 1-row aggregate is persisted: every report() branch of the
+      // union re-executes its source subtree otherwise (ScanAudit:
+      // orders x5 — which contradicted this docstring's "no
+      // per-constraint rescans" until round 10 made it true)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val oAgg = o.agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
         sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
           .otherwise(0L)).as("bad_status"),
         sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
-          .otherwise(0L)).as("bad_price"))
+          .otherwise(0L)).as("bad_price")).persist(mem)
       val cAgg = c.agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct(col("c_custkey"))).as("pk_dup"),
         sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"))
+        .persist(mem)
       val fkViolations = o.join(broadcast(c.select(col("c_custkey"))),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("v"))
+        .persist(mem)
       def report(src: org.apache.spark.sql.DataFrame, name: String,
                  violations: org.apache.spark.sql.Column) =
         src.select(lit(name).as("check_name"), col("n").as("n_checked"),

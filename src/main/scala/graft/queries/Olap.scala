@@ -404,6 +404,9 @@ object Olap {
         min(day).as("day_min"), max(day).as("day_max"),
         countDistinct(day).as("day_ndv"),
         sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("day_nulls"))
+        // persisted: the three per-column report branches re-execute
+        // this 1-row aggregate otherwise (ScanAudit: lineitem x3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Seq(("l_quantity", "qty"), ("l_extendedprice_cents", "price"),
         ("l_shipdate_day", "day"))
         .map { case (name, p) =>

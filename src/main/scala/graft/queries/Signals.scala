@@ -476,10 +476,14 @@ object Signals {
     // a sketch pass pays anywhere.
     "quantile_sketch_union" -> ((s, dir) => {
       val K = 32
+      // persisted: the sketch ranking, the per-priority totals, and the
+      // exact-median twin all consume this projection (ScanAudit:
+      // orders x4)
       val rows = orders(s, dir).select(col("o_orderpriority").as("pri"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
         (d2(col("o_totalprice")) * 100).cast("long").as("cents"),
         col("o_orderkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shardW = Window.partitionBy(col("pri"), col("m"))
         .orderBy(col("cents"), col("o_orderkey"))
       val ranked = rows
