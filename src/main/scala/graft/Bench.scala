@@ -145,7 +145,15 @@ object Bench {
         ("streaming_priority_sample", (docs, dir) =>
           graft.streaming.StreamingOps.prioritySampleEachBatch(
             docs.select(col("doc_id"), col("lang"), col("n_chars")),
-            k = 256, s"$dir/sample")))
+            k = 256, s"$dir/sample")),
+        // drift-monitor counts: slice = doc_id parity (both slices fill
+        // every batch), category = lang
+        ("streaming_drift_counts", (docs, dir) =>
+          graft.streaming.StreamingOps.categoryCountsEachBatch(
+            docs.select(org.apache.spark.sql.functions
+              .when(col("doc_id") % 2 === 0, "a").otherwise("b").as("slice"),
+              col("lang").as("cat")),
+            "slice", "cat", s"$dir/counts")))
     }
     def timeStreamingOnce(name: String,
         mk: (org.apache.spark.sql.DataFrame, String) =>

@@ -611,6 +611,55 @@ object StreamingOps {
       ()
     }
 
+  /** Streaming distribution-drift monitor, state half: maintain exact
+    * per-(slice, category) counts of the stream incrementally — the
+    * summary a recurring ingest keeps so drift between any two slices
+    * (yesterday vs today, source A vs B) is a catalog-sized read, never
+    * a re-scan of history. Counts are additive (NOT replay-idempotent),
+    * so the merge rides the shared (queryTag, batchId) staged-rename
+    * commit like the IVM sinks. State size = |slices| x |categories|,
+    * independent of stream length.
+    */
+  def categoryCountsEachBatch(rows: DataFrame, sliceCol: String,
+      catCol: String, path: String, queryTag: String = "default") =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) {
+        existing =>
+          val delta = batch.groupBy(col(sliceCol), col(catCol))
+            .agg(count(lit(1)).as("n"))
+          existing.getOrElse(delta.limit(0)).unionByName(delta)
+            .groupBy(col(sliceCol), col(catCol))
+            .agg(sum(col("n")).as("n"))
+      }
+      ()
+    }
+
+  /** Drift half: the exact-integer total-variation table between two
+    * slices of a maintained count state (the batch `priority_drift_tv`
+    * formula — tv_num = |n_a·N_b − n_b·N_a| over the common denominator
+    * N_a·N_b; no division, no floats, engine-portable). Categories
+    * absent from one slice count as zero. Runs entirely over the
+    * catalog-sized count table.
+    */
+  def tvDrift(counts: DataFrame, sliceCol: String, catCol: String,
+              sliceA: String, sliceB: String): DataFrame = {
+    val a = counts.filter(col(sliceCol) === sliceA)
+      .select(col(catCol), col("n").as("n_a"))
+    val b = counts.filter(col(sliceCol) === sliceB)
+      .select(col(catCol), col("n").as("n_b"))
+    val joined = a.join(b, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("tv_num",
+        abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")))
+      .withColumn("tv_total",
+        sum(col("tv_num")).over(Window.partitionBy()))
+      .orderBy(col(catCol))
+  }
+
   /** The shared exactly-once transactional-sink skeleton: skip if
     * (queryTag, batchId) is already committed in the snapshot's
     * `_graft_commit` marker, else compute the new state from the

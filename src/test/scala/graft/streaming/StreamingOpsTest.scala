@@ -753,4 +753,66 @@ class StreamingOpsTest extends AnyFunSuite {
     assert(got.contains((1L, "b", 200L, Some(200L))))
     assert(got.contains((1L, "c", 200L, None)))
   }
+
+  test("categoryCountsEachBatch + tvDrift track the batch drift formula; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    val path = s"$dir/counts"
+    val mem = MemoryStream[(String, String)] // (slice, category)
+    val sq = StreamingOps.categoryCountsEachBatch(
+      mem.toDF.toDF("slice", "cat"), "slice", "cat", path).start()
+
+    // batch-recompute reference: exact counts + TV numerators
+    def refDrift(rows: Seq[(String, String)]): Seq[(String, Long, Long, Long)] = {
+      val cats = rows.map(_._2).distinct.sorted
+      val na = rows.filter(_._1 == "a").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nb = rows.filter(_._1 == "b").groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (ta, tb) = (na.values.sum, nb.values.sum)
+      cats.map { c =>
+        val (x, y) = (na.getOrElse(c, 0L), nb.getOrElse(c, 0L))
+        (c, x, y, math.abs(x * tb - y * ta))
+      }
+    }
+    def drift(): Seq[(String, Long, Long, Long)] =
+      StreamingOps.tvDrift(spark.read.parquet(path), "slice", "cat", "a", "b")
+        .collect().map(r => (r.getAs[String]("cat"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("tv_num"))).toSeq
+
+    val b0 = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "z"))
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    assert(drift() == refDrift(b0))
+
+    val b1 = Seq(("b", "y"), ("b", "y"), ("a", "z"))
+    mem.addData(b1: _*)
+    sq.processAllAvailable()
+    assert(drift() == refDrift(b0 ++ b1))
+
+    // tv_total is the sum of the numerators in every row
+    val tvTotals = StreamingOps.tvDrift(spark.read.parquet(path),
+      "slice", "cat", "a", "b").collect().map(_.getAs[Long]("tv_total")).toSet
+    assert(tvTotals.size == 1 &&
+      tvTotals.head == refDrift(b0 ++ b1).map(_._4).sum)
+    sq.stop()
+
+    // replay from batch 0 with the same queryTag: additive counts must
+    // NOT double — the (queryTag, batchId) commit skips applied batches
+    val mem2 = MemoryStream[(String, String)]
+    val sq2 = StreamingOps.categoryCountsEachBatch(
+      mem2.toDF.toDF("slice", "cat"), "slice", "cat", path).start()
+    mem2.addData(b0: _*) // replays batchId 0, already committed
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(drift() == refDrift(b0 ++ b1))
+
+    // a NEW feed lineage (fresh tag) applies from its batch 0
+    val mem3 = MemoryStream[(String, String)]
+    val b2 = Seq(("b", "x"))
+    val sq3 = StreamingOps.categoryCountsEachBatch(
+      mem3.toDF.toDF("slice", "cat"), "slice", "cat", path, "feed2").start()
+    mem3.addData(b2: _*)
+    sq3.processAllAvailable()
+    sq3.stop()
+    assert(drift() == refDrift(b0 ++ b1 ++ b2))
+  }
 }
