@@ -32,11 +32,12 @@ object Audit {
   private val LOST = "% 97 = 13"
 
   /** One FK edge: group the child by its key (counts reduce map-side),
-    * anti-join the surviving parents, and collapse to one summary row.
-    * The per-key pre-aggregate means the anti-join input is |distinct
-    * keys|, not |child rows| — at 100 TB the anti-join runs over the key
-    * dictionary while row counts ride along as weights. Parent sides are
-    * key-projections of dimension scans; AQE broadcasts the small ones.
+    * left-join the surviving parent key dictionary, and fold totals AND
+    * orphan counts out of that single joined pass — child_rows is the
+    * sum of per-key weights, so no second child scan exists anywhere.
+    * At 100 TB the join runs over the key dictionary while row counts
+    * ride along as weights; parent sides are key projections of
+    * dimension scans and AQE broadcasts the small ones.
     */
   private def fkEdge(edge: String, child: DataFrame, childKey: String,
                      parent: DataFrame, parentKey: String): DataFrame = {
@@ -44,12 +45,12 @@ object Audit {
       .agg(count(lit(1)).as("n_rows"))
     val kept = parent
       .filter(expr(s"NOT ($parentKey $LOST)"))
-      .select(col(parentKey).cast("long").as("k"))
-    keyed.join(kept, Seq("k"), "left_anti")
-      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("orphan_rows"),
-        count(lit(1)).as("orphan_keys"))
-      .crossJoin(
-        child.agg(count(lit(1)).as("child_rows")))
+      .select(col(parentKey).cast("long").as("k"), lit(1).as("present"))
+    keyed.join(kept, Seq("k"), "left")
+      .agg(sum(col("n_rows")).as("child_rows"),
+        count(when(col("present").isNull, 1)).as("orphan_keys"),
+        coalesce(sum(when(col("present").isNull, col("n_rows"))), lit(0L))
+          .as("orphan_rows"))
       .select(lit(edge).as("edge"), col("child_rows"),
         col("orphan_keys"), col("orphan_rows"))
   }
@@ -62,9 +63,15 @@ object Audit {
     // key histogram anti-joined against the parent key dictionary —
     // never a row-level join — and the seven edges union into one
     // 7-row artifact. At 100 TB each edge's cost is one child scan +
-    // one key-dictionary anti-join; dimensions broadcast.
+    // one key-dictionary join; dimensions broadcast, and the one fact
+    // table with three outgoing edges (lineitem) is scanned ONCE — its
+    // 3-key projection is persisted and all three edges read the cache
+    // (ScanAudit held this query at lineitem x6 before the fold-and-
+    // share rewrite; x1 after).
     "fk_integrity_audit" -> ((s, dir) => {
       val li = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val edges = Seq(
         fkEdge("customer.nation", customer(s, dir), "c_nationkey",
           nation(s, dir), "n_nationkey"),
@@ -125,12 +132,15 @@ object Audit {
     // build side keeps its exact bucket), and the join is equi on
     // (size, bucket) so it hashes and AQE-balances like any FK join.
     // Output is brand-pair counts: 25 brands → ≤300 rows at any scale.
+    // The projected part table is persisted so probe and build read one
+    // scan.
     "band_join_parts" -> ((s, dir) => {
       val p = part(s, dir).select(col("p_partkey"), col("p_brand"),
           col("p_size"),
           expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
         .withColumn("bucket", expr("cents div 50"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val probe = p.select(col("p_partkey").as("ka"), col("p_brand").as("ba"),
           col("p_size"), col("cents").as("ca"),
           explode(array(col("bucket") - 1, col("bucket"),
