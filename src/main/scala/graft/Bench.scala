@@ -61,8 +61,18 @@ object Bench {
     // strictly one-sided (one-off multi-second stalls), so min is the
     // variance-robust round-over-round signal the round-8 judge asked
     // for; the samples map makes the spread auditable.
+    // Cache-symmetry audit switch: with SPARK_GRAFT_COLD_TIMED=1 the
+    // query-local persists built during warmup are dropped before the
+    // timed samples, so sample 1 prices persist MATERIALIZATION (the
+    // cold path a first production run pays) and sample 2 prices the
+    // warm path — one run yields both, and their gap is the
+    // cache-carried share of the headline number. Default (unset) keeps
+    // the round-6+ semantics: timed runs reuse their own warmup's
+    // frames, symmetric across scales so ratios stay comparable.
+    val coldTimed = sys.env.get("SPARK_GRAFT_COLD_TIMED").contains("1")
     def timeOne(name: String, nTimed: Int = 2): Seq[Double] = {
       try run(name) catch { case _: Throwable => () } // warm: cache + codegen
+      if (coldTimed) { spark.catalog.clearCache(); System.gc() }
       try {
         (1 to nTimed).flatMap { i =>
           // Nudge the ContextCleaner between samples: localCheckpoint
