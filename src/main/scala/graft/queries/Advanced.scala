@@ -299,9 +299,12 @@ object Advanced {
     // src/canvas.py:67-95 enforces them imperatively). One report row
     // per declared constraint: primary-key uniqueness, FK integrity,
     // value domains, null and range rules. Each table is profiled in a
-    // SINGLE aggregate pass (conditional sums + one distinct count);
-    // the FK check is one broadcast anti join probe. At 100 TB this is
-    // two fact scans + a dim broadcast — no per-constraint rescans.
+    // SINGLE aggregate pass (conditional sums + one distinct count),
+    // and the FK check rides the SAME orders pass as a broadcast left
+    // join + miss count (distinct dim keys so the probe can't fan out
+    // even if the dim PK is dirty — the profiler must not assume the
+    // constraint it is checking). At 100 TB this is ONE fact scan +
+    // a dim broadcast — no per-constraint rescans.
     "dq_profile" -> ((s, dir) => {
       val o = orders(s, dir)
       val c = customer(s, dir)
@@ -310,21 +313,23 @@ object Advanced {
       // orders x5 — which contradicted this docstring's "no
       // per-constraint rescans" until round 10 made it true)
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val oAgg = o.agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
-        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
-          .otherwise(0L)).as("bad_status"),
-        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
-          .otherwise(0L)).as("bad_price")).persist(mem)
+      val custKeys = c.select(col("c_custkey")).distinct()
+        .withColumn("_hit", lit(1))
+      val oAgg = o.join(broadcast(custKeys),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("bad_status"),
+          sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+            .otherwise(0L)).as("bad_price"),
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("fk_viol"))
+        .persist(mem)
       val cAgg = c.agg(
         count(lit(1)).as("n"),
         (count(lit(1)) - countDistinct(col("c_custkey"))).as("pk_dup"),
         sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_name"))
-        .persist(mem)
-      val fkViolations = o.join(broadcast(c.select(col("c_custkey"))),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("v"))
         .persist(mem)
       def report(src: org.apache.spark.sql.DataFrame, name: String,
                  violations: org.apache.spark.sql.Column) =
@@ -333,7 +338,7 @@ object Advanced {
       Seq(
         report(cAgg, "customer_name_not_null", col("null_name")),
         report(cAgg, "customer_pk_unique", col("pk_dup")),
-        report(oAgg.crossJoin(fkViolations), "orders_custkey_fk", col("v")),
+        report(oAgg, "orders_custkey_fk", col("fk_viol")),
         report(oAgg, "orders_pk_unique", col("pk_dup")),
         report(oAgg, "orders_status_domain", col("bad_status")),
         report(oAgg, "orders_totalprice_positive", col("bad_price")))
