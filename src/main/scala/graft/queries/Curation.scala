@@ -283,6 +283,41 @@ object Curation {
             .otherwise(lit(0L))).as("rows_at_risk"),
           min(col("l_div")).as("min_l_diversity"))
         .orderBy(col("source"))
+    }),
+
+    // Language-fair quality thresholds — the audit behind per-language
+    // filtering policy: a single global quality cutoff silently deletes
+    // low-resource languages (their score distribution sits lower), so
+    // curation picks thresholds per lang. Reports each language's
+    // p10/p50/p90 of an integer quality permille (the exact-integer twin
+    // of the canonical quality formula: same stop-hits / punctuation /
+    // length terms, weights 500/300/200, every div on non-negative
+    // operands so Spark div == DuckDB //). Scale shape: quantiles come
+    // from a bounded histogram-CDF, never a sort of the corpus — one
+    // map-side scoring pass, one (lang, permille) hash aggregate capped
+    // at langs x 1001 rows, then a window over THAT catalog-sized table.
+    // The corpus is scanned once at any SF; the histogram is persisted
+    // for its two consumers (CDF + per-lang totals).
+    "quality_decile_by_lang" -> ((s, dir) => {
+      val qp =
+        when(col("n_tokens") > 0, expr("(500 * stop_hits) div n_tokens"))
+          .otherwise(0L) +
+          expr("(300 * (length(text) - punct_len)) div length(text)") +
+          least(lit(2L) * col("n_tokens"), lit(200L))
+      val hist = TextFns.withQualityCols(documents(s, dir))
+        .select(col("lang"), qp.as("qp"))
+        .groupBy(col("lang"), col("qp")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy(col("lang")).orderBy(col("qp"))
+      val cum = hist.withColumn("cum", sum(col("n")).over(w))
+      val tot = hist.groupBy(col("lang")).agg(sum(col("n")).as("total"))
+      cum.join(broadcast(tot), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("total")).as("n_docs"),
+          min(when(col("cum") * 10 >= col("total"), col("qp"))).as("p10"),
+          min(when(col("cum") * 2 >= col("total"), col("qp"))).as("p50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("qp"))).as("p90"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -467,7 +502,49 @@ object Curation {
            |SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
            |  CAST((weight * 1099511627776) // (h40 + 1) AS BIGINT)
            |    AS priority
-           |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
+           |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+
+      // Mirrors quality_decile_by_lang: same integer permille formula
+      // (non-negative operands, so // == Spark div), same histogram-CDF
+      // lower-quantile rule (smallest qp with 10*cum >= k*total).
+      "quality_decile_by_lang" ->
+        s"""WITH base AS (
+           |  SELECT lang, text,
+           |    regexp_extract_all(lower(text), '\\S+') AS toks
+           |  FROM documents),
+           |m AS (
+           |  SELECT lang,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(list_sum(list_transform(toks, t -> CASE WHEN t IN
+           |      (${TextDedup.sqlIn(TextDedup.EN)}) THEN 1 ELSE 0 END))
+           |      AS BIGINT) AS stop_hits,
+           |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+           |      AS BIGINT) AS punct_len,
+           |    CAST(length(text) AS BIGINT) AS n_chars
+           |  FROM base),
+           |q AS (
+           |  SELECT lang,
+           |    (CASE WHEN n_tokens > 0 THEN (500 * stop_hits) // n_tokens
+           |          ELSE 0 END
+           |     + (300 * (n_chars - punct_len)) // n_chars
+           |     + least(2 * n_tokens, 200)) AS qp
+           |  FROM m),
+           |hist AS (SELECT lang, qp, count(*) AS n FROM q GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT lang, qp,
+           |    sum(n) OVER (PARTITION BY lang ORDER BY qp) AS cum
+           |  FROM hist),
+           |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total
+           |        FROM hist GROUP BY 1)
+           |SELECT c.lang, max(t.total) AS n_docs,
+           |  CAST(min(CASE WHEN c.cum * 10 >= t.total THEN c.qp END)
+           |    AS BIGINT) AS p10,
+           |  CAST(min(CASE WHEN c.cum * 2 >= t.total THEN c.qp END)
+           |    AS BIGINT) AS p50,
+           |  CAST(min(CASE WHEN c.cum * 10 >= t.total * 9 THEN c.qp END)
+           |    AS BIGINT) AS p90
+           |FROM cum c JOIN tot t USING (lang)
+           |GROUP BY c.lang ORDER BY c.lang""".stripMargin
     )
   }
 }

@@ -352,6 +352,44 @@ object SimilarityQ {
         .select(col("doc_id"), col("width"), col("height"),
           col("new_w"), col("new_h"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-norm health audit — the vector-pipeline sanity gate that
+    // catches corrupt rows (zeroed vectors, double-scaled batches, wrong
+    // normalization) BEFORE they poison ANN indexes or centroids: the
+    // squared L2 norm of every vector, banded by robust distance from the
+    // corpus median (median/MAD, the same exact-integer doubled-median
+    // discipline as mad_outliers — one extreme batch cannot move the
+    // fences). Band k = norms beyond k robust sigmas (1.4826*MAD), band 3
+    // catching the planted 0.9-scaled near-dup copies whose norms sit
+    // 19% under the concentrated corpus median. All integers: sqn is the
+    // quantized self-dot (exact int64), medians carried doubled/
+    // quadrupled so .5 halves stay integral, fences cross-multiplied.
+    // Scale shape: one vector scan (persisted for the two percentile
+    // passes + the final banding), 1-row broadcast stats, a 4-row
+    // artifact at any corpus size — never a sort of the vectors.
+    "embed_norm_outliers" -> ((s, dir) => {
+      val q = VectorFns.quantize(col("embedding"))
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), VectorFns.dotQ(q, q).as("sqn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val med = e.agg(
+        (percentile(col("sqn"), lit(0.5)) * 2).cast("long").as("med2"))
+      val dev = e.crossJoin(broadcast(med))
+        .withColumn("dev2", abs(lit(2L) * col("sqn") - col("med2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mad = dev.agg(
+        (percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+      dev.crossJoin(broadcast(mad))
+        .withColumn("band",
+          when(lit(10000L) * col("dev2") > lit(22239L) * col("mad4"), 3L)
+            .when(lit(10000L) * col("dev2") > lit(14826L) * col("mad4"), 2L)
+            .when(lit(10000L) * col("dev2") > lit(7413L) * col("mad4"), 1L)
+            .otherwise(0L))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("sqn")).as("min_sqn"),
+          max(col("sqn")).as("max_sqn"))
+        .orderBy(col("band"))
     })
   )
 
@@ -809,6 +847,31 @@ object SimilarityQ {
         |  CAST(v1 * 16 + v2 + 1 AS BIGINT) AS width,
         |  CAST(v3 * 16 + v4 + 1 AS BIGINT) AS height,
         |  CAST(v5 % 8 + 1 AS BIGINT) AS n_frames
-        |FROM hv ORDER BY doc_id""".stripMargin
+        |FROM hv ORDER BY doc_id""".stripMargin,
+
+    // Mirrors embed_norm_outliers: same quantized self-dot, doubled
+    // median / quadrupled MAD (quantile_cont keeps .5 halves exact),
+    // same cross-multiplied robust-sigma fences.
+    "embed_norm_outliers" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sqn
+         |  FROM (SELECT vec_id, $qSql AS q FROM embeddings)),
+         |med AS (SELECT CAST(quantile_cont(sqn, 0.5) * 2 AS BIGINT) AS med2
+         |        FROM e),
+         |dev AS (SELECT vec_id, sqn, abs(2 * sqn - med2) AS dev2
+         |        FROM e, med),
+         |mad AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+         |        FROM dev),
+         |banded AS (
+         |  SELECT sqn,
+         |    CAST(CASE WHEN 10000 * dev2 > 22239 * mad4 THEN 3
+         |         WHEN 10000 * dev2 > 14826 * mad4 THEN 2
+         |         WHEN 10000 * dev2 > 7413 * mad4 THEN 1
+         |         ELSE 0 END AS BIGINT) AS band
+         |  FROM dev, mad)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  min(sqn) AS min_sqn, max(sqn) AS max_sqn
+         |FROM banded GROUP BY band ORDER BY band""".stripMargin
   )
 }

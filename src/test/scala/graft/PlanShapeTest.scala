@@ -490,4 +490,27 @@ class PlanShapeTest extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
     assert(p.contains("partial_"), p)
   }
+
+  test("quality_decile_by_lang reads only (text, lang) and reuses the cached histogram") {
+    val df = SparkEntry.queries("quality_decile_by_lang")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // quantiles come from the histogram-CDF: the (lang, qp) aggregate is
+    // cached and read by both the CDF window and the per-lang totals —
+    // the corpus itself is scored in one pass and never sorted
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // column pruning: the documents scan reads text + lang, nothing else
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"), p)
+  }
+
+  test("embed_norm_outliers: one cached vector scan feeds both percentile passes") {
+    val df = SparkEntry.queries("embed_norm_outliers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // sqn table cached (median pass + dev build), dev table cached (MAD
+    // pass + banding); the 1-row stats ride broadcasts, never a shuffle
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -118,4 +118,74 @@ class RobustStatsTest extends AnyFunSuite {
         r.getAs[Long]("rows_at_risk"), r.getAs[Long]("min_l_diversity")) == e)
     }
   }
+
+  /** Doubled median (2x the interpolated 0.5-quantile) of a sorted array —
+    * the exact-integer form percentile()/quantile_cont() agree on.
+    */
+  private def med2x(xs: Array[Long]): Long = {
+    val n = xs.length
+    if (n % 2 == 1) 2 * xs(n / 2) else xs(n / 2 - 1) + xs(n / 2)
+  }
+
+  test("embed_norm_outliers equals the brute-force median/MAD banding") {
+    val sqns = graft.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map { r =>
+        r.getSeq[Float](0).map { x =>
+          val q = math.floor(x.toDouble * 10000 + 0.5).toLong; q * q
+        }.sum
+      }
+    val m2 = med2x(sqns.sorted)
+    val devs = sqns.map(s => math.abs(2 * s - m2))
+    val mad4 = med2x(devs.sorted)
+    def band(dev2: Long): Long =
+      if (10000L * dev2 > 22239L * mad4) 3L
+      else if (10000L * dev2 > 14826L * mad4) 2L
+      else if (10000L * dev2 > 7413L * mad4) 1L
+      else 0L
+    val expected = sqns.zip(devs).groupBy { case (_, d) => band(d) }
+      .map { case (b, rs) =>
+        (b, rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max)
+      }.toSeq.sortBy(_._1)
+    val out = rows("embed_norm_outliers")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[Long]("band"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("min_sqn"), r.getAs[Long]("max_sqn")) == e)
+    }
+    // the audit's reason to exist: the planted scaled copies land
+    // beyond the 3-sigma fence, so the outlier band is never vacuous
+    assert(expected.exists(_._1 == 3L))
+  }
+
+  test("quality_decile_by_lang equals brute-force per-lang lower deciles") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def qp(text: String): Long = {
+      val lower = text.toLowerCase
+      val toks = lower.split("\\s+").filter(_.nonEmpty)
+      val stops = Set("the", "a", "and", "of", "is")
+      val nTokens = toks.length.toLong
+      val stopHits = toks.count(stops).toLong
+      val punct = lower.replaceAll("[a-z0-9 ]", "").length.toLong
+      val nChars = text.length.toLong
+      (if (nTokens > 0) (500 * stopHits) / nTokens else 0L) +
+        (300 * (nChars - punct)) / nChars +
+        math.min(2 * nTokens, 200L)
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, rs) =>
+      val sorted = rs.map(d => qp(d._2)).sorted
+      val n = sorted.length.toLong
+      def lower(k: Long, of: Long): Long = // smallest v with of*cum >= k*n
+        sorted(((k * n + of - 1) / of - 1).toInt)
+      (lang, n, lower(1, 10), lower(1, 2), lower(9, 10))
+    }.toSeq.sortBy(_._1)
+    val out = rows("quality_decile_by_lang")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("p10"), r.getAs[Long]("p50"), r.getAs[Long]("p90")) == e)
+    }
+  }
 }
