@@ -535,10 +535,46 @@ object Multimodal {
     withPayload.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // Per-partition reader cache: AudioSystem.getAudioInputStream
+        // re-walks the AudioFileReader SPI chain per call, and each
+        // non-matching provider signals "not mine" by THROWING — so a
+        // WAV corpus pays provider exception construction per clip.
+        // Caching the last provider that succeeded (the JDK WAV reader
+        // here) and trying it first turns the steady state into one
+        // direct reader call; any clip it rejects falls back to the
+        // full SPI walk, so non-WAV and garbage payloads behave exactly
+        // as before. Same decoder class either way — the codec path
+        // stays the JDK's.
+        var cachedReader: javax.sound.sampled.spi.AudioFileReader = null
+        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          if (cachedReader != null) {
+            try {
+              return cachedReader.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException =>
+                // fall through to the full SPI walk
+            }
+          }
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          while (it.hasNext) {
+            val r = it.next()
+            try {
+              val ais = r.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              cachedReader = r
+              return ais
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+            }
+          }
+          throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "no AudioFileReader accepted the payload")
+        }
         rows.map { case (id, bytes) =>
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = open(bytes)
             val f = ais.getFormat
             val data = ais.readAllBytes()
             ais.close()

@@ -34,11 +34,18 @@ object Media {
     // (x, y) grid — if the codec round-trip perturbed a single channel
     // of a single pixel anywhere in the corpus, the hash would miss.
     "image_pixel_stats" -> ((s, dir) => {
+      // persisted before the total-order sort: a map-only pipeline has
+      // no shuffle for the range sort to anchor exchange-reuse on, so
+      // the sort's range-bounds SAMPLING pass would re-run the whole
+      // encode+decode chain a second time (ScanAudit can't see this —
+      // the plan has one scan leaf that EXECUTES twice). The decoded
+      // stats are 8 integers/row, so the cache is tiny at any SF.
       Multimodal.decodePixelStats(
           Multimodal.encodePngPayload(documents(s, dir)))
         .toDF()
         .select(col("doc_id"), col("fmt"), col("width"), col("height"),
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy(col("doc_id"))
     }),
 
@@ -51,11 +58,15 @@ object Media {
     // fingerprint directly — codec-free — so the whole image-dedup
     // pipeline (encode, decode, hash, group, join-back) is checked.
     "image_phash_dup" -> ((s, dir) => {
+      // persisted: the encode+decode chain feeds the group aggregate AND
+      // the join-back (and the sort's sampling pass) — one codec pass,
+      // not three
       val ah = Multimodal.decodeAHash(
           Multimodal.encodeFingerprintImage(
             documents(s, dir)
               .withColumn("fp", TextFns.fingerprint(col("text")))))
         .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grp = ah.groupBy(col("ahash"))
         .agg(min(col("doc_id")).as("rep_id"),
           count(lit(1)).as("group_size"))
@@ -68,11 +79,15 @@ object Media {
     // decode → exact PCM sample stats incl. zero crossings. PCM is
     // lossless, so the oracle's closed-form recompute is bit-exact.
     "audio_sample_stats" -> ((s, dir) => {
+      // persisted before the sort for the same sampling-pass reason as
+      // image_pixel_stats (ProfileMedia measured the sort DOUBLING the
+      // query: 3.7 s decode → 8.3 s with the unpersisted sort at 10x)
       Multimodal.decodeAudioStats(
           Multimodal.encodeWavPayload(documents(s, dir)))
         .toDF()
         .select(col("doc_id"), col("n_samples"), col("sum_s"), col("sum_sq"),
           col("min_s"), col("max_s"), col("zero_cross"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .orderBy(col("doc_id"))
     })
   )
