@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Analytics, Audit, Core, Curation, Extended, Insights, Media, Mining, Olap, Reshape, Signals, SimilarityQ, TemporalQ, TextDedup, TokenizerQ, WindowsQ}
+import graft.queries.{Advanced, Analytics, Audit, Core, Curation, Extended, Features, Insights, Media, Mining, Olap, Reshape, Signals, SimilarityQ, TemporalQ, TextDedup, TokenizerQ, WindowsQ}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2, each paired (where SQL-expressible) with an ANSI-SQL
@@ -32,7 +32,8 @@ object SparkEntry {
       (Insights.queries, Insights.oracles),
       (Signals.queries, Signals.oracles),
       (Media.queries, Media.oracles),
-      (Audit.queries, Audit.oracles))
+      (Audit.queries, Audit.oracles),
+      (Features.queries, Features.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

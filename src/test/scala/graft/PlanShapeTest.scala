@@ -503,6 +503,25 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<text:string,lang:string>"), p)
   }
 
+  test("target_encode_oof scans the fact table once; prior rides a broadcast") {
+    val df = SparkEntry.queries("target_encode_oof")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (cat, fold) aggregate is cached and feeds the window AND the
+    // 1-row prior; no second orders scan, no cartesian
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("feature_hash_collisions tokenizes once and stacks widths in-row") {
+    val p = plan("feature_hash_collisions")
+    // the 4 widths come from ONE explode over the same hash — a width
+    // must never trigger its own corpus scan
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("embed_norm_outliers: one cached vector scan feeds both percentile passes") {
     val df = SparkEntry.queries("embed_norm_outliers")(spark, sf)
     df.collect()

@@ -158,6 +158,61 @@ class RobustStatsTest extends AnyFunSuite {
     assert(expected.exists(_._1 == 3L))
   }
 
+  test("target_encode_oof equals the brute-force out-of-fold encoder") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 5,
+        (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact))
+    val cf = orders.groupBy(o => (o._1, o._2)).map { case ((c, f), rs) =>
+      (c, f, rs.length.toLong, rs.map(_._3).sum)
+    }.toSeq
+    val gs = cf.map(_._4).sum; val gn = cf.map(_._3).sum
+    val prior = gs / gn
+    val expected = cf.map { case (c, f, n, s) =>
+      val tn = cf.filter(_._1 == c).map(_._3).sum
+      val ts = cf.filter(_._1 == c).map(_._4).sum
+      (c, f, n, ((ts - s) + 10 * prior) / ((tn - n) + 10))
+    }.sortBy(e => (e._1, e._2))
+    val out = rows("target_encode_oof")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[String]("cat"), r.getAs[Long]("fold"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("encoded_cents")) == e)
+    }
+  }
+
+  test("feature_hash_collisions equals the brute-force bucket profile") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val vocab = docs.flatMap { t =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+    }.distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    val hs = vocab.map(h52)
+    val expected = Seq(16L, 256L, 1024L, 4096L).map { d =>
+      val loads = hs.groupBy(_ % d).values.map(_.length.toLong).toSeq
+      (d, loads.sum, loads.size.toLong, loads.sum - loads.size,
+        loads.max, (1000 * loads.size) / d)
+    }
+    val out = rows("feature_hash_collisions")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[Long]("dim"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("buckets_used"), r.getAs[Long]("excess_features"),
+        r.getAs[Long]("max_load"), r.getAs[Long]("occupancy_permille")) == e)
+    }
+    // width 16 is saturated at every SF — the collision path is never
+    // vacuously zero, even on the smoke corpus
+    assert(expected.head._4 > 0)
+  }
+
   test("quality_decile_by_lang equals brute-force per-lang lower deciles") {
     val docs = graft.Tables.documents(spark, sf)
       .select("lang", "text").collect()
