@@ -163,7 +163,16 @@ object Bench {
             docs.select(org.apache.spark.sql.functions
               .when(col("doc_id") % 2 === 0, "a").otherwise("b").as("slice"),
               col("lang").as("cat")),
-            "slice", "cat", s"$dir/counts")))
+            "slice", "cat", s"$dir/counts")),
+        // OOF target-encoder state: cat = lang, fold = doc_id % 5,
+        // label = n_chars as a price — the feature-store sum table
+        // maintained incrementally
+        ("streaming_target_encode", (docs, dir) =>
+          graft.streaming.StreamingOps.targetEncodeStateEachBatch(
+            docs.select(col("doc_id").as("o_orderkey"),
+              col("lang").as("o_orderpriority"),
+              col("n_chars").cast("double").as("o_totalprice")),
+            s"$dir/encoder")))
     }
     def timeStreamingOnce(name: String,
         mk: (org.apache.spark.sql.DataFrame, String) =>

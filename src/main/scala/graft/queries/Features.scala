@@ -27,6 +27,37 @@ object Features {
     */
   private val SMOOTH_M = 10L
 
+  /** THE OOF-encoder derivation — single definition shared by the batch
+    * query and the streaming state mirror (`StreamingOps
+    * .targetEncodeStateEachBatch`), so a formula fix can never
+    * desynchronize the two (the round-4 quality-formula lesson). Input:
+    * a (cat, fold, n, s) label-sum table (bounded: |cats| x folds
+    * rows); output: the smoothed out-of-fold encoder. The input is
+    * referenced by the window chain AND the 1-row prior — callers
+    * persist it (batch) or read it from a tiny parquet snapshot
+    * (streaming).
+    */
+  def oofEncode(cf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cat"))
+    val prior = cf.agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    cf.withColumn("tn", sum(col("n")).over(w))
+      .withColumn("ts", sum(col("s")).over(w))
+      .crossJoin(broadcast(prior))
+      .select(col("cat"), col("fold"), col("n").as("n_rows"),
+        expr(s"((ts - s) + $SMOOTH_M * (gs div gn))" +
+          s" div ((tn - n) + $SMOOTH_M)").as("encoded_cents"))
+      .orderBy(col("cat"), col("fold"))
+  }
+
+  /** The (cat, fold, cents) projection of orders the encoder sums —
+    * shared with the streaming mirror's per-batch delta.
+    */
+  def encodeBase(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderpriority").as("cat"),
+      (col("o_orderkey") % 5).as("fold"),
+      (d2(col("o_totalprice")) * 100).cast("long").as("cents"))
+
   /** Hashed-feature widths to audit. 16 is deliberately saturated at
     * every SF (the collision logic is exercised even on the sf0.001
     * smoke corpus — never a vacuous gate); 4096 brackets the width a
@@ -48,22 +79,11 @@ object Features {
     // the prior rides a 1-row broadcast. The encoder table is what
     // ships to training — the fact table is never re-read per fold.
     "target_encode_oof" -> ((s, dir) => {
-      val base = orders(s, dir).select(
-        col("o_orderpriority").as("cat"),
-        (col("o_orderkey") % 5).as("fold"),
-        (d2(col("o_totalprice")) * 100).cast("long").as("cents"))
-      val cf = base.groupBy(col("cat"), col("fold"))
+      val cf = encodeBase(orders(s, dir))
+        .groupBy(col("cat"), col("fold"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = Window.partitionBy(col("cat"))
-      val prior = cf.agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
-      cf.withColumn("tn", sum(col("n")).over(w))
-        .withColumn("ts", sum(col("s")).over(w))
-        .crossJoin(broadcast(prior))
-        .select(col("cat"), col("fold"), col("n").as("n_rows"),
-          expr(s"((ts - s) + $SMOOTH_M * (gs div gn))" +
-            s" div ((tn - n) + $SMOOTH_M)").as("encoded_cents"))
-        .orderBy(col("cat"), col("fold"))
+      oofEncode(cf)
     }),
 
     // Hashing-trick collision audit over the corpus BIGRAM vocabulary

@@ -634,6 +634,32 @@ object StreamingOps {
       ()
     }
 
+  /** Streaming feature-encoder mirror, state half: maintain the
+    * (cat, fold) label-sum state of the out-of-fold target encoder
+    * incrementally, so the encoder table a trainer reads is always
+    * current without re-scanning order history. Sums are additive (NOT
+    * replay-idempotent), so the merge rides the shared (queryTag,
+    * batchId) staged-rename commit like the IVM/drift sinks. State =
+    * |cats| x folds rows regardless of stream length; the encoder
+    * itself is derived from this state by `graft.queries.Features
+    * .oofEncode` — the SAME definition the batch `target_encode_oof`
+    * query uses, so batch and streaming cannot disagree on the formula.
+    */
+  def targetEncodeStateEachBatch(orders: DataFrame, path: String,
+      queryTag: String = "default") =
+    orders.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyOnceAtomically(batch.sparkSession, path, queryTag, batchId) {
+        existing =>
+          val delta = graft.queries.Features.encodeBase(batch)
+            .groupBy(col("cat"), col("fold"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+          existing.getOrElse(delta.limit(0)).unionByName(delta)
+            .groupBy(col("cat"), col("fold"))
+            .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      }
+      ()
+    }
+
   /** Drift half: the exact-integer total-variation table between two
     * slices of a maintained count state (the batch `priority_drift_tv`
     * formula — tv_num = |n_a·N_b − n_b·N_a| over the common denominator

@@ -815,4 +815,67 @@ class StreamingOpsTest extends AnyFunSuite {
     sq3.stop()
     assert(drift() == refDrift(b0 ++ b1 ++ b2))
   }
+
+  test("targetEncodeStateEachBatch mirrors the batch OOF encoder; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tenc").toString
+    val path = s"$dir/state"
+    val mem = MemoryStream[(Long, String, Double)]
+    val sq = StreamingOps.targetEncodeStateEachBatch(
+      mem.toDF.toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+      path).start()
+
+    // batch recompute through the SAME shared derivation the streaming
+    // read half uses — parity means the incremental state is exactly
+    // the batch (cat, fold) sums
+    def batchRef(rows: Seq[(Long, String, Double)]): Set[(String, Long, Long, Long)] =
+      graft.queries.Features.oofEncode(
+        graft.queries.Features.encodeBase(
+          rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+          .groupBy(col("cat"), col("fold"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    def encoded(): Set[(String, Long, Long, Long)] =
+      graft.queries.Features.oofEncode(spark.read.parquet(path)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    val b0 = Seq((1L, "1-URGENT", 10.50), (2L, "2-HIGH", 20.00),
+      (3L, "1-URGENT", 7.25), (6L, "1-URGENT", 3.00), (7L, "2-HIGH", 8.75))
+    mem.addData(b0: _*)
+    sq.processAllAvailable()
+    assert(encoded() == batchRef(b0))
+
+    val b1 = Seq((8L, "2-HIGH", 15.00), (11L, "1-URGENT", 4.20),
+      (12L, "3-MEDIUM", 9.99))
+    mem.addData(b1: _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(encoded() == batchRef(b0 ++ b1))
+
+    // replay from batch 0 with the same queryTag: additive sums must
+    // NOT double-apply
+    val mem2 = MemoryStream[(Long, String, Double)]
+    val sq2 = StreamingOps.targetEncodeStateEachBatch(
+      mem2.toDF.toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+      path).start()
+    mem2.addData(b0: _*) // replays batchId 0, already committed
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(encoded() == batchRef(b0 ++ b1))
+
+    // a fresh feed lineage (new tag) applies from its own batch 0
+    val mem3 = MemoryStream[(Long, String, Double)]
+    val b2 = Seq((13L, "3-MEDIUM", 2.50))
+    val sq3 = StreamingOps.targetEncodeStateEachBatch(
+      mem3.toDF.toDF("o_orderkey", "o_orderpriority", "o_totalprice"),
+      path, "feed2").start()
+    mem3.addData(b2: _*)
+    sq3.processAllAvailable()
+    sq3.stop()
+    assert(encoded() == batchRef(b0 ++ b1 ++ b2))
+  }
 }
