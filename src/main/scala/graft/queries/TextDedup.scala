@@ -207,6 +207,27 @@ object TextDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Dup-cluster SIZE profile: log2 histogram of connected-component
+    // sizes over the same verified LSH pair graph — the one-page answer
+    // to "are my near-dups isolated pairs or boilerplate mega-clusters",
+    // which decides whether survivorship keep-best suffices or template
+    // removal is needed. Bucket = floor(log2(size)) via length(bin(sz))
+    // (no float log — the key_skew_profile discipline); output is
+    // log2(max cluster) rows at any corpus size. The CC labels are the
+    // expensive part and they're already the dedup_clusters pipeline;
+    // the histogram is two catalog-bounded aggregates on top.
+    "dup_cluster_size_hist" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(documents(s, dir),
+        n = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        maxDf = Some(MAX_DF))
+      Dedup.componentsFromPairs(pairs.select(col("a"), col("b")))
+        .groupBy(col("rep_doc_id")).agg(count(lit(1)).as("sz"))
+        .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+        .orderBy(col("bucket"))
+    }),
+
     // Dup-cluster shape profile: BFS hop distance from each cluster's
     // representative over the same verified LSH pair graph
     // dedup_clusters labels — distinguishes chain-shaped clusters
@@ -713,6 +734,18 @@ object TextDedup {
          |${clusterTailSql(0.5)}
          |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
+    // Same recursive-CTE components, reduced to the log2 size histogram.
+    val clusterSizeHistSql =
+      s"""WITH RECURSIVE $lshCommon,
+         |${clusterTailSql(0.5)},
+         |sizes AS (SELECT rep_doc_id, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(min(sz) AS BIGINT) AS min_sz,
+         |  CAST(max(sz) AS BIGINT) AS max_sz
+         |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
+
     def ngramSqlAt(threshold: Double) =
       s"""WITH $docsSql,
          |$dfShingledSql,
@@ -801,6 +834,7 @@ object TextDedup {
 
       "dedup_minhash_lsh" -> minhashSql,
       "dedup_clusters" -> clustersSql,
+      "dup_cluster_size_hist" -> clusterSizeHistSql,
       // Min-hop BFS from each component's rep. The plain recursive CTE
       // enumerates (node, d) pairs for EVERY reachable hop count, so a
       // depth cap is what makes it terminate on cyclic graphs; 30 > the
