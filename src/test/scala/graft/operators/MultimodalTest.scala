@@ -195,6 +195,35 @@ class MultimodalTest extends AnyFunSuite {
     assert(out(2).fmt == "unknown" && out(2).width == -1L && out(2).height == -1L)
   }
 
+  test("JPEG decode is deterministic: same bytes, two executions, equal stats") {
+    // Lossy codecs have no closed-form oracle, but the decode must still
+    // be a FUNCTION of the bytes — if two executions of the same payload
+    // could disagree (codec version, thread-local state, float paths),
+    // every downstream hash/group over decoded features would be
+    // nondeterministic at scale. Decode the same corpus twice through
+    // separate executions (and partition layouts) and require identical
+    // exact pixel sums.
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 16) << 8) | ((x + y) * 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val bytes = bos.toByteArray
+    val payloads = (0L until 64L).map(i => (i, bytes))
+    def statsOf(parts: Int): Seq[(Long, Long, Long, Long)] =
+      Multimodal.decodePixelStats(
+          payloads.toDF("doc_id", "payload").repartition(parts))
+        .collect().sortBy(_.doc_id)
+        .map(p => (p.doc_id, p.sum_r, p.sum_g, p.sum_b)).toSeq
+    val a = statsOf(2)
+    val b = statsOf(7)
+    assert(a == b)
+    // every copy of the same bytes decodes to the same sums within one
+    // execution too (no per-row state leakage)
+    assert(a.map(t => (t._2, t._3, t._4)).distinct.size == 1)
+  }
+
   test("encodeFingerprintImage -> decodeAHash: equal fp => equal hash, distinct fp differ, garbage -> -1") {
     val fps = Seq((0L, "aaaa"), (1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"))
       .toDF("doc_id", "fp")
