@@ -31,6 +31,58 @@ object Mining {
   private[queries] val KCORE_ROUNDS = 4
 
   def queries: Map[String, Q] = Map(
+    // Reference-point-blocked sequence-similarity search (the REPOSE /
+    // IVF pattern applied to edit distance — ICDE 2021's trajectory
+    // top-k relationalized): each user's behavior is the ordered string
+    // of event-type initials (ties broken by event_id, capped at 40
+    // chars so the DP is O(1) per pair); every user is assigned to its
+    // nearest of 8 broadcast reference sequences (8 map-side distances
+    // per user — the coarse quantizer), and each probe user (id % 7 =
+    // 3, a deterministic ~14% query set — dense enough that even the
+    // 15-user smoke corpus has probes) scores ONLY its own cell.
+    // Top-3 neighbors per probe by (distance, candidate id). Scale
+    // shape: the all-pairs quadratic never exists — assignment is
+    // linear, probing is |probes| x cell, both equi-joins; the sequence
+    // table is built once (persisted: refs + assignment + probe/cand
+    // sides all read it).
+    "seq_topk_refblock" -> ((s, dir) => {
+      val seqs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("c")))),
+          x => x.getField("c"))).as("fullseq"))
+        .select(col("user_id"), substring(col("fullseq"), 1, 40).as("seq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val refs = seqs.filter(col("user_id") < 8)
+        .select(col("user_id").as("ref_id"), col("seq").as("rseq"))
+      val rw = Window.partitionBy(col("user_id"))
+        .orderBy(col("rdist"), col("ref_id"))
+      val cells = seqs.crossJoin(broadcast(refs))
+        .withColumn("rdist",
+          levenshtein(col("seq"), col("rseq")).cast("long"))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("seq"), col("ref_id").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = cells.filter(col("user_id") % 7 === 3)
+        .select(col("user_id").as("probe"), col("seq").as("pseq"),
+          col("cell"))
+      val pw = Window.partitionBy(col("probe"))
+        .orderBy(col("dist"), col("cand"))
+      probes.join(cells.select(col("user_id").as("cand"),
+          col("seq").as("cseq"), col("cell")), Seq("cell"))
+        .filter(col("cand") =!= col("probe"))
+        .withColumn("dist",
+          levenshtein(col("pseq"), col("cseq")).cast("long"))
+        .withColumn("rnk", row_number().over(pw).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("probe"), col("rnk"), col("cand"), col("dist"))
+        .orderBy(col("probe"), col("rnk"))
+    }),
+
     // Fuzzy entity match: every document's BEST fuzzy neighbor among
     // docs sharing its title's two leading tokens — the classic
     // blocked record-linkage shape (block key = cheap equality, scorer
@@ -541,6 +593,38 @@ object Mining {
 
   def oracles: Map[String, String] = Map(
     "kcore_docs" -> kcoreOracle,
+
+    // Mirrors seq_topk_refblock: ordered-aggregate sequences, nearest
+    // reference via the explicit (dist, ref_id) row_number (arg_min
+    // tie-breaking is unspecified — never rely on it), same probe set
+    // and (dist, cand) top-3.
+    "seq_topk_refblock" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    substr(string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id), 1, 40) AS seq
+        |  FROM events GROUP BY user_id),
+        |refs AS (SELECT user_id AS ref_id, seq AS rseq FROM seqs
+        |         WHERE user_id < 8),
+        |assigned AS (
+        |  SELECT user_id, seq, ref_id AS cell,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY levenshtein(seq, rseq), ref_id) AS rn
+        |  FROM seqs CROSS JOIN refs),
+        |cells AS (SELECT user_id, seq, cell FROM assigned WHERE rn = 1),
+        |probes AS (SELECT user_id AS probe, seq AS pseq, cell
+        |           FROM cells WHERE user_id % 7 = 3),
+        |scored AS (
+        |  SELECT p.probe, c.user_id AS cand,
+        |    CAST(levenshtein(p.pseq, c.seq) AS BIGINT) AS dist
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.user_id <> p.probe),
+        |ranked AS (
+        |  SELECT probe, cand, dist, CAST(row_number() OVER (
+        |    PARTITION BY probe ORDER BY dist, cand) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT probe, rnk, cand, dist FROM ranked
+        |WHERE rnk <= 3 ORDER BY probe, rnk""".stripMargin,
 
     "jw_best_match" ->
       """WITH d AS (

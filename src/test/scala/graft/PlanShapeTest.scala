@@ -522,6 +522,19 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("seq_topk_refblock: refs broadcast, cells cached, no cartesian pairing") {
+    val df = SparkEntry.queries("seq_topk_refblock")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the sequence table is built once (cached) and the probe/candidate
+    // sides join through the cell key — the all-pairs quadratic never
+    // exists in the plan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("embed_norm_outliers: one cached vector scan feeds both percentile passes") {
     val df = SparkEntry.queries("embed_norm_outliers")(spark, sf)
     df.collect()
