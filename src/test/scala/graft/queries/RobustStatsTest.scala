@@ -213,6 +213,43 @@ class RobustStatsTest extends AnyFunSuite {
     assert(expected.head._4 > 0)
   }
 
+  test("seq_topk_refblock equals the brute-force reference-blocked search") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1),
+        r.getLong(2), r.getString(3).take(1)))
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val seqs = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+        .map(_._4).mkString.take(40)
+    }
+    val refs = seqs.filter(_._1 < 8).toSeq.sortBy(_._1)
+    val cells = seqs.map { case (u, s) =>
+      val best = refs.map { case (rid, rs) => (lev(s, rs), rid) }.min
+      (u, s, best._2)
+    }.toSeq
+    val expected = cells.filter(_._1 % 7 == 3).flatMap { case (p, ps, cell) =>
+      cells.filter(c => c._3 == cell && c._1 != p)
+        .map(c => (lev(ps, c._2), c._1))
+        .sorted.take(3).zipWithIndex
+        .map { case ((d, cand), i) => (p, i + 1L, cand, d) }
+    }.sortBy(e => (e._1, e._2))
+    val out = rows("seq_topk_refblock")
+    assert(out.length == expected.length && expected.nonEmpty)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[Long]("probe"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("cand"), r.getAs[Long]("dist")) == e)
+    }
+  }
+
   test("quality_decile_by_lang equals brute-force per-lang lower deciles") {
     val docs = graft.Tables.documents(spark, sf)
       .select("lang", "text").collect()
