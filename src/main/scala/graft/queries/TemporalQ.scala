@@ -18,6 +18,43 @@ object TemporalQ {
 
   def queries: Map[String, Q] = Map(
 
+    // Sweep-line max concurrency — the interval primitive the coverage
+    // MERGE (gaps-and-islands) cannot answer: each supplier's PEAK
+    // number of simultaneously in-flight shipments and the first day it
+    // was hit, the capacity-planning gauge. Shipment in-flight window =
+    // [shipdate, shipdate + 3 + (orderkey + linenumber) % 12] days
+    // (deterministic synthetic transit — the corpus carries no receipt
+    // date). Classic sweep: +1 at start / -1 past end, per-(supplier,
+    // day) deltas reduce MAP-SIDE before any window, the running sum is
+    // per-supplier (never a global window), peak day via an explicit
+    // (conc desc, day) row_number. Everything in epoch-day integers.
+    // At 100 TB the window partition is one supplier's distinct active
+    // days — dimension-bounded — and the delta aggregate carries two
+    // rows per lineitem at most into the shuffle.
+    "peak_inflight_shipments" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("timestamp"))
+          .cast("long").as("st"),
+        (lit(3L) + pmod(col("l_orderkey") + col("l_linenumber"), lit(12))
+          .cast("long")).as("transit"))
+      val deltas = li.select(col("l_suppkey"), col("st").as("day"),
+          lit(1L).as("delta"))
+        .unionByName(li.select(col("l_suppkey"),
+          (col("st") + col("transit") + 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy(col("l_suppkey"), col("day"))
+        .agg(sum(col("delta")).as("d"))
+      val sw = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+      val pk = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("conc").desc, col("day"))
+      deltas.withColumn("conc", sum(col("d")).over(sw))
+        .withColumn("rn", row_number().over(pk))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("conc").as("peak_inflight"),
+          col("day").as("peak_day"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // As-of join: each purchase attributed to the same user's latest view
     // at or before it (left: purchases keep rows with no prior view).
     // The right side is pre-aggregated unique on (user_id, ts) so the
@@ -100,6 +137,33 @@ object TemporalQ {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // Mirrors peak_inflight_shipments: same synthetic transit, same
+    // delta sweep, same explicit peak tie-break.
+    "peak_inflight_shipments" ->
+      """WITH li AS (
+        |  SELECT l_suppkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS st,
+        |    3 + (l_orderkey + l_linenumber) % 12 AS transit
+        |  FROM lineitem),
+        |deltas AS (
+        |  SELECT l_suppkey, day, CAST(sum(delta) AS BIGINT) AS d
+        |  FROM (SELECT l_suppkey, st AS day, 1 AS delta FROM li
+        |        UNION ALL
+        |        SELECT l_suppkey, st + transit + 1, -1 FROM li)
+        |  GROUP BY 1, 2),
+        |run AS (
+        |  SELECT l_suppkey, day,
+        |    sum(d) OVER (PARTITION BY l_suppkey ORDER BY day) AS conc
+        |  FROM deltas),
+        |ranked AS (
+        |  SELECT l_suppkey, day, conc, row_number() OVER (
+        |    PARTITION BY l_suppkey ORDER BY conc DESC, day) AS rn
+        |  FROM run)
+        |SELECT l_suppkey, CAST(conc AS BIGINT) AS peak_inflight,
+        |  CAST(day AS BIGINT) AS peak_day
+        |FROM ranked WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
 
     "asof_join_events" ->
       """WITH v AS (

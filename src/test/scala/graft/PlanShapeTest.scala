@@ -522,6 +522,14 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("peak_inflight_shipments: map-side delta reduce, supplier-keyed windows only") {
+    val p = plan("peak_inflight_shipments")
+    // the sweep deltas partial-aggregate before the shuffle, and every
+    // window is supplier-partitioned — no single-partition stage exists
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("seq_topk_refblock: refs broadcast, cells cached, no cartesian pairing") {
     val df = SparkEntry.queries("seq_topk_refblock")(spark, sf)
     df.collect()

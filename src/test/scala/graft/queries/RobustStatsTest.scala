@@ -250,6 +250,39 @@ class RobustStatsTest extends AnyFunSuite {
     }
   }
 
+  test("peak_inflight_shipments equals the brute-force sweep") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+      .collect()
+      .map { r =>
+        val day = r.get(3) match {
+          case t: java.sql.Timestamp => java.time.Duration
+            .between(java.time.Instant.EPOCH, t.toInstant).toDays
+          case d: java.time.LocalDateTime => java.time.Duration
+            .between(java.time.LocalDateTime.of(1970, 1, 1, 0, 0), d).toDays
+        }
+        (r.getLong(0), day,
+          day + 3 + (r.getLong(1) + r.getInt(2)) % 12)
+      }
+    val expected = li.groupBy(_._1).map { case (supp, rs) =>
+      val deltas = rs.flatMap(r => Seq((r._2, 1L), (r._3 + 1, -1L)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val run = deltas.scanLeft((0L, 0L)) { case ((_, acc), (day, d)) =>
+        (day, acc + d) }.drop(1)
+      val peak = run.map(_._2).max
+      val day = run.find(_._2 == peak).get._1
+      (supp, peak, day)
+    }.toSeq.sortBy(_._1)
+    val out = rows("peak_inflight_shipments")
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, e) =>
+      assert((r.getAs[Long]("l_suppkey"), r.getAs[Long]("peak_inflight"),
+        r.getAs[Long]("peak_day")) == e)
+    }
+    // the sweep is exercised: some supplier genuinely overlaps shipments
+    assert(expected.exists(_._2 >= 2))
+  }
+
   test("quality_decile_by_lang equals brute-force per-lang lower deciles") {
     val docs = graft.Tables.documents(spark, sf)
       .select("lang", "text").collect()
