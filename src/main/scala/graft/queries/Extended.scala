@@ -26,6 +26,107 @@ object Extended {
   /** BPE-ish token classes: letter runs, digit runs, single punctuation. */
   private val BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** DuckDB twin of [[erLabels]] — the shared CTE chain (ends in a
+    * `labels` CTE) both the er_clusters and golden_record_merge oracles
+    * build on. Mirrors the implementation's replica-clique contraction:
+    * the candidate generators (blocking + SNM) run over DISTINCT names
+    * (one min-key representative each), members inherit their rep's
+    * component root through the name group. On unique-name corpora
+    * (sf0.001..0.1) this is bit-identical to the uncontracted closure;
+    * on replicated corpora it is BOTH the declared semantics (SNM
+    * windows over names, not over replica padding) AND what keeps the
+    * reach closure tractable — Σ|component|² shrinks by the
+    * replication factor squared.
+    */
+  private val erCompSql: String =
+    """cc AS (SELECT c_custkey, c_name FROM customer),
+      |grp AS (SELECT c_name, CAST(MIN(c_custkey) AS BIGINT) AS rep,
+      |          COUNT(*) AS gn
+      |        FROM cc GROUP BY c_name),
+      |c AS (SELECT rep AS c_custkey, c_name FROM grp),
+      |bp AS (
+      |  SELECT x.c_custkey AS a, x.c_name AS na,
+      |         y.c_custkey AS b, y.c_name AS nb
+      |  FROM c x JOIN c y
+      |    ON substr(x.c_name, 15, 4) = substr(y.c_name, 15, 4)
+      |   AND x.c_custkey < y.c_custkey),
+      |s AS (SELECT c_custkey, c_name,
+      |        row_number() OVER (ORDER BY c_name, c_custkey) AS idx
+      |      FROM c),
+      |snm0 AS (
+      |  SELECT x.c_custkey AS ka, x.c_name AS kna,
+      |         y.c_custkey AS kb, y.c_name AS knb
+      |  FROM s x JOIN s y ON y.idx - x.idx BETWEEN 1 AND 2),
+      |snm AS (
+      |  SELECT CASE WHEN ka < kb THEN ka ELSE kb END AS a,
+      |         CASE WHEN ka < kb THEN kna ELSE knb END AS na,
+      |         CASE WHEN ka < kb THEN kb ELSE ka END AS b,
+      |         CASE WHEN ka < kb THEN knb ELSE kna END AS nb
+      |  FROM snm0),
+      |cand AS (SELECT DISTINCT a, na, b, nb FROM
+      |  (SELECT * FROM bp UNION ALL SELECT * FROM snm)),
+      |pairsq AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
+      |edges AS (SELECT a AS u, b AS v FROM pairsq
+      |          UNION ALL SELECT b AS u, a AS v FROM pairsq),
+      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |reach(node, root) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |comp AS (
+      |  SELECT node, CAST(MIN(root) AS BIGINT) AS root
+      |  FROM reach GROUP BY node),
+      |labels AS (
+      |  SELECT m.c_custkey,
+      |    CAST(COALESCE(comp.root, g.rep) AS BIGINT) AS rep_custkey
+      |  FROM cc m JOIN grp g USING (c_name)
+      |  LEFT JOIN comp ON g.rep = comp.node
+      |  WHERE comp.root IS NOT NULL OR g.gn > 1)""".stripMargin
+
+  /** The ER cluster labeling (c_custkey, rep_custkey) — the replica-
+    * clique-contracted blocking + SNM + lev<=2 + connected-components
+    * chain, factored out so `er_clusters` (the labeling itself) and
+    * `golden_record_merge` (the field-level merge over it) share ONE
+    * definition. Clustered customers only (singleton names with no
+    * fuzzy match are not emitted).
+    */
+  private def erLabels(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
+    // persisted: feeds the chain edges AND the representative corpus
+    val grp = c.groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chain = c.join(grp, Seq("c_name"))
+      .filter(col("c_custkey") =!= col("rep"))
+      .select(col("rep").as("a"), col("c_custkey").as("b"))
+    val reps = grp.select(col("rep").as("c_custkey"), col("c_name"))
+    val blk = reps.withColumn("blk", substring(col("c_name"), 15, 4))
+    val bp = blk
+      .select(col("blk"), col("c_custkey").as("a"), col("c_name").as("na"))
+      .join(blk.select(col("blk"), col("c_custkey").as("b"),
+        col("c_name").as("nb")), Seq("blk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("na"), col("b"), col("nb"))
+    val snmRaw = graft.operators.Blocking.sortedNeighborhood(
+      reps, Seq(col("c_name"), col("c_custkey")), w = 3)
+    // canonicalize to a < b (SNM emits in name order, not key order)
+    val snm = snmRaw.select(
+      least(col("c_custkey_a"), col("c_custkey_b")).as("a"),
+      when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_a"))
+        .otherwise(col("c_name_b")).as("na"),
+      greatest(col("c_custkey_a"), col("c_custkey_b")).as("b"),
+      when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
+        .otherwise(col("c_name_a")).as("nb"))
+    val pairs = bp.unionByName(snm).distinct()
+      .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
+      .select(col("a"), col("b"))
+      .unionByName(chain)
+    graft.operators.Dedup.componentsFromPairs(pairs)
+      .select(col("doc_id").as("c_custkey"),
+        col("rep_doc_id").as("rep_custkey"))
+  }
+
   def queries: Map[String, Q] = Map(
 
     // A5 pivot: orders count by year x status, statuses as columns.
@@ -176,41 +277,42 @@ object Extended {
     // corpus (sf0.01/sf0.1: c_name embeds c_custkey, so names are
     // unique) the contraction is a no-op and the output is identical
     // to the uncontracted plan the oracle recomputes.
-    "er_clusters" -> ((s, dir) => {
-      val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
-      // persisted: feeds the chain edges AND the representative corpus
-      val grp = c.groupBy(col("c_name"))
-        .agg(min(col("c_custkey")).as("rep"))
+    "er_clusters" -> ((s, dir) =>
+      erLabels(s, dir).orderBy(col("c_custkey"))),
+
+    // MDM golden-record construction — the field-level merge step AFTER
+    // entity resolution that row-level survivorship can't do: per dup
+    // cluster, each field resolves by its OWN rule (name: longest, ties
+    // lexicographically largest, via the sortable lpad(len)||name key —
+    // deterministic on both engines where arg_max tie-breaking is not;
+    // balance: max exact cents; segment: most frequent, ties to the
+    // smallest). One labels join, two bounded aggregates — at 100 TB
+    // the per-cluster state is one row per (cluster) + one per
+    // (cluster, segment), both map-side combinable.
+    "golden_record_merge" -> ((s, dir) => {
+      val j = erLabels(s, dir)
+        .join(customer(s, dir), Seq("c_custkey"))
+        .select(col("rep_custkey"), col("c_name"),
+          (d2(col("c_acctbal")) * 100).cast("long").as("cents"),
+          col("c_mktsegment"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val chain = c.join(grp, Seq("c_name"))
-        .filter(col("c_custkey") =!= col("rep"))
-        .select(col("rep").as("a"), col("c_custkey").as("b"))
-      val reps = grp.select(col("rep").as("c_custkey"), col("c_name"))
-      val blk = reps.withColumn("blk", substring(col("c_name"), 15, 4))
-      val bp = blk
-        .select(col("blk"), col("c_custkey").as("a"), col("c_name").as("na"))
-        .join(blk.select(col("blk"), col("c_custkey").as("b"),
-          col("c_name").as("nb")), Seq("blk"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("na"), col("b"), col("nb"))
-      val snmRaw = graft.operators.Blocking.sortedNeighborhood(
-        reps, Seq(col("c_name"), col("c_custkey")), w = 3)
-      // canonicalize to a < b (SNM emits in name order, not key order)
-      val snm = snmRaw.select(
-        least(col("c_custkey_a"), col("c_custkey_b")).as("a"),
-        when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_a"))
-          .otherwise(col("c_name_b")).as("na"),
-        greatest(col("c_custkey_a"), col("c_custkey_b")).as("b"),
-        when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
-          .otherwise(col("c_name_a")).as("nb"))
-      val pairs = bp.unionByName(snm).distinct()
-        .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
-        .select(col("a"), col("b"))
-        .unionByName(chain)
-      graft.operators.Dedup.componentsFromPairs(pairs)
-        .select(col("doc_id").as("c_custkey"),
-          col("rep_doc_id").as("rep_custkey"))
-        .orderBy(col("c_custkey"))
+      val fields = j.groupBy(col("rep_custkey"))
+        .agg(count(lit(1)).as("n_members"),
+          max(concat(lpad(length(col("c_name")).cast("string"), 4, "0"),
+            col("c_name"))).as("nk"),
+          max(col("cents")).as("golden_bal_cents"))
+        .select(col("rep_custkey"), col("n_members"),
+          expr("substring(nk, 5)").as("golden_name"),
+          col("golden_bal_cents"))
+      val sw = Window.partitionBy(col("rep_custkey"))
+        .orderBy(col("cnt").desc, col("c_mktsegment"))
+      val seg = j.groupBy(col("rep_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(sw))
+        .filter(col("rn") === 1)
+        .select(col("rep_custkey"), col("c_mktsegment").as("golden_segment"))
+      fields.join(seg, Seq("rep_custkey"))
+        .orderBy(col("rep_custkey"))
     }),
 
     // Rolling-hash document fingerprint: position-weighted polynomial
@@ -552,49 +654,41 @@ object Extended {
       // AND what keeps the reach closure tractable — Σ|component|²
       // shrinks by the replication factor squared.
       "er_clusters" ->
-        """WITH RECURSIVE cc AS (SELECT c_custkey, c_name FROM customer),
-          |grp AS (SELECT c_name, CAST(MIN(c_custkey) AS BIGINT) AS rep,
-          |          COUNT(*) AS gn
-          |        FROM cc GROUP BY c_name),
-          |c AS (SELECT rep AS c_custkey, c_name FROM grp),
-          |bp AS (
-          |  SELECT x.c_custkey AS a, x.c_name AS na,
-          |         y.c_custkey AS b, y.c_name AS nb
-          |  FROM c x JOIN c y
-          |    ON substr(x.c_name, 15, 4) = substr(y.c_name, 15, 4)
-          |   AND x.c_custkey < y.c_custkey),
-          |s AS (SELECT c_custkey, c_name,
-          |        row_number() OVER (ORDER BY c_name, c_custkey) AS idx
-          |      FROM c),
-          |snm0 AS (
-          |  SELECT x.c_custkey AS ka, x.c_name AS kna,
-          |         y.c_custkey AS kb, y.c_name AS knb
-          |  FROM s x JOIN s y ON y.idx - x.idx BETWEEN 1 AND 2),
-          |snm AS (
-          |  SELECT CASE WHEN ka < kb THEN ka ELSE kb END AS a,
-          |         CASE WHEN ka < kb THEN kna ELSE knb END AS na,
-          |         CASE WHEN ka < kb THEN kb ELSE ka END AS b,
-          |         CASE WHEN ka < kb THEN knb ELSE kna END AS nb
-          |  FROM snm0),
-          |cand AS (SELECT DISTINCT a, na, b, nb FROM
-          |  (SELECT * FROM bp UNION ALL SELECT * FROM snm)),
-          |pairsq AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
-          |edges AS (SELECT a AS u, b AS v FROM pairsq
-          |          UNION ALL SELECT b AS u, a AS v FROM pairsq),
-          |nodes AS (SELECT DISTINCT u AS node FROM edges),
-          |reach(node, root) AS (
-          |  SELECT node, node FROM nodes
-          |  UNION
-          |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
-          |comp AS (
-          |  SELECT node, CAST(MIN(root) AS BIGINT) AS root
-          |  FROM reach GROUP BY node)
-          |SELECT m.c_custkey,
-          |  CAST(COALESCE(comp.root, g.rep) AS BIGINT) AS rep_custkey
-          |FROM cc m JOIN grp g USING (c_name)
-          |LEFT JOIN comp ON g.rep = comp.node
-          |WHERE comp.root IS NOT NULL OR g.gn > 1
-          |ORDER BY m.c_custkey""".stripMargin,
+        s"""WITH RECURSIVE $erCompSql
+           |SELECT c_custkey, rep_custkey FROM labels
+           |ORDER BY c_custkey""".stripMargin,
+
+      // Mirrors golden_record_merge over the SAME shared labels chain:
+      // sortable lpad(len)||name key for the longest-name rule, max
+      // exact cents, mode segment with explicit (cnt desc, seg)
+      // tie-break.
+      "golden_record_merge" ->
+        s"""WITH RECURSIVE $erCompSql,
+           |j AS (
+           |  SELECT l.rep_custkey, cu.c_name,
+           |    CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents,
+           |    cu.c_mktsegment
+           |  FROM labels l JOIN customer cu USING (c_custkey)),
+           |fields AS (
+           |  SELECT rep_custkey, CAST(count(*) AS BIGINT) AS n_members,
+           |    max(lpad(CAST(length(c_name) AS VARCHAR), 4, '0') || c_name)
+           |      AS nk,
+           |    CAST(max(cents) AS BIGINT) AS golden_bal_cents
+           |  FROM j GROUP BY 1),
+           |segc AS (SELECT rep_custkey, c_mktsegment, count(*) AS cnt
+           |         FROM j GROUP BY 1, 2),
+           |seg AS (
+           |  SELECT rep_custkey, c_mktsegment AS golden_segment
+           |  FROM (SELECT rep_custkey, c_mktsegment, row_number() OVER (
+           |          PARTITION BY rep_custkey
+           |          ORDER BY cnt DESC, c_mktsegment) AS rn
+           |        FROM segc)
+           |  WHERE rn = 1)
+           |SELECT f.rep_custkey, f.n_members, substr(f.nk, 5) AS golden_name,
+           |  f.golden_bal_cents, seg.golden_segment
+           |FROM fields f JOIN seg USING (rep_custkey)
+           |ORDER BY f.rep_custkey""".stripMargin,
 
       "sorted_neighborhood_pairs" ->
         """WITH s AS (

@@ -530,6 +530,16 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("golden_record_merge: one labels join feeds both field aggregates") {
+    val df = SparkEntry.queries("golden_record_merge")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the labels-joined member table is cached and read by the field
+    // aggregate AND the segment-mode aggregate — one customer pass
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("seq_topk_refblock: refs broadcast, cells cached, no cartesian pairing") {
     val df = SparkEntry.queries("seq_topk_refblock")(spark, sf)
     df.collect()

@@ -283,6 +283,38 @@ class RobustStatsTest extends AnyFunSuite {
     assert(expected.exists(_._2 >= 2))
   }
 
+  test("golden_record_merge applies the field rules over the ER labels") {
+    val lbl = rows("er_clusters")
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("rep_custkey")))
+    val cust = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact,
+        r.getString(3))).map(c => c._1 -> c).toMap
+    val expected = lbl.groupBy(_._2).map { case (rep, ms) =>
+      val rows = ms.map(m => cust(m._1))
+      val name = rows.map(_._2).maxBy(n => (n.length, n))
+      rep -> ((rep, ms.length.toLong, name, rows.map(_._3).max))
+    }
+    // mode with (count desc, segment asc) tie-break, computed plainly
+    val segOf = lbl.groupBy(_._2).map { case (rep, ms) =>
+      val counts = ms.map(m => cust(m._1)._4).groupBy(identity)
+        .map { case (s2, xs) => (s2, xs.size) }.toSeq
+      val best = counts.sortBy { case (s2, n) => (-n, s2) }.head._1
+      rep -> best
+    }
+    val out = rows("golden_record_merge")
+    assert(out.length == expected.size && expected.nonEmpty)
+    out.foreach { r =>
+      val rep = r.getAs[Long]("rep_custkey")
+      val e = expected(rep)
+      assert(r.getAs[Long]("n_members") == e._2)
+      assert(r.getAs[String]("golden_name") == e._3)
+      assert(r.getAs[Long]("golden_bal_cents") == e._4)
+      assert(r.getAs[String]("golden_segment") == segOf(rep))
+    }
+  }
+
   test("quality_decile_by_lang equals brute-force per-lang lower deciles") {
     val docs = graft.Tables.documents(spark, sf)
       .select("lang", "text").collect()
