@@ -57,6 +57,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Query-local persists are scoped to one query: without this, a
+        // full 232-query dump accumulates every query's caches and ends
+        // up relying on LRU eviction + disk spill at larger SFs.
+        spark.catalog.clearCache()
       }
     }
     // Restrict the oracle list to the selected subset too, so a dev

@@ -471,7 +471,38 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int, thresholdNum: Int,
                        thresholdDen: Int, minSize: Int,
                        maxDf: Option[Int] = None): DataFrame = {
-    val inv = materialized(applyDf(shingleRows(docs, n), maxDf))
+    // REPLICA CONTRACTION (round 11, the jw_best_match/dedup_levenshtein
+    // treatment): docs with identical normalized text have identical
+    // shingle sets, so a k-replica group contributes k identical rows to
+    // every pair-space term. Collapse each group to its min-id
+    // representative BEFORE the pair join and expand after verification:
+    // pair work scales with DISTINCT content, never with replication.
+    // Exactness is preserved by two invariants: (1) the df ceiling is
+    // applied to the WEIGHTED df (each representative counts k), which
+    // is bit-for-bit the uncontracted corpus df the oracle computes;
+    // (2) every score term (inter, sz_a) is identical across a group's
+    // members, so rep-pair scores transfer unchanged, and intra-group
+    // ordered pairs are containment 1.0 by definition (subject to the
+    // same minSize gate on the post-cap set size). On a deduplicated
+    // corpus the contraction is a no-op (k = 1 everywhere).
+    val members = materialized(docs
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(col("fp"))))
+      .select(col("rep"), col("doc_id")))
+    val weights = members.groupBy(col("rep"))
+      .agg(count(lit(1)).as("k"))
+    val repDocs = docs.join(
+      weights.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val invAll = shingleRows(repDocs, n)
+      .join(weights.select(col("rep").as("doc_id"), col("k")), "doc_id")
+    val inv = materialized(maxDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("s"))
+        invAll.withColumn("_df", sum(col("k")).over(w))
+          .filter(col("_df") <= cap).drop("_df", "k")
+      case None => invAll.drop("k")
+    })
     val sizes = shingleSizes(inv)
     val pre = materialized(prefixRowsExact(inv, thresholdNum, thresholdDen))
     def fanout(left: DataFrame, right: DataFrame): Long = {
@@ -500,12 +531,34 @@ object Dedup {
           .filter(col("a") =!= col("b"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
       .filter(col("sz_a") >= minSize)
       .filter(col("inter") * thresholdDen >= col("sz_a") * thresholdNum)
       .select(col("a"), col("b"),
         expr("(1000 * inter) div sz_a").as("containment_permille"))
+    // Expand representative pairs back to member pairs. Cross-group:
+    // both directions already exist as rep pairs, so two member joins
+    // reproduce every (a in G_ra, b in G_rb) ordered pair with the
+    // (identical) rep score. Intra-group: all ordered member pairs of a
+    // group whose post-cap set size clears minSize score exactly 1000
+    // (A = B, so inter = sz_a and the p/q threshold holds for any
+    // p <= q). Output size equals the uncontracted plan's by
+    // construction — expansion is output-shaped, never pair-join-shaped.
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("doc_id").as("ma")), "a")
+      .join(members.select(col("rep").as("b"), col("doc_id").as("mb")), "b")
+      .select(col("ma").as("a"), col("mb").as("b"),
+        col("containment_permille"))
+    val intra = sizes.filter(col("sz") >= minSize)
+      .select(col("doc_id").as("rep"))
+      .join(members, "rep")
+      .withColumnRenamed("doc_id", "ma")
+      .join(members.withColumnRenamed("doc_id", "mb"), "rep")
+      .filter(col("ma") =!= col("mb"))
+      .select(col("ma").as("a"), col("mb").as("b"),
+        lit(1000L).as("containment_permille"))
+    cross.unionByName(intra)
   }
 
   /** jaccard = |∩| / (|A| + |B| - |∩|) from per-pair intersection counts

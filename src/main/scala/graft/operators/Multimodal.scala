@@ -368,7 +368,7 @@ object Multimodal {
           val fmt = parseDims(bytes).map(_._1).getOrElse("unknown")
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) PixelStats(id, "unknown", -1L, -1L, 0L, 0L, 0L, 0L)
           else {
             val w = img.getWidth
@@ -454,7 +454,7 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || img.getWidth != 8 || img.getHeight != 8)
             AHashRow(id, -1L)
           else {
@@ -600,8 +600,11 @@ object Multimodal {
               else AudioStats(id, n.toLong, sum, sq, mn, mx, zc)
             }
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException =>
+            // NonFatal, not just the checked pair: ImageIO/audio SPI
+            // readers throw RuntimeExceptions (AIOOBE, IllegalArgument)
+            // on truncated or adversarial payloads, and a single bad
+            // blob must yield the sentinel row, never fail the task.
+            case scala.util.control.NonFatal(_) =>
               AudioStats(id, -1L, 0L, 0L, 0L, 0L, 0L)
           }
         }

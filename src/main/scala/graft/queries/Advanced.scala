@@ -382,7 +382,10 @@ object Advanced {
         .orderBy(col("community_size"))
     }),
 
-    // Personalized PageRank from a seed set (partkeys < 10): proximity
+    // Personalized PageRank from a seed set (node id < 20 on the
+    // symmetrized bipartite graph — i.e. parts AND suppliers with
+    // key < 10, since part nodes are even 2k and supplier nodes odd
+    // 2k+1): proximity
     // to the seeds under the damped walk — the seed-expansion
     // "related items" primitive next to global pagerank_bipartite.
     // Mass starts at the seeds and teleports only to them, so after 3

@@ -415,17 +415,26 @@ object Signals {
       val freq = lineitem(s, dir)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exact = freq.agg(sum(col("f") * col("f")).as("exact_size"))
+      // Squared terms go through decimal(38,0): sum(f*f) and the
+      // uniform-tail (total-head)^2 wrap silently in non-ANSI long
+      // arithmetic past ~3e9 rows (DuckDB would error instead) — the
+      // decimal width buys the full 100 TB headroom, then the final
+      // values cast back to BIGINT to keep the oracle schema.
+      val fD = col("f").cast("decimal(38,0)")
+      val exact = freq
+        .agg(sum(fD * fD).cast("long").as("exact_size"))
       val topStats = freq.orderBy(col("f").desc, col("l_partkey")).limit(H)
-        .agg(sum(col("f") * col("f")).as("head_size"),
+        .agg(sum(fD * fD).cast("long").as("head_size"),
           count(lit(1)).as("n_head"), sum(col("f")).as("head_rows"))
       val allStats = freq.agg(count(lit(1)).as("ndv"),
         sum(col("f")).as("total_rows"))
       exact.crossJoin(topStats).crossJoin(allStats)
         .select(col("exact_size"),
-          expr("head_size + CASE WHEN ndv > n_head THEN " +
-            "((total_rows - head_rows) * (total_rows - head_rows)) " +
-            "div (ndv - n_head) ELSE 0 END").as("est_size"),
+          expr("CAST(head_size + CASE WHEN ndv > n_head THEN " +
+            "CAST((CAST(total_rows AS DECIMAL(38,0)) - head_rows) * " +
+            "(CAST(total_rows AS DECIMAL(38,0)) - head_rows) " +
+            "div (ndv - n_head) AS LONG) ELSE 0 END AS LONG)")
+            .as("est_size"),
           col("ndv"), col("total_rows"))
         .select(col("exact_size"), col("est_size"), col("ndv"),
           col("total_rows"),
@@ -486,8 +495,12 @@ object Signals {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shardW = Window.partitionBy(col("pri"), col("m"))
         .orderBy(col("cents"), col("o_orderkey"))
+      // r is cast to long IMMEDIATELY: row_number() is IntegerType and
+      // (r * 32) would wrap 32-bit for shards past ~67M rows, silently
+      // diverging from the oracle's CAST(r AS BIGINT). All arithmetic
+      // on r (selection predicate, carried weights) is 64-bit.
       val ranked = rows
-        .withColumn("r", row_number().over(shardW))
+        .withColumn("r", row_number().over(shardW).cast("long"))
         .withColumn("n", count(lit(1)).over(
           Window.partitionBy(col("pri"), col("m"))))
       val selected = ranked
