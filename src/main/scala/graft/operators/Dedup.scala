@@ -1016,9 +1016,27 @@ object Dedup {
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double, dims: Int,
                           nTables: Int = 2, nBits: Int = 8,
                           probe: Boolean = false): DataFrame = {
-    val q = materialized(
+    // REPLICA PRE-COLLAPSE (round 11): vectors with identical QUANTIZED
+    // arrays are indistinguishable to every downstream term — bucket
+    // ids, dot products, norms all read q only — so a k-replica group
+    // would put k identical rows in every LSH bucket and k² identical
+    // pairs through the verify join. Collapse each q-group to its min-id
+    // representative before banding; expand after the cosine filter.
+    // Cross-group pairs inherit the rep pair's cosine verbatim (same q,
+    // same nrm ⇒ bit-identical double); intra-group pairs emit the SAME
+    // formula evaluated on the group's own q (dot(q,q)/(nrm·nrm) — not a
+    // literal 1.0, which could differ in the last ulp), gated by the
+    // same threshold. The pair SET is exactly the uncontracted plan's:
+    // identical q always collides with itself in every table, so intra
+    // pairs were always candidates. No-op on a replica-free corpus.
+    val base = materialized(
       embs.select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("nrm", VectorFns.normQ(col("q"))))
+        .withColumn("rep", min(col("vec_id")).over(
+          Window.partitionBy(col("q")))))
+    val members = base.select(col("rep"), col("vec_id"))
+    val q = materialized(base.filter(col("rep") === col("vec_id"))
+      .select(col("vec_id"), col("q"))
+      .withColumn("nrm", VectorFns.normQ(col("q"))))
     val tables = (0 until nTables).map { t =>
       q.select(col("vec_id"), lit(t).as("tbl"),
         VectorFns.lshBucket(col("q"), nBits, dims, offset = t * nBits).as("bkt"))
@@ -1034,10 +1052,30 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     val va = q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
     val vb = q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
-    cand.join(va, Seq("a")).join(vb, Seq("b"))
+    val repPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
       .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
+    // Expansion. Cross-group member ids can interleave, so the canonical
+    // (min, max) orientation is re-established per member pair; groups
+    // are disjoint, so each unordered member pair arises from exactly
+    // one rep pair (no duplicates). Intra: all unordered pairs within a
+    // group, cosine evaluated by the shared formula on the group's q.
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("vec_id").as("ma")), "a")
+      .join(members.select(col("rep").as("b"), col("vec_id").as("mb")), "b")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("cos"))
+    val intra = q
+      .withColumn("cos",
+        VectorFns.dotQ(col("q"), col("q")) / (col("nrm") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("rep"), col("cos"))
+      .join(members.select(col("rep"), col("vec_id").as("ma")), "rep")
+      .join(members.select(col("rep"), col("vec_id").as("mb")), "rep")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("a"), col("mb").as("b"), col("cos"))
+    cross.unionByName(intra)
   }
 
   def embeddingNearDup(embs: DataFrame, blockKey: Column, threshold: Double): DataFrame = {

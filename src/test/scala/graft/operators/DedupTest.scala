@@ -388,6 +388,50 @@ class DedupTest extends AnyFunSuite {
       s"probe lost pairs: ${exact -- probed}")
   }
 
+  test("embeddingNearDupLsh replica pre-collapse equals the uncontracted plan") {
+    // A replica-heavy corpus (each vector duplicated 3x with fresh ids,
+    // interleaved id ranges so (min,max) orientation is exercised): the
+    // collapsed implementation must emit the exact pair set AND the
+    // bit-identical cosines of the uncontracted plan below (the old
+    // implementation, kept inline as the reference).
+    import graft.functions.VectorFns
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .limit(300)
+    val corpus = base
+      .unionByName(base.filter(col("vec_id") % 3 === 0)
+        .withColumn("vec_id", col("vec_id") * 2 + 100000L))
+      .unionByName(base.filter(col("vec_id") % 3 === 0)
+        .withColumn("vec_id", col("vec_id") * 2 + 50001L))
+    def uncontracted(embs: org.apache.spark.sql.DataFrame, threshold: Double,
+                     dims: Int, nTables: Int, nBits: Int) = {
+      val q = embs.select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+        .withColumn("nrm", VectorFns.normQ(col("q")))
+        .persist()
+      val tables = (0 until nTables).map { t =>
+        q.select(col("vec_id"), lit(t).as("tbl"),
+          VectorFns.lshBucket(col("q"), nBits, dims, offset = t * nBits).as("bkt"))
+      }.reduce(_ unionByName _)
+      val cand = tables.select(col("tbl"), col("bkt"), col("vec_id").as("a"))
+        .join(tables.select(col("tbl"), col("bkt"), col("vec_id").as("b")),
+          Seq("tbl", "bkt"))
+        .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+      cand
+        .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na")), Seq("a"))
+        .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb")), Seq("b"))
+        .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("a"), col("b"), col("cos"))
+    }
+    val got = Dedup.embeddingNearDupLsh(corpus, threshold = 0.95, dims = 64,
+      nTables = 2, nBits = 8).as[(Long, Long, Double)].collect().toSeq.sorted
+    val want = uncontracted(corpus, threshold = 0.95, dims = 64,
+      nTables = 2, nBits = 8).as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(want.nonEmpty && want.exists(_._3 < 1.0)) // non-vacuous: replicas AND near-dups
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("containmentPairs flags the fragment Jaccard is blind to, asymmetrically") {
     // doc 10 is a verbatim excerpt of doc 11 (first 8 of 20 tokens):
     // containment(10->11) = 1.0 while jaccard ~ 6/18 — the class the
