@@ -68,22 +68,61 @@ object Blocking {
     * (the earlier row) and _b (the later row), for w-1 following
     * neighbors per row.
     *
-    * The pair join is an equi-join on the global index via offset
-    * fan-out (each row duplicated w-1 times with idx+1..idx+w-1), keyed
-    * by idx — a uniformly distributed key, so no skew by construction.
+    * Round-11 shape: almost every neighbor pair lies WITHIN one range
+    * partition, where it is a `lead()` over the already-partitioned
+    * order — zero extra shuffles, where the previous idx-equi-join
+    * shuffled n·(w-1) fan-out rows plus the full corpus a second time.
+    * Only pairs that STRADDLE a partition boundary (at most
+    * 2·(w-1)·numPartitions candidate rows — partition-count-sized, not
+    * corpus-sized) go through a broadcast range join on the global
+    * index, restricted to rows in the first/last w-1 of their
+    * partition: a cross-partition pair at index distance < w has at
+    * most w-2 rows between its endpoints, so the earlier row is always
+    * within w-1 of its partition's end and the later within w-1 of its
+    * partition's start (empty partitions in between change nothing).
+    * The in-partition and cross-partition sets are disjoint by pid, so
+    * the union is exact.
     */
   def sortedNeighborhood(df: DataFrame, sortCols: Seq[Column],
                          w: Int): DataFrame = {
     require(w >= 2, s"window must cover at least 2 rows, got $w")
-    val idxd = globalIndex(df, sortCols)
-    val a = idxd.columns.filter(_ != "idx")
-      .foldLeft(idxd)((d, c) => d.withColumnRenamed(c, s"${c}_a"))
-    val b = idxd.columns.filter(_ != "idx")
-      .foldLeft(idxd)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
-    a.withColumn("_off", explode(lit((1 until w).toArray)))
-      .withColumn("_nidx", col("idx") + col("_off"))
-      .drop("idx", "_off")
-      .join(b, col("_nidx") === b("idx"))
-      .drop("_nidx", "idx")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    val cols = df.columns.toSeq
+    val rowSt = struct(cols.map(col): _*)
+    // Persisted for the same reason as globalIndex (one physical range
+    // partitioning for all consumers) AND because three subtrees read
+    // it: the lead pass, the per-partition counts, and the edge rows.
+    val ranked = parted
+      .withColumn("_rnk", row_number().over(wLocal).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aCols = cols.map(c => col(c).as(s"${c}_a"))
+    val bFromSt = cols.map(c => col("_nb").getField(c).as(s"${c}_b"))
+    val inPart = ranked
+      .withColumn("_nbs",
+        array((1 until w).map(off => lead(rowSt, off).over(wLocal)): _*))
+      .select(aCols :+ explode(col("_nbs")).as("_nb"): _*)
+      .filter(col("_nb").isNotNull)
+      .select(cols.map(c => col(s"${c}_a")) ++ bFromSt: _*)
+    val cnts = ranked.groupBy(col("_pid")).agg(max(col("_rnk")).as("_n"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cnts
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+    val edge = ranked.join(broadcast(offsets), Seq("_pid"))
+      .filter(col("_rnk") <= (w - 1) || col("_rnk") > col("_n") - (w - 1))
+      .withColumn("_idx", col("_off") + col("_rnk"))
+    val ea = edge.select(
+      aCols ++ Seq(col("_pid").as("_pa"), col("_idx").as("_ia")): _*)
+    val eb = edge.select(
+      cols.map(c => col(c).as(s"${c}_b")) ++
+        Seq(col("_pid").as("_pb"), col("_idx").as("_ib")): _*)
+    val crossPart = ea.join(broadcast(eb),
+        col("_ib") - col("_ia") >= 1 && col("_ib") - col("_ia") <= (w - 1) &&
+          col("_pa") =!= col("_pb"))
+      .drop("_pa", "_pb", "_ia", "_ib")
+    inPart.unionByName(crossPart)
   }
 }

@@ -58,25 +58,58 @@ object Mining {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val refs = seqs.filter(col("user_id") < 8)
         .select(col("user_id").as("ref_id"), col("seq").as("rseq"))
-      val rw = Window.partitionBy(col("user_id"))
+      // DISTINCT-SEQUENCE CONTRACTION (round 11): every term — cell
+      // assignment (argmin over refs), pair distance, and the
+      // (dist, cand) ranking — factors exactly through the sequence
+      // string, so a replica-heavy corpus (k users per distinct seq)
+      // must never pay k× assignment or k² pair DPs. Three exact steps:
+      // (1) assign each DISTINCT seq to its cell and join back;
+      // (2) keep the 4 smallest member ids per (cell, cseq) candidate
+      //     group — a probe excludes at most ITSELF from a group, so
+      //     any probe's per-group top-3 lies within those 4;
+      // (3) compute one distance per distinct (pseq, cseq) pair and
+      //     keep the merged top-4 candidate ENTRIES per probe-seq —
+      //     removing one self entry still leaves the true top-3.
+      // Expansion joins probes back by (cell, pseq): ranks and ids are
+      // bit-identical to the uncontracted plan (DedupTest-style pin in
+      // MiningContractionTest).
+      val rw = Window.partitionBy(col("seq"))
         .orderBy(col("rdist"), col("ref_id"))
-      val cells = seqs.crossJoin(broadcast(refs))
+      val cellOf = seqs.select(col("seq")).distinct()
+        .crossJoin(broadcast(refs))
         .withColumn("rdist",
           levenshtein(col("seq"), col("rseq")).cast("long"))
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("seq"), col("ref_id").as("cell"))
+        .select(col("seq"), col("ref_id").as("cell"))
+      val cells = seqs.join(cellOf, "seq")
+        .select(col("user_id"), col("seq"), col("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val probes = cells.filter(col("user_id") % 7 === 3)
-        .select(col("user_id").as("probe"), col("seq").as("pseq"),
-          col("cell"))
-      val pw = Window.partitionBy(col("probe"))
-        .orderBy(col("dist"), col("cand"))
-      probes.join(cells.select(col("user_id").as("cand"),
-          col("seq").as("cseq"), col("cell")), Seq("cell"))
-        .filter(col("cand") =!= col("probe"))
+      val gw = Window.partitionBy(col("cell"), col("seq"))
+        .orderBy(col("user_id"))
+      val candTop = cells.withColumn("grn", row_number().over(gw))
+        .filter(col("grn") <= 4)
+        .select(col("cell"), col("seq").as("cseq"), col("user_id").as("cand"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probeSeqs = cells.filter(col("user_id") % 7 === 3)
+        .select(col("cell"), col("seq").as("pseq")).distinct()
+      val gDist = probeSeqs
+        .join(candTop.select(col("cell"), col("cseq")).distinct(), Seq("cell"))
         .withColumn("dist",
           levenshtein(col("pseq"), col("cseq")).cast("long"))
+      val ew = Window.partitionBy(col("cell"), col("pseq"))
+        .orderBy(col("dist"), col("cand"))
+      val top4 = gDist.join(candTop, Seq("cell", "cseq"))
+        .withColumn("ern", row_number().over(ew))
+        .filter(col("ern") <= 4)
+        .select(col("cell"), col("pseq"), col("cand"), col("dist"))
+      val pw = Window.partitionBy(col("probe"))
+        .orderBy(col("dist"), col("cand"))
+      cells.filter(col("user_id") % 7 === 3)
+        .select(col("user_id").as("probe"), col("seq").as("pseq"),
+          col("cell"))
+        .join(top4, Seq("cell", "pseq"))
+        .filter(col("cand") =!= col("probe"))
         .withColumn("rnk", row_number().over(pw).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("probe"), col("rnk"), col("cand"), col("dist"))

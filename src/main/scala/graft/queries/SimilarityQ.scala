@@ -239,40 +239,74 @@ object SimilarityQ {
         base.filter(col("vec_id") % 5 === 0)
           .withColumn("vec_id", col("vec_id") + lit(1000000L))
           .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+      // REPLICA CONTRACTION (round 11): identical QUANTIZED vectors are
+      // indistinguishable to every term below — argmax-cosine
+      // assignment (with its cid tie-break), pair cosines, and the
+      // prune rule all read qv only — so a k-replica group would pay k²
+      // rows in the within-cluster pair join. Collapse each qv-group to
+      // its min-id representative; the per-MEMBER prune decision
+      // reconstructs exactly:
+      //   pruned(m in G) ⟺ (selfCos(G) >= t AND m > rep(G))        — an
+      //     earlier member of m's own group prunes it —
+      //   OR (min over groups H != G in the cluster with
+      //       cos(G,H) >= t of rep(H)) < m                          — the
+      //     smallest qualifying foreign id is a group's rep by
+      //     definition, so "exists a < m" ⟺ "min qualifying rep < m".
+      // All cosines are evaluated by the SAME formula on the same qv
+      // arrays, so doubles are bit-identical to the uncontracted plan
+      // (equality-pinned in SemDedupContractionTest). No-op when every
+      // group has one member.
       val vecs = corpus.select(col("vec_id").as("id"),
           VectorFns.quantize(col("embedding")).as("qv"))
         .withColumn("nrm", VectorFns.normQ(col("qv")))
+      val grouped = vecs
+        .withColumn("rep", min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qv"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = vecs.filter(col("id") < KMEANS_K)
+      val members = grouped.select(col("rep"), col("id"))
+      val reps = grouped.filter(col("rep") === col("id"))
+        .select(col("id"), col("qv"), col("nrm"))
+      val cents = grouped.filter(col("id") < KMEANS_K)
         .select(col("id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
       // argmax-cosine assignment: centroids broadcast, ties -> lowest
       // cid ((-cos, cid) struct min; integer dot = 0 always yields
       // +0.0 cos, so the negation cannot manufacture a -0.0/+0.0
       // ordering split vs the oracle's ORDER BY cos DESC)
-      val asg = vecs.crossJoin(broadcast(cents))
+      val asg = reps.crossJoin(broadcast(cents))
         .withColumn("cos",
           VectorFns.dotQ(col("qv"), col("cv")) / (col("nrm") * col("cnrm")))
         .groupBy(col("id"))
         .agg(min(struct((-col("cos")).as("nc"), col("cid").as("c"))).as("m"))
         .select(col("id"), col("m.c").as("cid"))
-      // membership table feeds both pair sides and the final rollup
-      val mem = asg.join(vecs, Seq("id"))
+      // rep-level membership feeds both pair sides and the expansion
+      val memR = asg.join(reps, Seq("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val aSide = mem.select(col("cid"), col("id").as("a"),
+      val aSide = memR.select(col("cid"), col("id").as("a"),
         col("qv").as("qa"), col("nrm").as("na"))
-      val bSide = mem.select(col("cid"), col("id").as("b"),
+      val bSide = memR.select(col("cid"), col("id").as("b"),
         col("qv").as("qb"), col("nrm").as("nb"))
-      val pruned = aSide.join(bSide, Seq("cid"))
-        .filter(col("a") < col("b"))
+      val minOther = aSide.join(bSide, Seq("cid"))
+        .filter(col("a") =!= col("b"))
         .withColumn("cos",
           VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
         .filter(col("cos") >= SEM_THRESHOLD)
-        .select(col("b").as("id")).distinct()
-      mem.select(col("cid"), col("id"))
-        .join(pruned.withColumn("p", lit(1L)), Seq("id"), "left")
+        .groupBy(col("b").as("rep"))
+        .agg(min(col("a")).as("min_other"))
+      val selfDup = memR
+        .withColumn("cos",
+          VectorFns.dotQ(col("qv"), col("qv")) / (col("nrm") * col("nrm")))
+        .filter(col("cos") >= SEM_THRESHOLD)
+        .select(col("id").as("rep"), lit(true).as("self_dup"))
+      members
+        .join(asg.select(col("id").as("rep"), col("cid")), "rep")
+        .join(minOther, Seq("rep"), "left")
+        .join(selfDup, Seq("rep"), "left")
+        .withColumn("p",
+          when((coalesce(col("self_dup"), lit(false)) &&
+              col("id") > col("rep")) ||
+            col("min_other") < col("id"), 1L).otherwise(0L))
         .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(coalesce(col("p"), lit(0L))).as("n_pruned"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("p")).as("n_pruned"))
         .withColumn("keep_permille",
           expr("(1000 * (n_vecs - n_pruned)) div n_vecs"))
         .orderBy(col("cid"))

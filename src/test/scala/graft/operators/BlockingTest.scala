@@ -44,6 +44,27 @@ class BlockingTest extends AnyFunSuite {
     // filter then removes — the SNM contract.
   }
 
+  test("sortedNeighborhood equals the driver-side reference (random, dup-heavy)") {
+    // Duplicate-heavy keys force many equal-key runs across partition
+    // boundaries; small partitions force the cross-partition edge path.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 400L).map(i => (i, rnd.nextInt(40).toString))
+    val sorted = rows.sortBy { case (id, k) => (k, id) }
+    for (w <- Seq(2, 3, 4)) {
+      val want = (for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + w, sorted.size)
+      } yield (sorted(i)._1, sorted(j)._1)).toSet
+      val got = Blocking.sortedNeighborhood(
+        rows.toDF("id", "key").repartition(7),
+        Seq(col("key"), col("id")), w)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+      assert(got.length == want.size, s"w=$w: duplicate or missing pairs")
+      assert(got.toSet == want, s"w=$w")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("sortedNeighborhood w=3 adds the skip-one pairs") {
     val w2 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 2)
     val w3 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 3)
