@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,24 +226,44 @@ object Mining {
     }),
 
     // RFM segmentation: recency/frequency/monetary quartiles per
-    // customer, fully deterministic (every ntile ordering is
-    // tie-broken by custkey; monetary is summed in decimal). The
-    // quartile windows run over the per-customer PRE-AGGREGATE — rows
-    // bounded by |customers|, not order volume; at extreme scale the
-    // cut points would come from approx_percentile instead, same
-    // downstream shape.
+    // customer, fully deterministic (every quartile ordering is
+    // tie-broken by custkey; monetary is summed in decimal). Round 11:
+    // the three ntile(4) windows were unpartitioned — |customers| rows
+    // through ONE task each, itself huge at 100 TB — so each quartile
+    // now reconstructs ntile EXACTLY from a distributed global rank
+    // (Blocking.globalIndex: range partitions + per-partition ranks +
+    // broadcast prefix-sum offsets) plus the ANSI tile rule "n div k
+    // per tile, first n mod k tiles carry one extra":
+    //   i <= r·(q+1)  →  tile = ⌈i/(q+1)⌉,   else
+    //   tile = r + ⌈(i − r·(q+1))/q⌉         (q = n div 4, r = n mod 4;
+    // q = 0 only when n = r, where the first branch always applies —
+    // greatest(q, 1) keeps the dead branch evaluable). Bit-identical to
+    // ntile at every n (pinned in MiningContractionTest).
     "rfm_segments" -> ((s, dir) => {
       val rfm = orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("r"), count(lit(1)).as("f"),
           sum(d2(col("o_totalprice"))).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRow = rfm.agg(count(lit(1)).as("nn"))
+      def quartile(keyCol: String, sortCols: Seq[Column],
+                   name: String): DataFrame =
+        graft.operators.Blocking.globalIndex(
+            rfm.select(col("o_custkey"), col(keyCol)), sortCols)
+          .crossJoin(broadcast(nRow))
+          .withColumn(name, expr(
+            "CASE WHEN idx <= (nn % 4) * (nn div 4 + 1) " +
+              "THEN (idx - 1) div (nn div 4 + 1) + 1 " +
+              "ELSE (nn % 4) + (idx - 1 - (nn % 4) * (nn div 4 + 1)) " +
+              "div greatest(nn div 4, 1) + 1 END").cast("int"))
+          .select(col("o_custkey"), col(name))
       val seg = rfm
-        .withColumn("rq", ntile(4).over(
-          Window.orderBy(col("r").desc, col("o_custkey"))))
-        .withColumn("fq", ntile(4).over(
-          Window.orderBy(col("f").desc, col("o_custkey"))))
-        .withColumn("mq", ntile(4).over(
-          Window.orderBy(col("m").desc, col("o_custkey"))))
+        .join(quartile("r", Seq(col("r").desc, col("o_custkey")), "rq"),
+          "o_custkey")
+        .join(quartile("f", Seq(col("f").desc, col("o_custkey")), "fq"),
+          "o_custkey")
+        .join(quartile("m", Seq(col("m").desc, col("o_custkey")), "mq"),
+          "o_custkey")
       seg.groupBy((col("rq") * 100 + col("fq") * 10 + col("mq"))
           .cast("long").as("segment"))
         .agg(count(lit(1)).as("n_customers"),
@@ -492,18 +513,22 @@ object Mining {
     // integer permille. Gini from the rank formulation
     // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending and the rank
     // tie-broken by custkey; every product is cross-multiplied in
-    // decimal(38,0) so no term can overflow at any SF. The only window
-    // runs over the per-customer PRE-aggregate (the rfm_segments
-    // bound), and both metrics read the same ranked table once.
+    // decimal(38,0) so no term can overflow at any SF. Round 11: the
+    // rank comes from Blocking.globalIndex (range partitions +
+    // per-partition ranks + broadcast prefix-sum offsets) and n rides
+    // in as a broadcast 1-row aggregate — no |customers|-proportional
+    // table ever crosses a single-partition window.
     "revenue_concentration" -> ((s, dir) => {
       val byCust = orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)" +
           " AS BIGINT)").as("cents"))
-      val ranked = byCust
-        .withColumn("i", row_number().over(
-          Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
-        .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRow = byCust.agg(count(lit(1)).as("nn"))
+      val ranked = graft.operators.Blocking.globalIndex(
+          byCust, Seq(col("cents"), col("o_custkey")))
+        .withColumnRenamed("idx", "i")
+        .crossJoin(broadcast(nRow))
       ranked.agg(
         count(lit(1)).as("n"),
         sum(col("cents")).as("total_cents"),

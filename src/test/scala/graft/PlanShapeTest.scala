@@ -553,6 +553,26 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no corpus-proportional single-partition rank window (rfm, gini)") {
+    // Round-11 contract: every ranking window over a per-customer table
+    // must be partitioned (the Blocking.globalIndex _pid scheme); the
+    // only permitted single-partition windows are the prefix-sum over
+    // the numPartitions-row offsets table. ntile is gone entirely —
+    // replaced by the exact distributed tile rule.
+    for (name <- Seq("rfm_segments", "revenue_concentration")) {
+      val p = plan(name)
+      assert(!p.contains("ntile("), s"$name still plans a window ntile")
+      val rankWindows =
+        p.linesIterator.filter(_.contains("Window [row_number()")).toSeq
+      assert(rankWindows.nonEmpty, s"$name lost its rank windows:\n$p")
+      rankWindows.foreach { l =>
+        assert(l.contains("windowspecdefinition(_pid"),
+          s"$name has an unpartitioned rank window: $l")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("embed_norm_outliers: one cached vector scan feeds both percentile passes") {
     val df = SparkEntry.queries("embed_norm_outliers")(spark, sf)
     df.collect()

@@ -66,6 +66,83 @@ class MiningContractionTest extends AnyFunSuite {
       .orderBy(col("probe"), col("rnk"))
   }
 
+  /** The pre-round-11 rfm_segments plan (unpartitioned ntile windows). */
+  private def uncontractedRfm(s: SparkSession, dir: String): DataFrame = {
+    val d2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val rfm = graft.Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("r"), count(lit(1)).as("f"),
+        sum(d2(col("o_totalprice"))).as("m"))
+    val seg = rfm
+      .withColumn("rq", ntile(4).over(
+        Window.orderBy(col("r").desc, col("o_custkey"))))
+      .withColumn("fq", ntile(4).over(
+        Window.orderBy(col("f").desc, col("o_custkey"))))
+      .withColumn("mq", ntile(4).over(
+        Window.orderBy(col("m").desc, col("o_custkey"))))
+    seg.groupBy((col("rq") * 100 + col("fq") * 10 + col("mq"))
+        .cast("long").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast("double").as("monetary_total"))
+      .orderBy(col("segment"))
+  }
+
+  test("rfm_segments distributed ntile equals the window ntile at every n mod 4") {
+    import spark.implicits._
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val custs = orders.select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).as[Long].collect()
+    // Four corpora whose customer counts hit each n % 4 residue — the
+    // ANSI tile rule's uneven-tail arithmetic differs at each.
+    for (drop <- 0 until 4) {
+      val keep = custs.dropRight(drop).toSet
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-rfm$drop").toString
+      orders.filter(col("o_custkey").isInCollection(keep))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = Mining.queries("rfm_segments")(spark, dir)
+        .as[(Long, Long, Double)].collect().toSeq
+      val want = uncontractedRfm(spark, dir)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == want, s"n mod 4 residue case drop=$drop")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("revenue_concentration distributed rank equals the window rank") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val d2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val byCust = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)" +
+        " AS BIGINT)").as("cents"))
+    val ranked = byCust
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+    val want = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("total_cents"),
+      sum(expr("CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"))
+        .as("iwx"),
+      sum(when(col("i") > col("nn") - expr("nn div 5"), col("cents"))
+        .otherwise(0L)).as("top20_cents"))
+      .select(col("n"), col("total_cents"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0)) *
+          |  (2 * iwx - (CAST(n AS DECIMAL(38,0)) + 1) *
+          |    CAST(total_cents AS DECIMAL(38,0)))) div
+          |  (CAST(n AS DECIMAL(38,0)) *
+          |   CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin).as("gini_permille"),
+        expr("(1000 * top20_cents) div total_cents")
+          .as("top20_share_permille"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val got = Mining.queries("revenue_concentration")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("seq_topk_refblock distinct-seq contraction equals uncontracted plan") {
     import spark.implicits._
     val dir = replicatedEventsDir
