@@ -361,17 +361,23 @@ object StreamingOps {
   def upsertMirrorEachBatch(changes: DataFrame, keys: Seq[String], path: String) =
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.sparkSession
-      // local-fs existence probe (tests); a cloud deployment resolves
-      // through Hadoop FileSystem instead
+      // Staged-rename swap (round 11, unified with the scd2/coverage/
+      // drift sinks): the next snapshot is written to a side directory
+      // and promoted with directory renames, so a crash mid-write
+      // leaves the live snapshot intact — the previous in-place
+      // overwrite had a window where the mirror was half-replaced. No
+      // (queryTag, batchId) marker is needed here: keyed upserts and
+      // deletes are replay-idempotent, so re-applying the batch after
+      // any crash converges to the same snapshot. Writing to staging
+      // also removes the localCheckpoint the in-place overwrite forced
+      // (the plan may now lazily read `path` while writing elsewhere).
+      val (dir, old, staging) = healSwap(path)
       val mirror =
-        if (new java.io.File(path).exists()) s.read.parquet(path)
+        if (dir.exists()) s.read.parquet(path)
         else batch.drop("op").limit(0)
-      // localCheckpoint cuts the lineage off `path` BEFORE the
-      // overwrite — writing a plan that still lazily reads the file it
-      // replaces would corrupt the snapshot
       graft.operators.Diff.applyChanges(mirror, batch, keys)
-        .localCheckpoint(true)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(staging.getPath)
+      commitSwap(dir, old, staging)
       ()
     }
 

@@ -412,6 +412,22 @@ class StreamingOpsTest extends AnyFunSuite {
       .localCheckpoint(true).write.mode("overwrite").parquet(path)
     assert(spark.read.parquet(path).select("id", "status").as[(Long, String)]
       .collect().toSet == Set((2L, "b2"), (3L, "c")))
+
+    // crash healing (round 11, the scd2 sink's contract): a crash
+    // BETWEEN the two swap renames strands the snapshot at .old with
+    // nothing at path — the next batch must roll back and merge on top
+    // of the RESTORED mirror, and leave no swap debris behind.
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    val mem2 = MemoryStream[(String, Long, String)]
+    val sq2 = StreamingOps.upsertMirrorEachBatch(
+      mem2.toDF.toDF("op", "id", "status"), Seq("id"), path).start()
+    mem2.addData(("upsert", 4L, "d"))
+    sq2.processAllAvailable()
+    sq2.stop()
+    assert(spark.read.parquet(path).select("id", "status").as[(Long, String)]
+      .collect().toSet == Set((2L, "b2"), (3L, "c"), (4L, "d")))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".staging").exists())
   }
 
   test("ivmJoinAggEachBatch maintains the join view incrementally with exactly-once merges") {
