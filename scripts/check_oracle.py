@@ -54,9 +54,11 @@ def canon_types(rel) -> list:
     return sorted(out)
 
 
-def main(sf_dir: str, out_dir: str, json_out: str = None,
-         only: set = None) -> int:
+def make_con(sf_dir: str, workers: int):
     con = duckdb.connect()
+    # split the box across workers: DuckDB parallelizes WITHIN a query,
+    # so each worker gets a thread/memory slice rather than all of it
+    con.execute(f"PRAGMA threads={max(2, 16 // workers)}")
     for t in TABLES:
         # testdata tables are single files; Spark-written ones (tmp_sf1)
         # are directories of part files — glob those
@@ -75,59 +77,79 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
         con.execute(
             "CREATE VIEW events AS SELECT * REPLACE "
             f"(make_timestamp(ts // 1000) AS ts) FROM '{path}'")
+    return con
+
+
+def main(sf_dir: str, out_dir: str, json_out: str = None,
+         only: set = None) -> int:
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     if only:
         oracles = {k: v for k, v in oracles.items() if k in only}
-    failures = 0
-    status = {}
-    for name, sql in sorted(oracles.items()):
+    # Parallel across queries (round-11 gate-wall-time work): duckdb
+    # releases the GIL during execution, so a small thread pool with one
+    # connection per thread cuts the 100+-query gate wall time without
+    # changing any per-query semantics. ORACLE_WORKERS=1 restores the
+    # strictly serial behavior.
+    workers = max(1, int(os.environ.get("ORACLE_WORKERS", "4")))
+    workers = min(workers, max(1, len(oracles)))
+    tls = threading.local()
+
+    def check_one(name: str, sql: str):
+        con = getattr(tls, "con", None)
+        if con is None:
+            con = make_con(sf_dir, workers)
+            tls.con = con
         try:
             want_rel = con.sql(sql)
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
-                print(f"FAIL {name}: no spark output")
-                status[name] = "fail: no spark output"
-                failures += 1
-                continue
+                return name, "fail: no spark output", "FAIL {0}: no spark output".format(name)
             got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
             # type compare FIRST: the driver hash is type-sensitive and the
             # pandas value compare below is not (the HUGEINT slip class)
             tw, tg = canon_types(want_rel), canon_types(got_rel)
             if [c for c, _ in tw] == [c for c, _ in tg] and tw != tg:
                 diff = [(a, b) for a, b in zip(tg, tw) if a != b]
-                print(f"FAIL {name}: type mismatch spark-vs-oracle {diff}")
-                status[name] = f"fail: type mismatch {diff}"
-                failures += 1
-                continue
+                return name, f"fail: type mismatch {diff}", \
+                    f"FAIL {name}: type mismatch spark-vs-oracle {diff}"
             want = canon(want_rel.fetchdf())
             got = canon(got_rel.fetchdf())
             if list(got.columns) != list(want.columns):
-                print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-                status[name] = "fail: column mismatch"
-                failures += 1
-                continue
+                return name, "fail: column mismatch", \
+                    f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}"
             if got.shape != want.shape:
-                print(f"FAIL {name}: shape {got.shape} != {want.shape}")
-                status[name] = f"fail: shape {got.shape} != {want.shape}"
-                failures += 1
-                continue
+                return name, f"fail: shape {got.shape} != {want.shape}", \
+                    f"FAIL {name}: shape {got.shape} != {want.shape}"
             # exact value compare, row order significant (both sides ORDER BY)
             neq = (got.fillna("\0NULL") != want.fillna("\0NULL"))
             if neq.any().any():
                 bad_cols = [c for c in got.columns if neq[c].any()]
                 idx = neq.any(axis=1).idxmax()
-                print(f"FAIL {name}: value mismatch cols={bad_cols} first_row={idx}")
-                print("  got :", got.loc[idx].to_dict())
-                print("  want:", want.loc[idx].to_dict())
-                status[name] = f"fail: value mismatch cols={bad_cols}"
-                failures += 1
-                continue
-            print(f"OK   {name} ({got.shape[0]} rows x {got.shape[1]} cols)")
-            status[name] = f"pass ({got.shape[0]} rows)"
+                return name, f"fail: value mismatch cols={bad_cols}", \
+                    (f"FAIL {name}: value mismatch cols={bad_cols} first_row={idx}\n"
+                     f"  got : {got.loc[idx].to_dict()}\n"
+                     f"  want: {want.loc[idx].to_dict()}")
+            return name, f"pass ({got.shape[0]} rows)", \
+                f"OK   {name} ({got.shape[0]} rows x {got.shape[1]} cols)"
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
-            status[name] = f"fail: {type(e).__name__}"
+            return name, f"fail: {type(e).__name__}", \
+                f"FAIL {name}: {type(e).__name__}: {e}"
+
+    items = sorted(oracles.items())
+    if workers == 1:
+        results = [check_one(n, q) for n, q in items]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(lambda kv: check_one(*kv), items))
+    status = {}
+    failures = 0
+    for name, st, line in results:
+        print(line)
+        status[name] = st
+        if not st.startswith("pass"):
             failures += 1
     print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
     if json_out:

@@ -393,8 +393,11 @@ object Dedup {
         .agg(sum(col("f") * col("f")).as("c")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    val preF = fanout(pre); val invF = fanout(inv)
+    System.err.println(
+      s"graft.guard prefixJaccard tier=${if (preF * 2 <= invF) "prefix" else "plain"} preFanout=$preF invFanout=$invF")
     val inter =
-      if (fanout(pre) * 2 <= fanout(inv)) {
+      if (preF * 2 <= invF) {
         val cand = pre.select(col("s"), col("doc_id").as("a"))
           .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
           .filter(col("a") < col("b"))
@@ -517,8 +520,11 @@ object Dedup {
       val r = sizes.agg(avg(col("sz"))).first()
       if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
     }
+    val preF = fanout(pre, inv); val invF = fanout(inv, inv)
+    System.err.println(
+      s"graft.guard containment tier=${if (preF * (1 + avgSz) <= invF) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
     val inter =
-      if (fanout(pre, inv) * (1 + avgSz) <= fanout(inv, inv)) {
+      if (preF * (1 + avgSz) <= invF) {
         val cand = pre.select(col("s"), col("doc_id").as("a"))
           .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
           .filter(col("a") =!= col("b"))
