@@ -56,9 +56,12 @@ def canon_types(rel) -> list:
 
 def make_con(sf_dir: str, workers: int):
     con = duckdb.connect()
-    # split the box across workers: DuckDB parallelizes WITHIN a query,
-    # so each worker gets a thread/memory slice rather than all of it
-    con.execute(f"PRAGMA threads={max(2, 16 // workers)}")
+    # deliberately OVERSUBSCRIBED: most oracles are tiny, wall time is
+    # set by the few heavy ones (10x dedup self-joins, corpus windows),
+    # and a heavy query that lands on a worker must still get real
+    # parallelism — measured: threads=16//workers starved the tail and
+    # made the 10x gate SLOWER than serial (31 min vs ~20)
+    con.execute("PRAGMA threads=16")
     for t in TABLES:
         # testdata tables are single files; Spark-written ones (tmp_sf1)
         # are directories of part files — glob those
@@ -138,7 +141,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
             return name, f"fail: {type(e).__name__}", \
                 f"FAIL {name}: {type(e).__name__}: {e}"
 
-    items = sorted(oracles.items())
+    # longest-first packing: spark output size is a cheap cost proxy
+    # (exact for the window/row-heavy oracles; harmless elsewhere) — with
+    # alphabetical order a heavy oracle landing last serializes the tail
+    def out_bytes(name: str) -> int:
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(f"{out_dir}/{name}/*.parquet"))
+    items = sorted(oracles.items(), key=lambda kv: -out_bytes(kv[0]))
     if workers == 1:
         results = [check_one(n, q) for n, q in items]
     else:
@@ -146,7 +155,7 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
             results = list(pool.map(lambda kv: check_one(*kv), items))
     status = {}
     failures = 0
-    for name, st, line in results:
+    for name, st, line in sorted(results):
         print(line)
         status[name] = st
         if not st.startswith("pass"):
