@@ -432,6 +432,59 @@ class DedupTest extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containmentPairs replica contraction equals the uncontracted plan (randomized)") {
+    // Random corpora with exact replicas, fragments, near-misses and
+    // noise, across several (threshold, minSize, cap) settings — the
+    // contraction (collapse identical-normText groups, weighted df cap,
+    // intra-group 1000s) must reproduce the uncontracted inverted-index
+    // self-join EXACTLY. The fixed-corpus oracle pins one regime; this
+    // pins the corners (groups straddling the cap, fragments of
+    // replicated docs, minSize at the group boundary).
+    def uncontracted(d: org.apache.spark.sql.DataFrame, n: Int, num: Int,
+                     den: Int, minSize: Int, maxDf: Int) = {
+      val inv0 = Dedup.shingleRows(d, n)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      val inv = inv0.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= maxDf).drop("_df").persist()
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      inv.select(col("s"), col("doc_id").as("a"))
+        .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+        .filter(col("sz_a") >= minSize)
+        .filter(col("inter") * den >= col("sz_a") * num)
+        .select(col("a"), col("b"),
+          expr("(1000 * inter) div sz_a").as("containment_permille"))
+    }
+    val vocab = ('a' to 't').map(_.toString)
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bases = Seq.fill(12)(doc(8 + rnd.nextInt(12)))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      bases.foreach { b =>
+        val k = 1 + rnd.nextInt(4) // replica group size 1..4
+        (0 until k).foreach { _ => rows += ((id, b)); id += 1 }
+        if (rnd.nextBoolean()) { // a fragment of this base
+          rows += ((id, b.split(" ").take(5 + rnd.nextInt(3)).mkString(" "))); id += 1
+        }
+      }
+      val d = rows.toSeq.toDF("doc_id", "text")
+      for ((num, den, minSize, cap) <- Seq((4, 5, 5, 100), (2, 3, 3, 6), (1, 1, 4, 4))) {
+        val got = Dedup.containmentPairs(d, n = 3, thresholdNum = num,
+          thresholdDen = den, minSize = minSize, maxDf = Some(cap))
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        val want = uncontracted(d, 3, num, den, minSize, cap)
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        assert(want.nonEmpty, s"vacuous case seed=$seed t=$num/$den")
+        assert(got == want, s"seed=$seed t=$num/$den minSize=$minSize cap=$cap")
+        spark.catalog.clearCache()
+      }
+    }
+  }
+
   test("containmentPairs flags the fragment Jaccard is blind to, asymmetrically") {
     // doc 10 is a verbatim excerpt of doc 11 (first 8 of 20 tokens):
     // containment(10->11) = 1.0 while jaccard ~ 6/18 — the class the
