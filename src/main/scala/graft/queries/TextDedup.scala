@@ -173,6 +173,37 @@ object TextDedup {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Detector-quality audit (round 11): recall and precision of the
+    // banded MinHash-LSH near-dup detector against the EXACT Jaccard
+    // ground truth over the same capped shingle universe — "measure,
+    // don't guess" applied to the detector itself, the number a 100 TB
+    // dedup run must publish before anyone trusts its dedup rate.
+    // Verified LSH pairs are a SUBSET of the exact pairs (same verify
+    // predicate, same universe), so precision_permille = 1000 is an
+    // invariant the oracle re-proves; recall prices the banding's miss
+    // rate (theory: 1-(1-t^r)^b per pair). Truth is corpus-exact (the
+    // inverted-index self-join, df-ceiling bounded), so the audit costs
+    // one extra dedup_ngram_jaccard pass — run it on a sample at 100 TB.
+    // One-row artifact; nonzero at every SF (planted near-dups).
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+          maxDf = Some(MAX_DF)).select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.minhashLshPairs(docs, n = 3, bands = 4,
+          rowsPerBand = 2, threshold = 0.5, maxDf = Some(MAX_DF))
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nM = found.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      nT.crossJoin(nF).crossJoin(nM)
+        .select(col("n_truth"), col("n_found"), col("n_matched"),
+          expr("(1000 * n_matched) div n_truth").as("recall_permille"),
+          expr("(1000 * n_matched) div n_found").as("precision_permille"))
+    }),
+
     // Exact n-gram Jaccard pairs via inverted-index self-join, full
     // corpus; the df ceiling bounds the per-shingle join fan-out.
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -833,6 +864,41 @@ object TextDedup {
           |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
 
       "dedup_minhash_lsh" -> minhashSql,
+
+      // Mirrors dedup_lsh_recall: LSH-verified pairs vs the exact
+      // inverted-index Jaccard pairs over the same capped universe.
+      "dedup_lsh_recall" ->
+        s"""WITH $docsSql,
+           |$dfShingledSql,
+           |${lshCandSql(8, 4)},
+           |found AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN shingled da ON da.doc_id = c.a
+           |  JOIN shingled db ON db.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+           |    CAST(len(da.sh) + len(db.sh) -
+           |         len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+           |tcand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id),
+           |truth AS (
+           |  SELECT c.a, c.b FROM tcand c
+           |  JOIN shingled da ON da.doc_id = c.a
+           |  JOIN shingled db ON db.doc_id = c.b
+           |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+           |    CAST(len(da.sh) + len(db.sh) -
+           |         len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+           |      FROM found f JOIN truth t ON f.a = t.a AND f.b = t.b)
+           |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           |  (SELECT n_matched FROM m) AS n_matched,
+           |  CAST((1000 * (SELECT n_matched FROM m)) //
+           |    (SELECT count(*) FROM truth) AS BIGINT) AS recall_permille,
+           |  CAST((1000 * (SELECT n_matched FROM m)) //
+           |    (SELECT count(*) FROM found) AS BIGINT)
+           |    AS precision_permille""".stripMargin,
+
       "dedup_clusters" -> clustersSql,
       "dup_cluster_size_hist" -> clusterSizeHistSql,
       // Min-hop BFS from each component's rep. The plain recursive CTE
