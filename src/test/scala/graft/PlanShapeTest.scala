@@ -573,6 +573,20 @@ class PlanShapeTest extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("round-11 contraction queries: no cartesian, members/index cached") {
+    // The contraction expansions are joins on rep keys and the pair
+    // joins stay blocked — a refactor that degrades any of them to a
+    // cartesian (or loses the shared-member cache) fails here.
+    for (name <- Seq("dedup_containment", "embed_near_dup",
+        "seq_topk_refblock", "semdedup_prune", "dedup_lsh_recall")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$name lost its shared caches")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("embed_norm_outliers: one cached vector scan feeds both percentile passes") {
     val df = SparkEntry.queries("embed_norm_outliers")(spark, sf)
     df.collect()
