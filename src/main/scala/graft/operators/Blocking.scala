@@ -63,6 +63,52 @@ object Blocking {
       .drop("_pid", "_rnk", "_off")
   }
 
+  /** Distributed cumulative sum WITHIN groups: `cumName` = running total
+    * of `valueCol` (long) over `sortCols` order within each group —
+    * the running-count/CDF primitive behind weighted medians, exact
+    * quantiles and equi-depth cuts — computed without any
+    * group-proportional single-partition window. A plain
+    * `Window.partitionBy(group).orderBy(sort)` moves every group
+    * through ONE task; fine when groups are many and small, a pinch
+    * point when a handful of groups each carry a value-domain-sized
+    * tail (measured: 3 returnflag groups × ~2M distinct cents at the
+    * organic 10x corpus). Same scheme as [[globalIndex]], generalized:
+    *
+    *  1. range-repartition by (group ++ sort) — order-contiguous within
+    *     each group across partitions;
+    *  2. per-partition running sum (window partitioned by
+    *     (_pid, group) — parallel);
+    *  3. per-(partition, group) subtotals prefix-summed along the
+    *     partition axis (≤ numPartitions × |groups| rows) and broadcast
+    *     back as offsets.
+    *
+    * `sortCols` must totally order rows WITHIN a group (callers pass
+    * distinct-value tables or append a tiebreaker) — same contract as
+    * [[globalIndex]].
+    */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[Column], valueCol: String,
+                       cumName: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gc = groupCols.map(col)
+    val parted = df.repartitionByRange(parts, gc ++ sortCols: _*)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = Window.partitionBy(col("_pid") +: gc: _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_lcum", sum(col(valueCol)).over(wLocal))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("_pid") +: gc: _*)
+      .agg(sum(col(valueCol)).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(wOff), lit(0L)))
+      .select(col("_pid") +: gc :+ col("_off"): _*)
+    local.join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn(cumName, col("_lcum") + col("_off"))
+      .drop("_pid", "_lcum")
+  }
+
   /** Neighbor-candidate pairs within a window of `w` consecutive rows of
     * the `sortCols` order. Output: every df column twice, suffixed _a
     * (the earlier row) and _b (the later row), for w-1 following

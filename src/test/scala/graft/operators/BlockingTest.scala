@@ -65,6 +65,27 @@ class BlockingTest extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("groupedPrefixSum equals the driver-side per-group running sum") {
+    // Few groups, many rows per group (the regime the operator exists
+    // for), scrambled input, group tails straddling range partitions.
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 600L).map { i =>
+      (Seq("A", "B", "C")(rnd.nextInt(3)), i, 1L + rnd.nextInt(9))
+    }
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).scanLeft((g, -1L, 0L)) { case ((_, _, acc), r) =>
+        (g, r._2, acc + r._3)
+      }.tail
+    }.toSet
+    val got = Blocking.groupedPrefixSum(
+        rows.toDF("g", "k", "v").repartition(11),
+        Seq("g"), Seq(col("k")), "v", "cum")
+      .select(col("g"), col("k"), col("cum"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("sortedNeighborhood w=3 adds the skip-one pairs") {
     val w2 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 2)
     val w3 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 3)
