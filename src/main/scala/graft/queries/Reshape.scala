@@ -71,10 +71,13 @@ object Reshape {
         .agg(count(lit(1)).as("gn"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      val win = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = g.withColumn("cum", sum(col("gn")).over(win))
+      // Round-11: distributed grouped prefix sum — 5 priority groups
+      // each carry a value-domain-sized distinct-cents tail, which a
+      // priority-partitioned window would push through 5 tasks.
+      val cum = graft.operators.Blocking.groupedPrefixSum(g,
+          Seq("o_orderpriority"), Seq(col("cents")), "gn", "cum")
         .join(broadcast(t), Seq("o_orderpriority"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fences = cum.filter(col("cum") * 20 >= col("n"))
         .groupBy(col("o_orderpriority")).agg(min(col("cents")).as("p05"))
         .join(cum.filter(col("cum") * 20 >= col("n") * 19)

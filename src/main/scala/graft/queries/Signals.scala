@@ -519,12 +519,14 @@ object Signals {
         .filter(col("cum") * 2 >= col("n_rows"))
         .groupBy(col("pri"), col("n_rows"))
         .agg(min(col("cents")).as("est_median_cents"))
-      // exact lower weighted median via distinct-cents cumulative
+      // exact lower weighted median via distinct-cents cumulative —
+      // running count from the distributed grouped prefix sum (round 11:
+      // 5 pri groups each carry a value-domain-sized distinct-cents
+      // tail; a pri-partitioned window would push each through one task)
       val grouped = rows.groupBy(col("pri"), col("cents"))
         .agg(count(lit(1)).as("gw"))
-      val exactW = Window.partitionBy(col("pri")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val exact = grouped.withColumn("cum", sum(col("gw")).over(exactW))
+      val exact = graft.operators.Blocking.groupedPrefixSum(grouped,
+          Seq("pri"), Seq(col("cents")), "gw", "cum")
         .join(broadcast(tot), Seq("pri"))
         .filter(col("cum") * 2 >= col("n_rows"))
         .groupBy(col("pri"))
