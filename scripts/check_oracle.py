@@ -54,7 +54,7 @@ def canon_types(rel) -> list:
     return sorted(out)
 
 
-def make_con(sf_dir: str, workers: int):
+def make_con(sf_dir: str):
     con = duckdb.connect()
     # deliberately OVERSUBSCRIBED: most oracles are tiny, wall time is
     # set by the few heavy ones (10x dedup self-joins, corpus windows),
@@ -101,11 +101,14 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
     tls = threading.local()
 
     def check_one(name: str, sql: str):
-        con = getattr(tls, "con", None)
-        if con is None:
-            con = make_con(sf_dir, workers)
-            tls.con = con
+        # connection setup lives INSIDE the try: a transient parquet/glob
+        # failure must record one per-query FAIL, not crash the whole
+        # gate out of pool.map with a traceback
         try:
+            con = getattr(tls, "con", None)
+            if con is None:
+                con = make_con(sf_dir)
+                tls.con = con
             want_rel = con.sql(sql)
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:

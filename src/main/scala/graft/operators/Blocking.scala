@@ -106,7 +106,7 @@ object Blocking {
       .select(col("_pid") +: gc :+ col("_off"): _*)
     local.join(broadcast(offsets), "_pid" +: groupCols)
       .withColumn(cumName, col("_lcum") + col("_off"))
-      .drop("_pid", "_lcum")
+      .drop("_pid", "_lcum", "_off")
   }
 
   /** Neighbor-candidate pairs within a window of `w` consecutive rows of

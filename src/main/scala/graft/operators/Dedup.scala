@@ -474,6 +474,13 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int, thresholdNum: Int,
                        thresholdDen: Int, minSize: Int,
                        maxDf: Option[Int] = None): DataFrame = {
+    // The contraction's intra-group expansion emits containment=1000
+    // unconditionally, which matches the uncontracted plan only while
+    // inter = sz_a passes inter*den >= sz_a*num, i.e. den >= num. A
+    // >100% threshold would admit spurious intra-replica pairs, so the
+    // exactness precondition is enforced, not assumed.
+    require(thresholdNum <= thresholdDen,
+      s"containment threshold must be <= 1 ($thresholdNum/$thresholdDen)")
     // REPLICA CONTRACTION (round 11, the jw_best_match/dedup_levenshtein
     // treatment): docs with identical normalized text have identical
     // shingle sets, so a k-replica group contributes k identical rows to

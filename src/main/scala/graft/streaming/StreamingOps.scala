@@ -741,25 +741,31 @@ object StreamingOps {
     val old = new java.io.File(path + ".old")
     val staging = new java.io.File(path + ".staging")
     if (dir.exists() && old.exists()) deleteRec(old)
-    if (!dir.exists() && old.exists()) { old.renameTo(dir); () }
+    if (!dir.exists() && old.exists())
+      require(old.renameTo(dir), s"heal rollback $old -> $dir failed")
     if (staging.exists()) deleteRec(staging)
     (dir, old, staging)
   }
 
   /** Second half of the swap: back up the live dir, promote staging,
     * drop the backup. A crash between any two steps is healed by the
-    * next [[healSwap]]. */
+    * next [[healSwap]]. Every rename/delete result is checked: a
+    * silently-failed rename (cross-device staging, permissions) would
+    * otherwise let the batch commit while the NEXT healSwap restores
+    * the old snapshot — losing the batch permanently. Throwing instead
+    * fails the batch so the streaming engine replays it. */
   private def commitSwap(dir: java.io.File, old: java.io.File,
                          staging: java.io.File): Unit = {
-    if (dir.exists()) dir.renameTo(old)
-    staging.renameTo(dir)
+    if (dir.exists())
+      require(dir.renameTo(old), s"backup rename $dir -> $old failed")
+    require(staging.renameTo(dir), s"promote rename $staging -> $dir failed")
     if (old.exists()) deleteRec(old)
     ()
   }
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
+    require(f.delete() || !f.exists(), s"delete $f failed")
     ()
   }
 }
