@@ -109,6 +109,94 @@ object Blocking {
       .drop("_pid", "_lcum", "_off")
   }
 
+  /** Exact per-group quantiles (linear interpolation) WITHOUT the
+    * single value-domain-proportional `percentile` buffer: Spark's
+    * exact `Percentile` aggregate carries a value→count map per group
+    * through one final task, which at 100 TB means one task holding
+    * every distinct value of the domain. This computes the identical
+    * doubles from shuffle-parallel pieces:
+    *
+    *  1. distinct (group, value) counts — fact scale collapses to the
+    *     distinct value domain via partial aggregation;
+    *  2. [[groupedPrefixSum]] of the counts in value order — each value
+    *     covers the 1-based rank interval (cum-cnt, cum];
+    *  3. the |groups|×|probs| cut positions broadcast back: the rank
+    *     interval containing floor/ceil of pos = (N-1)·p picks the two
+    *     interpolation endpoints.
+    *
+    * The interpolation replicates `Percentile.getPercentile` operation
+    * for operation — (hi−pos)·vLo + (pos−lo)·vHi, with the hi==lo and
+    * vHi==vLo shortcuts — so results are bit-identical to the built-in
+    * aggregate (DuckDB's quantile_cont agrees; pinned by the oracle).
+    * Nulls are ignored, as in the built-in. Returns one row per group:
+    * groupCols + `qsName` (array<double>, in `probs` order).
+    */
+  def exactQuantiles(df0: DataFrame, groupCols0: Seq[String],
+                     valueCol: String, probs: Seq[Double],
+                     qsName: String = "qs"): DataFrame = {
+    val counts = df0.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols0.map(col) :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("_eq_cnt"))
+    exactQuantilesFromCounts(counts, groupCols0, valueCol, "_eq_cnt",
+      probs, qsName)
+  }
+
+  /** [[exactQuantiles]] over a pre-aggregated (group, value, count)
+    * table — for callers that already hold distinct-value counts (or
+    * reuse them for other weighted aggregates, e.g. the equi-depth
+    * histogram): the fact-scale reduction is paid once, everything
+    * here is distinct-value-domain-sized. Null values must already be
+    * excluded and (group, value) rows distinct.
+    */
+  def exactQuantilesFromCounts(counts0: DataFrame, groupCols0: Seq[String],
+                               valueCol: String, cntCol: String,
+                               probs: Seq[Double],
+                               qsName: String = "qs"): DataFrame = {
+    val base = counts0.select(
+      groupCols0.map(col) ++
+        Seq(col(valueCol).as("_v"), col(cntCol).as("_cnt")): _*)
+    val (counts, groupCols) =
+      if (groupCols0.nonEmpty) (base, groupCols0)
+      else (base.withColumn("_g", lit(1)), Seq("_g"))
+    val gc = groupCols.map(col)
+    val cum = groupedPrefixSum(counts, groupCols, Seq(col("_v")),
+      "_cnt", "_cum")
+    val positions = cum.groupBy(gc: _*).agg(max(col("_cum")).as("_n"))
+      .select(gc :+ col("_n") :+
+        posexplode(array(probs.map(lit(_)): _*)).as(Seq("_pi", "_p")): _*)
+      .withColumn("_pos", (col("_n") - 1).cast("double") * col("_p"))
+      .withColumn("_lo", floor(col("_pos")))
+      .withColumn("_hi", ceil(col("_pos")))
+      .select(groupCols.map(n => col(n).as("_pg_" + n)) ++
+        Seq(col("_pi"), col("_pos"), col("_lo"), col("_hi"),
+          (col("_lo") + 1).as("_kLo"), (col("_hi") + 1).as("_kHi")): _*)
+    val eqGroup = groupCols.map(n => col(n) === col("_pg_" + n))
+      .reduce(_ && _)
+    val prev = col("_cum") - col("_cnt")
+    val covLo = col("_kLo") > prev && col("_kLo") <= col("_cum")
+    val covHi = col("_kHi") > prev && col("_kHi") <= col("_cum")
+    val q = cum
+      .join(broadcast(positions), eqGroup && (covLo || covHi))
+      .groupBy(gc :+ col("_pi"): _*)
+      .agg(max(when(covLo, col("_v"))).as("_vLo"),
+        max(when(covHi, col("_v"))).as("_vHi"),
+        first(col("_pos")).as("_pos"), first(col("_lo")).as("_lo"),
+        first(col("_hi")).as("_hi"))
+      .withColumn("_q",
+        when(col("_hi") === col("_lo") ||
+             col("_vHi") === col("_vLo"), col("_vLo").cast("double"))
+          .otherwise(
+            (col("_hi").cast("double") - col("_pos")) *
+              col("_vLo").cast("double") +
+            (col("_pos") - col("_lo").cast("double")) *
+              col("_vHi").cast("double")))
+    q.groupBy(gc: _*)
+      .agg(expr(s"transform(array_sort(collect_list(struct(_pi, _q)))," +
+        " x -> x._q)").as(qsName))
+      .drop("_g")
+      .select((groupCols0.map(col) :+ col(qsName)): _*)
+  }
+
   /** Neighbor-candidate pairs within a window of `w` consecutive rows of
     * the `sortCols` order. Output: every df column twice, suffixed _a
     * (the earlier row) and _b (the later row), for w-1 following

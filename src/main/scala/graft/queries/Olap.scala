@@ -462,28 +462,37 @@ object Olap {
 
     // Equi-depth (decile) histogram — the optimizer-statistics twin of
     // histogram_prices' equi-width buckets: boundaries are the nine
-    // interior deciles from ONE array-percentile aggregate (the buffer
-    // is built and merged once, then read at each cut — same reasoning
-    // as percentile_orders), broadcast into a map-side bucket
+    // interior deciles, computed by Blocking.exactQuantiles (distinct-
+    // cents counts + groupedPrefixSum + rank-interval interpolation,
+    // bit-identical to the built-in Percentile) instead of one
+    // percentile aggregate whose value→count buffer put the whole
+    // distinct-cents domain through a single task (the round-11 6 s
+    // organic dominator). Boundaries broadcast into a map-side bucket
     // assignment: bucket = how many boundaries sit strictly below the
     // value, so boundary ties deterministically fall to the lower
-    // bucket on both engines. Two scans, zero pre-agg shuffles. At
-    // 100 TB the exact percentile becomes the sketch
-    // (approx_percentile, mergeable one-pass GK — the oracle-bounded
-    // twin approx_percentile_orders already pins that swap); the
-    // assignment side is unchanged either way.
+    // bucket on both engines. At 100 TB the exact side can still swap
+    // to the sketch (approx_percentile, mergeable one-pass GK — the
+    // oracle-bounded twin approx_percentile_orders pins that swap), but
+    // the exact-distributed path no longer needs it.
+    // The ENTIRE query factors through the distinct-cents counts table
+    // (one fact scan, persisted): boundaries read the counts through
+    // exactQuantilesFromCounts, and the per-bucket aggregates are the
+    // count-weighted twins (sum(cnt), sum(c*cnt)) over the same table —
+    // the fact side is never touched again after the first reduce.
     "histogram_equidepth" -> ((s, dir) => {
       val cents = (d2(col("o_totalprice")) * 100).cast("long")
-      val cuts = (1 to 9).map(i => lit(i / 10.0))
-      val bounds = orders(s, dir)
-        .agg(percentile(cents, array(cuts: _*)).as("bs"))
-      orders(s, dir).select(cents.as("c"))
-        .crossJoin(broadcast(bounds))
+      val counts = orders(s, dir).groupBy(cents.as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      val bounds = graft.operators.Blocking.exactQuantilesFromCounts(
+        counts, Nil, "c", "cnt", (1 to 9).map(_ / 10.0), qsName = "bs")
+      counts.crossJoin(broadcast(bounds))
         .withColumn("bucket",
           expr("cast(size(filter(bs, b -> c > b)) as bigint)"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_orders"), min(col("c")).as("min_cents"),
-          max(col("c")).as("max_cents"), sum(col("c")).as("sum_cents"))
+        .agg(sum(col("cnt")).as("n_orders"), min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"),
+          sum(col("c") * col("cnt")).as("sum_cents"))
         .orderBy(col("bucket"))
     }),
 

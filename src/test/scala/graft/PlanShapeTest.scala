@@ -205,6 +205,16 @@ class PlanShapeTest extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("histogram_equidepth has no percentile buffer over fact-scale input") {
+    // The exact deciles come from distinct-value counts + grouped
+    // prefix sums (Blocking.exactQuantilesFromCounts) — a `percentile`
+    // aggregate here would put the whole distinct-cents domain through
+    // one task's value→count buffer at 100 TB.
+    val p = plan("histogram_equidepth")
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("InMemoryTableScan"), p) // counts table built once
+  }
+
   test("q6_forecast_revenue pushes all three filters to the scan, zero joins") {
     val p = plan("q6_forecast_revenue")
     // shipdate range must prune at the parquet scan. The plan printer

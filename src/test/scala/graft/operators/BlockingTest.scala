@@ -86,6 +86,42 @@ class BlockingTest extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("exactQuantiles is bit-identical to the built-in percentile aggregate") {
+    // Tie-heavy random longs (interpolation endpoints often equal),
+    // skewed group sizes, probs hitting integer and fractional
+    // positions. Doubles compared EXACTLY — the operator's contract is
+    // bit-equality with Percentile, not closeness.
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 2000L).map { i =>
+      (Seq("A", "A", "A", "B", "C")(rnd.nextInt(5)), i,
+        rnd.nextInt(40).toLong * 97L)
+    }
+    val df = rows.toDF("g", "k", "v").repartition(11)
+    for (probs <- Seq(Seq(0.5), Seq(0.1, 0.25, 0.5, 0.75, 0.9),
+                      (1 to 9).map(_ / 10.0))) {
+      val want = df.groupBy(col("g"))
+        .agg(percentile(col("v"), array(probs.map(lit(_)): _*)).as("qs"))
+        .as[(String, Seq[Double])].collect().toMap
+      val got = Blocking.exactQuantiles(df, Seq("g"), "v", probs)
+        .as[(String, Seq[Double])].collect().toMap
+      assert(got == want, s"probs=$probs")
+      // ungrouped path (the injected constant group)
+      val wantAll = df.agg(
+        percentile(col("v"), array(probs.map(lit(_)): _*))).as[Seq[Double]]
+        .head()
+      val gotAll = Blocking.exactQuantiles(df, Nil, "v", probs)
+        .as[Seq[Double]].head()
+      assert(gotAll == wantAll, s"ungrouped probs=$probs")
+    }
+    // nulls ignored, single-row group (every prob returns the value)
+    val tiny = Seq(("A", 1L, Some(5L)), ("A", 2L, None), ("B", 3L, Some(7L)))
+      .toDF("g", "k", "v")
+    val got = Blocking.exactQuantiles(tiny, Seq("g"), "v", Seq(0.25, 0.9))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got == Map("A" -> Seq(5.0, 5.0), "B" -> Seq(7.0, 7.0)))
+    spark.catalog.clearCache()
+  }
+
   test("sortedNeighborhood w=3 adds the skip-one pairs") {
     val w2 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 2)
     val w3 = Blocking.sortedNeighborhood(people, Seq(col("name"), col("id")), w = 3)
