@@ -763,40 +763,59 @@ object Dedup {
     // reads it exactly once inside its own job, so no separate
     // pre-checkpoint is needed — the edge build below only ever touches
     // the saved (contracted) table.
+    def ufPass(df: DataFrame): DataFrame = {
+      import spark.implicits._
+      df.as[(Long, Long)].mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def root(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = root(a); val rb = root(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        // path compression inside root() only overwrites EXISTING
+        // keys — not a structural modification, so iterating the
+        // keySet while compressing is safe per HashMap's contract
+        val ks = parent.keySet().iterator()
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = ks.hasNext
+          def next(): (Long, Long) = {
+            val k = ks.next(); (root(k), k)
+          }
+        }
+      }.toDF("a", "b")
+    }
+    // THREE contraction passes (round 12): pass 1 runs over the
+    // caller's partitioning, so a component whose edges are scattered
+    // across partitions survives as several stars whose merging used to
+    // cost pointer-jumping rounds. Passes 2–3 rerun the union-find over
+    // the star edges REPARTITIONED BY MEMBER NODE: every (root, k) row
+    // of one k colocates (each node appears as k in each partition that
+    // saw it — as a self-star if it was a local root), so all roots
+    // sharing any node in one partition merge locally. A root also
+    // reappears as a MEMBER of later partitions' stars, so repeating
+    // the by-node pass keeps merging root-of-root chains the previous
+    // pass created. Components and node set are preserved for the same
+    // reason as pass 1; the shuffles between passes mean each pass
+    // executes once (map side) with no extra materialization. Measured
+    // on the organic ER graph (1.47M edges): loop rounds 4 → 2 (the
+    // floor: fixed point + confirmation), er_clusters 12.9 → 6.1 s.
     val p0 =
       if (p0raw.schema.fields.forall(_.dataType ==
-          org.apache.spark.sql.types.LongType)) {
-        import spark.implicits._
-        save(p0raw.as[(Long, Long)].mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
-          def root(x: Long): Long = {
-            var r = x
-            while (parent.get(r) != r) r = parent.get(r)
-            var c = x
-            while (parent.get(c) != c) {
-              val n = parent.get(c); parent.put(c, r); c = n
-            }
-            r
-          }
-          it.foreach { case (a, b) =>
-            if (!parent.containsKey(a)) parent.put(a, a)
-            if (!parent.containsKey(b)) parent.put(b, b)
-            val ra = root(a); val rb = root(b)
-            if (ra < rb) parent.put(rb, ra)
-            else if (rb < ra) parent.put(ra, rb)
-          }
-          // path compression inside root() only overwrites EXISTING
-          // keys — not a structural modification, so iterating the
-          // keySet while compressing is safe per HashMap's contract
-          val ks = parent.keySet().iterator()
-          new Iterator[(Long, Long)] {
-            def hasNext: Boolean = ks.hasNext
-            def next(): (Long, Long) = {
-              val k = ks.next(); (root(k), k)
-            }
-          }
-        }.toDF("a", "b"))
-      } else save(p0raw)
+          org.apache.spark.sql.types.LongType))
+        save(ufPass(ufPass(ufPass(p0raw).repartition(col("b")))
+          .repartition(col("b"))))
+      else save(p0raw)
     // Self-loops (u,u) are unioned in so that the per-round neighbor
     // aggregate min(lbl) OVER neighbors∪self IS least(own, neighbor
     // min) directly — the label table is then referenced exactly once

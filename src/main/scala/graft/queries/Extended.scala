@@ -93,7 +93,10 @@ object Extended {
   private def erLabels(s: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
     val c = customer(s, dir).select(col("c_custkey"), col("c_name"))
-    // persisted: feeds the chain edges AND the representative corpus
+    // persisted: feeds the chain edges AND the representative corpus.
+    // (A single name-window pass replacing groupBy+join-back was tried
+    // in round 12 and measured SLOWER — the window's per-partition name
+    // sort costs more than the hash aggregate + join it saves.)
     val grp = c.groupBy(col("c_name"))
       .agg(min(col("c_custkey")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -118,9 +121,12 @@ object Extended {
       greatest(col("c_custkey_a"), col("c_custkey_b")).as("b"),
       when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
         .otherwise(col("c_name_a")).as("nb"))
-    val pairs = bp.unionByName(snm).distinct()
+    // lev BEFORE distinct: the filter is a cheap early-exit map-side
+    // scan, so the candidate-dedup shuffle carries only survivors
+    val pairs = bp.unionByName(snm)
       .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
       .select(col("a"), col("b"))
+      .distinct()
       .unionByName(chain)
     graft.operators.Dedup.componentsFromPairs(pairs)
       .select(col("doc_id").as("c_custkey"),
@@ -295,23 +301,29 @@ object Extended {
         .select(col("rep_custkey"), col("c_name"),
           (d2(col("c_acctbal")) * 100).cast("long").as("cents"),
           col("c_mktsegment"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val fields = j.groupBy(col("rep_custkey"))
-        .agg(count(lit(1)).as("n_members"),
+      // TWO stacked aggregates, one pass over the members (round 12;
+      // was: two independent aggregates over a persisted frame + a
+      // ranking window + a join-back). The (cluster, segment) grain
+      // carries partial maxes of the member-level fields, so the
+      // cluster grain is segment-grain-sized; the mode-with-tie rule
+      // "cnt desc, then segment asc" is exactly lexicographic
+      // min(struct(-cnt, segment)) — no window, no second shuffle of
+      // the member rows, nothing persisted.
+      j.groupBy(col("rep_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
           max(concat(lpad(length(col("c_name")).cast("string"), 4, "0"),
-            col("c_name"))).as("nk"),
-          max(col("cents")).as("golden_bal_cents"))
+            col("c_name"))).as("nk_s"),
+          max(col("cents")).as("bal_s"))
+        .groupBy(col("rep_custkey"))
+        .agg(sum(col("cnt")).as("n_members"),
+          max(col("nk_s")).as("nk"),
+          max(col("bal_s")).as("golden_bal_cents"),
+          min(struct((-col("cnt")).as("nc"),
+            col("c_mktsegment").as("seg"))).as("best"))
         .select(col("rep_custkey"), col("n_members"),
           expr("substring(nk, 5)").as("golden_name"),
-          col("golden_bal_cents"))
-      val sw = Window.partitionBy(col("rep_custkey"))
-        .orderBy(col("cnt").desc, col("c_mktsegment"))
-      val seg = j.groupBy(col("rep_custkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(sw))
-        .filter(col("rn") === 1)
-        .select(col("rep_custkey"), col("c_mktsegment").as("golden_segment"))
-      fields.join(seg, Seq("rep_custkey"))
+          col("golden_bal_cents"),
+          col("best").getField("seg").as("golden_segment"))
         .orderBy(col("rep_custkey"))
     }),
 

@@ -198,9 +198,15 @@ class DedupTest extends AnyFunSuite {
   }
 
   test("componentsFromPairs throws (not silently wrong) when maxIters too low") {
+    // Convergence is two equal consecutive label sums — fixed point
+    // plus a confirmation round — so ONE round can never confirm and
+    // the guard must throw rather than return a possibly-partial
+    // labeling. (A 41-link chain at maxIters=2 was the old fixture;
+    // the round-12 three-pass star contraction now closes that within
+    // the 2-round floor, which is the improvement, not a lost guard.)
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException] {
-      Dedup.componentsFromPairs(pairs, maxIters = 2)
+      Dedup.componentsFromPairs(pairs, maxIters = 1)
     }
   }
 
