@@ -354,7 +354,7 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wsz))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceilOfTSz + 1)
-      .select(col("s"), col("doc_id"))
+      .select(col("s"), col("doc_id"), col("sz"))
   }
 
   /** Exact n-gram Jaccard pairs with PREFIX-FILTERED candidate
@@ -506,13 +506,21 @@ object Dedup {
       weights.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val invAll = shingleRows(repDocs, n)
       .join(weights.select(col("rep").as("doc_id"), col("k")), "doc_id")
-    val inv = materialized(maxDf match {
+    // The cached index carries each doc's post-cap set size: one window
+    // at build time buys the SIZE-COMPLEMENTARY filter in both tiers
+    // below — for the ordered pair (a,b), inter <= sz_b, so
+    // inter·den >= sz_a·num requires sz_b·den >= sz_a·num, and the
+    // repPairs gate requires sz_a >= minSize; both depend only on
+    // pair-constant sizes, so whole pairs drop BEFORE the
+    // intersection-count shuffle, never individual rows (lossless).
+    val inv = materialized((maxDf match {
       case Some(cap) =>
         val w = Window.partitionBy(col("s"))
         invAll.withColumn("_df", sum(col("k")).over(w))
           .filter(col("_df") <= cap).drop("_df", "k")
       case None => invAll.drop("k")
-    })
+    }).withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     val sizes = shingleSizes(inv)
     val pre = materialized(prefixRowsExact(inv, thresholdNum, thresholdDen))
     def fanout(left: DataFrame, right: DataFrame): Long = {
@@ -530,18 +538,37 @@ object Dedup {
     val preF = fanout(pre, inv); val invF = fanout(inv, inv)
     System.err.println(
       s"graft.guard containment tier=${if (preF * (1 + avgSz) <= invF) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
+    // Both tiers apply the size-complementary filter map-side, right
+    // after the shingle join and before anything shuffles on (a,b):
+    // a-side docs below minSize and pairs whose b side is too small to
+    // ever reach the containment threshold carry no information.
+    val szOk = col("a") =!= col("b") &&
+      col("_sza") >= minSize &&
+      col("_szb") * thresholdDen >= col("_sza") * thresholdNum
     val inter =
-      if (preF * (1 + avgSz) <= invF) {
-        val cand = pre.select(col("s"), col("doc_id").as("a"))
-          .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
-          .filter(col("a") =!= col("b"))
+      // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the measured
+      // guard for A/B benchmarking only; both tiers are lossless, so
+      // the override can never change results, just the physical plan.
+      if (sys.env.get("GRAFT_CONTAIN_TIER")
+            .map(_ == "prefix")
+            .getOrElse(preF * (1 + avgSz) <= invF)) {
+        val cand = pre.filter(col("sz") >= minSize)
+          .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
+          .join(inv.select(col("s"), col("doc_id").as("b"),
+            col("sz").as("_szb")), Seq("s"))
+          .filter(szOk)
           .select(col("a"), col("b"))
           .distinct()
         interCounts(cand, inv)
       } else
-        inv.select(col("s"), col("doc_id").as("a"))
-          .join(inv.select(col("s"), col("doc_id").as("b")), Seq("s"))
-          .filter(col("a") =!= col("b"))
+        // (A symmetric a<b enumeration with mirrored counts was
+        // measured in round 12 and is a wash: the s-join's match
+        // enumeration, not the count shuffle, dominates, and the
+        // mirror needs either a cache or a second aggregate pass.)
+        inv.select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
+          .join(inv.select(col("s"), col("doc_id").as("b"),
+            col("sz").as("_szb")), Seq("s"))
+          .filter(szOk)
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("inter"))
     val repPairs = inter
