@@ -53,11 +53,21 @@ object LabelProp {
       val edges = save(sym
         .unionByName(sym.select(col("u"), col("u").as("v")).distinct())
         .repartition(col("v")))
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
+      // Round 1 reads the initial labeling straight off the edge table:
+      // labels start as node ids, so the label of neighbor v IS v and
+      // the first round's "edges ⋈ labels" is the identity join —
+      // skipping it also removes the nodes-distinct that only existed
+      // to seed that join. Valid for any multiplicity the caller ships
+      // (the vote count is taken over the same rows either way).
+      var labels: DataFrame = null
       for (round <- 1 to iters) {
-        val counted = edges
-          .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+        val counted = (if (round == 1)
+          edges.select(col("u"), col("v").as("lbl"))
+        else
+          edges
+            .join(labels.withColumnRenamed("node", "v2"),
+              col("v") === col("v2"))
+            .select(col("u"), col("lbl")))
           .groupBy(col("u"), col("lbl"))
           .agg(count(lit(1)).as("n"))
         val next = counted
