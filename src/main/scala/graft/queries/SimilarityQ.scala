@@ -20,6 +20,7 @@ object SimilarityQ {
   private val ND_TABLES = 2  // embed_near_dup: banded LSH tables
   private val ND_BITS = 8    //   ... of 8 sign-projection bits each
   private val ND_THRESHOLD = 0.95
+  private val RECALL_CAP = 1000L // embed_lsh_recall audit sample bound
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
   private val KMEANS_K = 8   // Lloyd seed: the k lowest vec_ids
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
@@ -215,6 +216,54 @@ object SimilarityQ {
       Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD, dims = DIMS,
           nTables = ND_TABLES, nBits = ND_BITS)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Detector-quality audit for the EMBEDDING LSH (round 12, the
+    // dedup_lsh_recall twin): recall and precision of the banded
+    // sign-projection detector against EXACT all-pairs cosine ground
+    // truth on a capped sample — the second of the two 100 TB near-dup
+    // detectors now publishes its miss rate. Sample = vectors whose
+    // source id < RECALL_CAP (planted 0.9-scaled copies ride along via
+    // the % 1000000 fold), so the audit's pair space is CONSTANT-sized
+    // at any corpus scale, and per-pair collision probability is
+    // vector-intrinsic (sign projections read only the two vectors), so
+    // the sample-restricted detector measures the same per-pair recall
+    // the full run has. found ⊆ truth (same cosine expression, same
+    // threshold, LSH candidates ⊆ all pairs) makes precision_permille =
+    // 1000 an invariant the oracle re-proves; the bounded crossJoin is
+    // the sample's by design (≤ 1.2·RECALL_CAP rows a side).
+    "embed_lsh_recall" -> ((s, dir) => {
+      val base = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = base.unionByName(
+        base.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+        .filter(col("vec_id") % 1000000L < RECALL_CAP)
+      val q = corpus
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+        .withColumn("nrm", VectorFns.normQ(col("q")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = q.select(col("vec_id").as("a"), col("q").as("qa"),
+          col("nrm").as("na"))
+        .join(q.select(col("vec_id").as("b"), col("q").as("qb"),
+          col("nrm").as("nb")), col("a") < col("b"))
+        .filter(VectorFns.dotQ(col("qa"), col("qb")) /
+          (col("na") * col("nb")) >= ND_THRESHOLD)
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD,
+          dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS)
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nM = found.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      nT.crossJoin(nF).crossJoin(nM)
+        .select(col("n_truth"), col("n_found"), col("n_matched"),
+          expr("(1000 * n_matched) div n_truth").as("recall_permille"),
+          expr("(1000 * n_matched) div n_found").as("precision_permille"))
     }),
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -865,6 +914,45 @@ object SimilarityQ {
          |            JOIN q qb ON c.b = qb.vec_id)
          |SELECT a, b, cos FROM scored WHERE cos >= $ND_THRESHOLD
          |ORDER BY a, b""".stripMargin,
+
+    "embed_lsh_recall" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  FROM base WHERE vec_id % 5 = 0),
+         |samp AS (SELECT * FROM corpus WHERE vec_id % 1000000 < $RECALL_CAP),
+         |q AS (
+         |  SELECT vec_id,
+         |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
+         |  FROM samp),
+         |truth AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM q x JOIN q y ON x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.q", "y.q")} >= $ND_THRESHOLD),
+         |bk AS (
+         |  SELECT vec_id, q,
+         |    ${bucketSql("q", ND_BITS, 0)} AS b0,
+         |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
+         |  FROM q),
+         |found AS (
+         |  SELECT c.a, c.b FROM (
+         |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |    FROM bk x JOIN bk y
+         |      ON x.vec_id < y.vec_id AND (x.b0 = y.b0 OR x.b1 = y.b1)) c
+         |  JOIN q qa ON c.a = qa.vec_id JOIN q qb ON c.b = qb.vec_id
+         |  WHERE ${cosSql("qa.q", "qb.q")} >= $ND_THRESHOLD),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+         |      FROM found f JOIN truth t ON f.a = t.a AND f.b = t.b)
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         |  (SELECT n_matched FROM m) AS n_matched,
+         |  CAST((1000 * (SELECT n_matched FROM m)) //
+         |    (SELECT count(*) FROM truth) AS BIGINT) AS recall_permille,
+         |  CAST((1000 * (SELECT n_matched FROM m)) //
+         |    (SELECT count(*) FROM found) AS BIGINT) AS precision_permille""".stripMargin,
 
     "multimodal_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
