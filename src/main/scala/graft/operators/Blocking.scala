@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
+  /** Cache contract (applies to [[globalIndex]], [[groupedPrefixSum]],
+    * [[exactQuantilesFromCounts]] and [[sortedNeighborhood]]): the
+    * returned plan READS the internal range-partitioned persist — it
+    * pins the sampled partition boundaries, so it cannot be released
+    * inside the operator. The entry lives in the session CacheManager
+    * until `spark.catalog.clearCache()`; canonicalization dedupes
+    * repeat invocations on the same input, so a session holds at most
+    * one entry per distinct input plan. Callers cycling many distinct
+    * corpora in one session should clearCache between them (the
+    * Dedup.materialized contract, documented there).
+    */
+
   /** `df` + `idx` (1-based global row number in `sortCols` order),
     * computed without any corpus-wide single-partition step.
     */

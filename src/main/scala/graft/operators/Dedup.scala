@@ -394,10 +394,16 @@ object Dedup {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val preF = fanout(pre); val invF = fanout(inv)
+    val usePrefix = preF * 2 <= invF
     System.err.println(
-      s"graft.guard prefixJaccard tier=${if (preF * 2 <= invF) "prefix" else "plain"} preFanout=$preF invFanout=$invF")
+      s"graft.guard prefixJaccard tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF")
+    // The guard already materialized `pre` (its fan-out aggregate); if
+    // the plain tier wins, that cache is DEAD — nothing downstream
+    // reads it — so release it here instead of leaving it resident
+    // until the caller's clearCache (library-grade cache scoping).
+    if (!usePrefix) { pre.unpersist(); () }
     val inter =
-      if (preF * 2 <= invF) {
+      if (usePrefix) {
         val cand = pre.select(col("s"), col("doc_id").as("a"))
           .join(pre.select(col("s"), col("doc_id").as("b")), Seq("s"))
           .filter(col("a") < col("b"))
@@ -536,8 +542,18 @@ object Dedup {
       if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
     }
     val preF = fanout(pre, inv); val invF = fanout(inv, inv)
+    // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the measured
+    // guard for A/B benchmarking only; both tiers are lossless, so
+    // the override can never change results, just the physical plan.
+    val usePrefix = sys.env.get("GRAFT_CONTAIN_TIER")
+      .map(_ == "prefix")
+      .getOrElse(preF * (1 + avgSz) <= invF)
     System.err.println(
-      s"graft.guard containment tier=${if (preF * (1 + avgSz) <= invF) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
+      s"graft.guard containment tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
+    // The guard already materialized `pre`; on the plain tier that
+    // cache is dead — release it instead of leaving it resident until
+    // the caller's clearCache (library-grade cache scoping).
+    if (!usePrefix) { pre.unpersist(); () }
     // Both tiers apply the size-complementary filter map-side, right
     // after the shingle join and before anything shuffles on (a,b):
     // a-side docs below minSize and pairs whose b side is too small to
@@ -546,12 +562,7 @@ object Dedup {
       col("_sza") >= minSize &&
       col("_szb") * thresholdDen >= col("_sza") * thresholdNum
     val inter =
-      // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the measured
-      // guard for A/B benchmarking only; both tiers are lossless, so
-      // the override can never change results, just the physical plan.
-      if (sys.env.get("GRAFT_CONTAIN_TIER")
-            .map(_ == "prefix")
-            .getOrElse(preF * (1 + avgSz) <= invF)) {
+      if (usePrefix) {
         val cand = pre.filter(col("sz") >= minSize)
           .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
           .join(inv.select(col("s"), col("doc_id").as("b"),

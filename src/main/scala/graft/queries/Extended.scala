@@ -128,9 +128,15 @@ object Extended {
       .select(col("a"), col("b"))
       .distinct()
       .unionByName(chain)
-    graft.operators.Dedup.componentsFromPairs(pairs)
+    val labels = graft.operators.Dedup.componentsFromPairs(pairs)
       .select(col("doc_id").as("c_custkey"),
         col("rep_doc_id").as("rep_custkey"))
+    // componentsFromPairs checkpoints the pair pipeline EAGERLY, so by
+    // the time it returns, the grp cache has no remaining reader — the
+    // returned labels are checkpoint-backed. Release it here rather
+    // than leaving it resident until the caller's clearCache.
+    grp.unpersist()
+    labels
   }
 
   def queries: Map[String, Q] = Map(
