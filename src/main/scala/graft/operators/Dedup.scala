@@ -1122,7 +1122,22 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     val va = q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
     val vb = q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
-    val repPairs = cand.join(va, Seq("a")).join(vb, Seq("b"))
+    // Vector-fetch strategy, measured not guessed (the tier-guard
+    // pattern): joining candidates against the rep-vector table drags a
+    // dims-long array per matched row through BOTH pair-join shuffles —
+    // candidate-volume × vector-width bytes (2+ GB at the 10x organic
+    // corpus), while the rep table itself is tiny. When the reps fit a
+    // sane broadcast (≤ 100k rows ≈ 50 MB at 64 dims), ship the table
+    // to the candidates instead of the arrays through the shuffle; at
+    // corpus scales beyond that the shuffle join IS the plan (a
+    // billion-vector rep table broadcasts nowhere) and candidates
+    // should instead be bounded by raising nBits with log(n).
+    val nReps = q.count()
+    val (vaJ, vbJ) =
+      if (nReps <= 100000L) (broadcast(va), broadcast(vb)) else (va, vb)
+    System.err.println(
+      s"graft.guard embedNearDup fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} nReps=$nReps")
+    val repPairs = cand.join(vaJ, Seq("a")).join(vbJ, Seq("b"))
       .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
