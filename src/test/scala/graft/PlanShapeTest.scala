@@ -540,13 +540,17 @@ class PlanShapeTest extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("golden_record_merge: one labels join feeds both field aggregates") {
+  test("golden_record_merge: stacked aggregates, no window, no member-table rescan") {
     val df = SparkEntry.queries("golden_record_merge")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the labels-joined member table is cached and read by the field
-    // aggregate AND the segment-mode aggregate — one customer pass
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // round-12 shape: ONE pass over the labels-joined members into the
+    // (cluster, segment)-grain aggregate, then the cluster-grain
+    // aggregate with min(struct(-cnt, segment)) as the segment mode —
+    // no ranking window, no join-back of a second aggregate, so the
+    // member table needs neither a cache nor a rescan
+    assert(!p.contains("Window"), p)
+    assert("min\\(struct\\(nc".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
