@@ -37,5 +37,9 @@ PY
 run_one "${SPARK_GRAFT_SF01:-/root/testdata/sf0.1}" BENCH_local_sf01.json
 run_one tmp_sf1 BENCH_local_sf1.json
 # third leg: the organic 10x corpus (GenOrganic), when present — the
-# corpus where the guards' organic-regime decisions are live
-[ -d tmp_sf1_organic/orders.parquet ] &&   run_one tmp_sf1_organic BENCH_sf1_organic.json
+# corpus where the guards' organic-regime decisions are live.
+# (if/fi, not `&&`: as the script's last command a false guard would
+# make the whole bench exit 1 under `set -e` even with both legs green)
+if [ -d tmp_sf1_organic/orders.parquet ]; then
+  run_one tmp_sf1_organic BENCH_sf1_organic.json
+fi

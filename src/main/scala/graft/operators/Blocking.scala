@@ -140,17 +140,41 @@ object Blocking {
     * for operation — (hi−pos)·vLo + (pos−lo)·vHi, with the hi==lo and
     * vHi==vLo shortcuts — so results are bit-identical to the built-in
     * aggregate (DuckDB's quantile_cont agrees; pinned by the oracle).
-    * Nulls are ignored, as in the built-in. Returns one row per group:
+    * Nulls are ignored, as in the built-in — including the all-null
+    * edge: a group whose values are all NULL (and the ungrouped empty
+    * or all-null input) yields a row with a NULL `qsName`, exactly as
+    * `percentile(...)` does, via a left join of the quantile results
+    * back onto the distinct group set. Returns one row per group:
     * groupCols + `qsName` (array<double>, in `probs` order).
+    *
+    * Cache contract (Blocking family): the distinct (group, value)
+    * counts are persisted — they feed both the group set and the
+    * quantile pipeline — and, like [[groupedPrefixSum]]'s internal
+    * cache, the entry must live until the caller's clearCache;
+    * canonicalization bounds it to one entry per distinct input.
     */
   def exactQuantiles(df0: DataFrame, groupCols0: Seq[String],
                      valueCol: String, probs: Seq[Double],
                      qsName: String = "qs"): DataFrame = {
-    val counts = df0.filter(col(valueCol).isNotNull)
+    // one fact scan: count WITHOUT the null filter so all-null groups
+    // survive into the group set; the quantile side filters nulls out.
+    val allCounts = df0
       .groupBy(groupCols0.map(col) :+ col(valueCol): _*)
       .agg(count(lit(1)).as("_eq_cnt"))
-    exactQuantilesFromCounts(counts, groupCols0, valueCol, "_eq_cnt",
-      probs, qsName)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = allCounts.filter(col(valueCol).isNotNull)
+    val qs = exactQuantilesFromCounts(counts, groupCols0, valueCol,
+      "_eq_cnt", probs, qsName)
+    if (groupCols0.nonEmpty) {
+      val groups = allCounts.select(groupCols0.map(col): _*).distinct()
+      groups.join(qs, groupCols0, "left")
+    } else {
+      // group-by-nothing: the built-in returns exactly one row (NULL
+      // on empty/all-null input) — anchor on a literal one-row frame.
+      val one = df0.sparkSession.range(1).select(lit(1).as("_gg"))
+      one.join(qs.withColumn("_gg", lit(1)), Seq("_gg"), "left")
+        .select(col(qsName))
+    }
   }
 
   /** [[exactQuantiles]] over a pre-aggregated (group, value, count)

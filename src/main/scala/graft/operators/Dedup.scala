@@ -545,9 +545,15 @@ object Dedup {
     // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the measured
     // guard for A/B benchmarking only; both tiers are lossless, so
     // the override can never change results, just the physical plan.
-    val usePrefix = sys.env.get("GRAFT_CONTAIN_TIER")
-      .map(_ == "prefix")
-      .getOrElse(preF * (1 + avgSz) <= invF)
+    // Only the two documented values are accepted — a typo must fail
+    // loudly, not silently benchmark the wrong physical plan.
+    val usePrefix = sys.env.get("GRAFT_CONTAIN_TIER") match {
+      case Some("prefix") => true
+      case Some("plain")  => false
+      case Some(other)    => sys.error(
+        s"GRAFT_CONTAIN_TIER must be 'prefix' or 'plain', got '$other'")
+      case None           => preF * (1 + avgSz) <= invF
+    }
     System.err.println(
       s"graft.guard containment tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
     // The guard already materialized `pre`; on the plain tier that

@@ -119,6 +119,25 @@ class BlockingTest extends AnyFunSuite {
     val got = Blocking.exactQuantiles(tiny, Seq("g"), "v", Seq(0.25, 0.9))
       .as[(String, Seq[Double])].collect().toMap
     assert(got == Map("A" -> Seq(5.0, 5.0), "B" -> Seq(7.0, 7.0)))
+    // all-null group: the built-in returns a row with NULL — so do we
+    // (the group set is taken before the null filter, left-joined back)
+    val edged = Seq(("A", 1L, Some(5L)), ("N", 2L, Option.empty[Long]),
+      ("N", 3L, Option.empty[Long])).toDF("g", "k", "v")
+    val wantEdge = edged.groupBy(col("g"))
+      .agg(percentile(col("v"), array(lit(0.5))).as("qs"))
+      .as[(String, Option[Seq[Double]])].collect().toMap
+    val gotEdge = Blocking.exactQuantiles(edged, Seq("g"), "v", Seq(0.5))
+      .as[(String, Option[Seq[Double]])].collect().toMap
+    assert(gotEdge == wantEdge && gotEdge("N").isEmpty)
+    // ungrouped all-null and truly-empty inputs: exactly one NULL row,
+    // matching the built-in's group-by-nothing contract
+    for (in <- Seq(edged.filter(col("g") === "N"), edged.filter(lit(false)))) {
+      val wantOne = in.agg(percentile(col("v"), array(lit(0.5))).as("qs"))
+        .as[Option[Seq[Double]]].collect().toSeq
+      val gotOne = Blocking.exactQuantiles(in, Nil, "v", Seq(0.5))
+        .as[Option[Seq[Double]]].collect().toSeq
+      assert(gotOne == wantOne && gotOne == Seq(None))
+    }
     spark.catalog.clearCache()
   }
 
