@@ -477,9 +477,43 @@ object Dedup {
     * is trivially 1.0 (a two-shingle doc contained anywhere carries no
     * dup signal).
     */
+  /** Rep-doc count up to which the candidate tier verifies by
+    * broadcast array-intersect: at ~1.2 KB of shingle array per doc
+    * the broadcast sits near 240 MB at the cap — comfortable on the
+    * target executors — while a corpus past it (millions of distinct
+    * docs at 100 TB) falls back to the measured shuffle-verify guard.
+    */
+  private[operators] val ARRAY_VERIFY_MAX_DOCS = 200000
+
   def containmentPairs(docs: DataFrame, n: Int, thresholdNum: Int,
                        thresholdDen: Int, minSize: Int,
                        maxDf: Option[Int] = None): DataFrame = {
+    // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the tier choice
+    // for A/B benchmarking only; every tier is lossless, so the
+    // override can never change results, just the physical plan. Only
+    // the two documented values are accepted — a typo must fail
+    // loudly, not silently benchmark the wrong physical plan.
+    val forced = sys.env.get("GRAFT_CONTAIN_TIER") match {
+      case Some("prefix") => Some(true)
+      case Some("plain")  => Some(false)
+      case Some(other)    => sys.error(
+        s"GRAFT_CONTAIN_TIER must be 'prefix' or 'plain', got '$other'")
+      case None           => None
+    }
+    containmentPairsTier(docs, n, thresholdNum, thresholdDen, minSize,
+      maxDf, forced, ARRAY_VERIFY_MAX_DOCS)
+  }
+
+  /** [[containmentPairs]] with explicit tier control for tests and
+    * A/Bs: forceCandidate Some(true) pins the prefix-candidate tier,
+    * Some(false) the plain self-join, None the guard; bcastDocsCap
+    * sets the array-verify ceiling (0 forces the shuffle verify).
+    * Every combination is lossless — only the physical plan changes.
+    */
+  private[operators] def containmentPairsTier(
+      docs: DataFrame, n: Int, thresholdNum: Int, thresholdDen: Int,
+      minSize: Int, maxDf: Option[Int], forceCandidate: Option[Boolean],
+      bcastDocsCap: Int): DataFrame = {
     // The contraction's intra-group expansion emits containment=1000
     // unconditionally, which matches the uncontracted plan only while
     // inter = sz_a passes inter*den >= sz_a*num, i.e. den >= num. A
@@ -528,68 +562,154 @@ object Dedup {
     }).withColumn("sz",
       count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     val sizes = shingleSizes(inv)
-    val pre = materialized(prefixRowsExact(inv, thresholdNum, thresholdDen))
-    def fanout(left: DataFrame, right: DataFrame): Long = {
-      val lf = left.groupBy(col("s")).agg(count(lit(1)).as("lf"))
-      val rf = right.groupBy(col("s")).agg(count(lit(1)).as("rf"))
-      val r = lf.join(rf, "s")
-        .agg(sum(col("lf") * col("rf")).as("c")).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    // avg shingles per doc: the per-candidate price of verification
-    val avgSz = {
-      val r = sizes.agg(avg(col("sz"))).first()
-      if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
-    }
-    val preF = fanout(pre, inv); val invF = fanout(inv, inv)
-    // GRAFT_CONTAIN_TIER=prefix|plain force-overrides the measured
-    // guard for A/B benchmarking only; both tiers are lossless, so
-    // the override can never change results, just the physical plan.
-    // Only the two documented values are accepted — a typo must fail
-    // loudly, not silently benchmark the wrong physical plan.
-    val usePrefix = sys.env.get("GRAFT_CONTAIN_TIER") match {
-      case Some("prefix") => true
-      case Some("plain")  => false
-      case Some(other)    => sys.error(
-        s"GRAFT_CONTAIN_TIER must be 'prefix' or 'plain', got '$other'")
-      case None           => preF * (1 + avgSz) <= invF
-    }
-    System.err.println(
-      s"graft.guard containment tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF avgSz=$avgSz")
-    // The guard already materialized `pre`; on the plain tier that
-    // cache is dead — release it instead of leaving it resident until
-    // the caller's clearCache (library-grade cache scoping).
-    if (!usePrefix) { pre.unpersist(); () }
-    // Both tiers apply the size-complementary filter map-side, right
+    // Size-complementary filter, applied map-side in every tier right
     // after the shingle join and before anything shuffles on (a,b):
     // a-side docs below minSize and pairs whose b side is too small to
-    // ever reach the containment threshold carry no information.
+    // ever reach the containment threshold carry no information
+    // (inter <= sz_b, so inter·den >= sz_a·num forces sz_b·den >=
+    // sz_a·num). Both depend only on pair-constant sizes — lossless.
     val szOk = col("a") =!= col("b") &&
       col("_sza") >= minSize &&
       col("_szb") * thresholdDen >= col("_sza") * thresholdNum
-    val inter =
-      if (usePrefix) {
-        val cand = pre.filter(col("sz") >= minSize)
-          .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
-          .join(inv.select(col("s"), col("doc_id").as("b"),
-            col("sz").as("_szb")), Seq("s"))
-          .filter(szOk)
-          .select(col("a"), col("b"))
-          .distinct()
-        interCounts(cand, inv)
+
+    // CANDIDATE TIER (the round-13 default): prefix-filtered candidate
+    // pairs, the PPJoin+ positional upper bound, then per-candidate
+    // verification — the full-index pair aggregate (52 M keys for
+    // 5.9 k qualifying pairs at organic 10x, the measured round-12
+    // dominator) never happens. Stages:
+    //
+    //  1. invR ranks every doc's shingles in the global canonical
+    //     order (df asc, s asc — the prefixRowsBy order), so the
+    //     prefix is rnk <= sz − ⌈t·sz⌉ + 1 and every shingle carries
+    //     its position.
+    //  2. The candidate join pairs a's prefix rows with the full
+    //     index: preFanout = Σ df_pre·df rows, ALWAYS <= the plain
+    //     tier's Σ df² (prefix rows ⊂ index rows), and the aggregate
+    //     keys are a subset of the plain tier's pairs.
+    //  3. The per-pair aggregate keeps kpre = |shared ∩ prefix(a)| and
+    //     pbmax = pos_b of the deepest prefix match. POSITIONAL BOUND
+    //     (lossless, PPJoin Xiao et al. WWW'08 adapted to asymmetric
+    //     containment): shared tokens beyond a's prefix rank after the
+    //     deepest prefix match in the global order, hence occupy
+    //     positions > pbmax in b, so
+    //       inter <= kpre + min(⌈t·sz_a⌉ − 1, sz_b − pbmax)
+    //     (sz_a − La = ⌈t·sz_a⌉ − 1). Pairs whose bound misses
+    //     ⌈t·sz_a⌉ drop before verification — measured 2.2x fewer
+    //     candidates at organic 10x, same qualifying pairs.
+    //  4. Verification: inter = |A∩B| exactly.
+    //     - verifyByArrays: per-doc shingle arrays broadcast to a
+    //       map-side size(array_intersect(..)) — zero shuffle; arrays
+    //       have distinct elements so the intersect size is exact.
+    //     - else: interCounts (expand by a's shingles, semi-join b) —
+    //       the shuffle path for corpora whose doc arrays don't fit a
+    //       broadcast.
+    def candidateInter(verifyByArrays: Boolean): DataFrame = {
+      val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // persisted: the candidate join reads invR on BOTH sides (a's
+      // prefix rows and the full index), and AQE stage reuse does not
+      // fire across the post-aggregate projection (the round-12
+      // finding), so without the cache the dfreq aggregate + rank
+      // window run twice. Same caller-clearCache contract as inv.
+      val invR = materialized(inv.join(dfreq, "s")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .withColumn("ta", expr(
+          s"(${thresholdNum}L * sz + ${thresholdDen - 1}L) div ${thresholdDen}L"))
+        .select(col("s"), col("doc_id"), col("sz"), col("rnk"), col("ta")))
+      val preR = invR.filter(col("rnk") <= col("sz") - col("ta") + 1)
+      val cand = preR
+        .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"),
+          col("ta"))
+        .join(invR.select(col("s"), col("doc_id").as("b"),
+          col("sz").as("_szb"), col("rnk").as("pb")), Seq("s"))
+        .filter(szOk)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("kpre"), max(col("pb")).as("pbmax"),
+          first(col("_sza")).as("sz_a"), first(col("_szb")).as("szb"),
+          first(col("ta")).as("tA"))
+        .filter(col("kpre") +
+          least(col("tA") - 1, col("szb") - col("pbmax")) >= col("tA"))
+      if (verifyByArrays) {
+        // persisted for the same reason: two broadcast builds (a-side
+        // and b-side) each materialize the whole aggregate otherwise.
+        val docsArr = materialized(inv.groupBy(col("doc_id"))
+          .agg(collect_list(col("s")).as("arr")))
+        cand.select(col("a"), col("b"), col("sz_a"))
+          .join(broadcast(docsArr
+            .select(col("doc_id").as("a"), col("arr").as("arr_a"))), "a")
+          .join(broadcast(docsArr
+            .select(col("doc_id").as("b"), col("arr").as("arr_b"))), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("arr_a"), col("arr_b")))
+              .cast("long").as("inter"),
+            col("sz_a"))
       } else
-        // (A symmetric a<b enumeration with mirrored counts was
-        // measured in round 12 and is a wash: the s-join's match
-        // enumeration, not the count shuffle, dominates, and the
-        // mirror needs either a cache or a second aggregate pass.)
-        inv.select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
-          .join(inv.select(col("s"), col("doc_id").as("b"),
-            col("sz").as("_szb")), Seq("s"))
-          .filter(szOk)
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("inter"))
-    val repPairs = inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+        interCounts(cand.select(col("a"), col("b")), inv)
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")),
+            "a")
+    }
+    // PLAIN TIER: full-index self-join + pair aggregate. Kept for the
+    // A/B override and for the big-corpus regime where the measured
+    // guard can still prefer it. (A symmetric a<b enumeration with
+    // mirrored counts was measured in round 12 and is a wash.)
+    def plainInter: DataFrame =
+      inv.select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"))
+        .join(inv.select(col("s"), col("doc_id").as("b"),
+          col("sz").as("_szb")), Seq("s"))
+        .filter(szOk)
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")),
+          "a")
+
+    val nRep = weights.count()
+    val interSz =
+      if (forceCandidate.contains(false)) {
+        System.err.println(
+          s"graft.guard containment tier=plain forced nRep=$nRep")
+        plainInter
+      } else if (forceCandidate.contains(true) || nRep <= bcastDocsCap) {
+        // Candidate tier is unconditional when the arrays broadcast:
+        // its join fan-out and aggregate keys are subsets of the plain
+        // tier's (stage 2 above) and the verify is map-side — measured
+        // 2.4 s vs the plain aggregate's 8.5-10 s at organic 10x, same
+        // 5,928 qualifying pairs, and a tie at the replica's rep scale.
+        val arrays = nRep <= bcastDocsCap
+        System.err.println(
+          s"graft.guard containment tier=candidate verify=" +
+            s"${if (arrays) "arrays" else "shuffle"} nRep=$nRep" +
+            (if (forceCandidate.contains(true)) " forced" else ""))
+        candidateInter(arrays)
+      } else {
+        // Big-corpus regime (arrays exceed the broadcast budget): the
+        // shuffle verify prices each candidate at ~avg-doc-size
+        // interCounts rows, so keep the round-9 measured guard — the
+        // candidate tier must beat the plain self-join by (1+avgSz)x
+        // on the prefix fan-out (preF bounds the candidate count).
+        def fanout(left: DataFrame, right: DataFrame): Long = {
+          val lf = left.groupBy(col("s")).agg(count(lit(1)).as("lf"))
+          val rf = right.groupBy(col("s")).agg(count(lit(1)).as("rf"))
+          val r = lf.join(rf, "s")
+            .agg(sum(col("lf") * col("rf")).as("c")).first()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val avgSz = {
+          val r = sizes.agg(avg(col("sz"))).first()
+          if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
+        }
+        // pre is consumed exactly once (the fanout aggregate) — no
+        // persist, so there is no dead cache to scope.
+        val preF = fanout(prefixRowsExact(inv, thresholdNum, thresholdDen),
+          inv)
+        val invF = fanout(inv, inv)
+        val usePrefix = preF * (1 + avgSz) <= invF
+        System.err.println(
+          s"graft.guard containment tier=" +
+            s"${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
+            s"preFanout=$preF invFanout=$invF avgSz=$avgSz nRep=$nRep")
+        if (usePrefix) candidateInter(verifyByArrays = false) else plainInter
+      }
+    val repPairs = interSz
       .filter(col("sz_a") >= minSize)
       .filter(col("inter") * thresholdDen >= col("sz_a") * thresholdNum)
       .select(col("a"), col("b"),

@@ -37,9 +37,9 @@ class CacheScopeTest extends AnyFunSuite {
       thresholdNum = 4, thresholdDen = 5, minSize = 3).count()
     run()
     val after1 = nCached
-    // members + inv stay (the returned plan read them); the guard's
-    // prefix index must be gone on the plain tier.
-    assert(after1 - base <= 2, s"expected <=2 live entries, got ${after1 - base}")
+    // members + inv + the candidate tier's invR + docsArr stay (the
+    // returned plan read them); nothing dead may remain.
+    assert(after1 - base <= 4, s"expected <=4 live entries, got ${after1 - base}")
     run()
     assert(nCached == after1,
       "second invocation on the same corpus must reuse, not grow, the cache")

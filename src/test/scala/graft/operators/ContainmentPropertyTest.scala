@@ -70,15 +70,27 @@ class ContainmentPropertyTest extends AnyFunSuite {
         .map { case (t, id) => (id.toLong, t) }
       val df = docs.toDF("doc_id", "text")
       val (tn, td) = thresholds(i % thresholds.size)
-      val got = Dedup.containmentPairs(df, n = 3,
-          thresholdNum = tn, thresholdDen = td, minSize = 3,
-          maxDf = Some(6))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .toSet
       val want = refContainment(docs, maxDf = 6, tNum = tn, tDen = td,
         minSize = 3)
-      assert(got == want, s"sample $i: ${docs.size} docs at $tn/$td")
+      // every physical shape must agree with the definition: the
+      // default guard, the forced plain self-join, the candidate tier
+      // with broadcast array verify, and the candidate tier with the
+      // shuffle (interCounts) verify (bcastDocsCap = 0 forces it)
+      val shapes = Seq(
+        ("default", None, Dedup.ARRAY_VERIFY_MAX_DOCS),
+        ("plain", Some(false), Dedup.ARRAY_VERIFY_MAX_DOCS),
+        ("cand-arrays", Some(true), Dedup.ARRAY_VERIFY_MAX_DOCS),
+        ("cand-shuffle", Some(true), 0))
+      for ((label, forced, cap) <- shapes) {
+        val got = Dedup.containmentPairsTier(df, n = 3,
+            thresholdNum = tn, thresholdDen = td, minSize = 3,
+            maxDf = Some(6), forceCandidate = forced, bcastDocsCap = cap)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == want,
+          s"sample $i ($label): ${docs.size} docs at $tn/$td")
+      }
     }
   }
 
