@@ -50,48 +50,88 @@ object LabelProp {
       val p0 = save(pairs.select(col("a"), col("b")))
       val sym = p0.select(col("a").as("u"), col("b").as("v"))
         .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
-      val edges = save(sym
-        .unionByName(sym.select(col("u"), col("u").as("v")).distinct())
-        .repartition(col("v")))
-      // Round 1 reads the initial labeling straight off the edge table:
-      // labels start as node ids, so the label of neighbor v IS v and
-      // the first round's "edges ⋈ labels" is the identity join —
-      // skipping it also removes the nodes-distinct that only existed
-      // to seed that join. Valid for any multiplicity the caller ships
-      // (the vote count is taken over the same rows either way).
-      var labels: DataFrame = null
+      // Self-votes do NOT ride the edge table: a self-loop row would
+      // join labels on v = u and produce exactly (u, lbl_u) — one row
+      // of the labels table — every round. Unioning labels in directly
+      // keeps the distinct-self-loop rows out of the checkpointed edge
+      // table and out of every per-round join probe.
+      val edges = save(sym.repartition(col("v")))
+      // Labels start as node ids, so round 1's self-votes are the node
+      // set itself — the only place the nodes-distinct is still needed.
+      val nodes = save(sym.select(col("u")).distinct())
+      // Packed argmax guard: when every node id fits in [0, 2^31) the
+      // per-(u,lbl) count n (<= |V|+1 <= 2^31) and the label pack into
+      // ONE non-negative long, (n << 31) + (2^31 - 1 - lbl), whose max
+      // IS "most votes, then smallest label" — a primitive max the
+      // hash aggregate runs entirely in codegen, vs the two-field
+      // struct ordering of min(struct(-n, lbl)). Ids outside the range
+      // (or negative) keep the struct path; both are exact.
+      val idBounds = nodes.agg(min(col("u")), max(col("u"))).first()
+      val packable = !idBounds.isNullAt(0) && idBounds.getLong(0) >= 0L &&
+        idBounds.getLong(1) < (1L << 31)
+      System.err.println(s"graft.guard lpa argmax=" +
+        s"${if (packable) "packed-long" else "struct"} " +
+        s"minId=${if (idBounds.isNullAt(0)) "-" else idBounds.getLong(0)} " +
+        s"maxId=${if (idBounds.isNullAt(1)) "-" else idBounds.getLong(1)}")
+      var labels: DataFrame = nodes
+        .select(col("u").as("node"), col("u").as("lbl"))
       for (round <- 1 to iters) {
-        val counted = (if (round == 1)
+        // Round 1 reads neighbor votes straight off the edge table:
+        // the label of neighbor v IS v, so "edges ⋈ labels" would be
+        // the identity join. Valid for any multiplicity the caller
+        // ships (the vote count is over the same rows either way).
+        val votes = (if (round == 1)
           edges.select(col("u"), col("v").as("lbl"))
         else
           edges
             .join(labels.withColumnRenamed("node", "v2"),
               col("v") === col("v2"))
             .select(col("u"), col("lbl")))
+          .unionByName(labels.select(col("node").as("u"), col("lbl")))
+        // One exchange per round, not two: hash-partitioning the votes
+        // by u satisfies ClusteredDistribution for BOTH downstream
+        // aggregates (u ⊆ (u,lbl)), so the (u,lbl) count and the
+        // per-node argmax pipeline in a single post-shuffle stage.
+        // The (u,lbl) exchange it replaces shipped nearly the same
+        // rows (vote multiplicity per (u,lbl) is ~1 on a distinct
+        // edge list — map-side combine bought almost nothing) and the
+        // second exchange (|u,lbl| rows by u) disappears entirely.
+        val counted = votes.repartition(col("u"))
           .groupBy(col("u"), col("lbl"))
           .agg(count(lit(1)).as("n"))
-        val next = counted
-          .select(col("u").as("node"),
-            struct((-col("n")).as("nn"), col("lbl").as("l")).as("s"))
-          .groupBy(col("node"))
-          .agg(min(col("s")).as("m"))
-          .select(col("node"), col("m").getField("l").as("lbl"))
+        val next =
+          if (packable)
+            counted
+              .select(col("u").as("node"),
+                (shiftleft(col("n"), 31) +
+                  (lit((1L << 31) - 1) - col("lbl"))).as("pk"))
+              .groupBy(col("node"))
+              .agg(max(col("pk")).as("pk"))
+              .select(col("node"),
+                (lit((1L << 31) - 1) -
+                  (col("pk") % lit(1L << 31))).as("lbl"))
+          else
+            counted
+              .select(col("u").as("node"),
+                struct((-col("n")).as("nn"), col("lbl").as("l")).as("s"))
+              .groupBy(col("node"))
+              .agg(min(col("s")).as("m"))
+              .select(col("node"), col("m").getField("l").as("lbl"))
         // Unlike componentsFromPairs there is NO per-round convergence
         // aggregate forcing a driver sync here — the round count is
-        // fixed by the semantics — so intermediate rounds need no
-        // materialization at all: each round's labels feed exactly one
-        // consumer (the next round's join), and the scheduler pipelines
-        // the whole unrolled chain as ONE job's stage DAG instead of
-        // `iters` driver-synchronized job waves. Lineage is only cut
-        // every 8th round (at typical community-detection depths of
-        // 3-10 rounds, never): plan growth over single-digit rounds is
-        // trivial. Measured A/B (alternating same-host runs, 3-round
-        // LPA): ~10-25% faster at sf0.1 where the job-wave overhead is
-        // a real share of the round, a wash at the 10x replica where
-        // the per-round shuffles dominate — kept because it never
-        // loses and removes `iters` driver round-trips, which on a
-        // 1000-executor cluster cost far more than on local[32].
-        labels = if (round % 8 == 0 && round < iters) save(next) else next
+        // fixed by the semantics — so rounds are NOT eagerly
+        // checkpointed: the scheduler pipelines the whole unrolled
+        // chain as ONE job's stage DAG instead of `iters`
+        // driver-synchronized job waves (measured A/B in round 11:
+        // never loses, ~10-25% faster at sf0.1). Each round's labels
+        // now feed TWO consumers (the next round's join AND its
+        // self-vote union), so they are persisted — lazily, no driver
+        // sync — or the chain would re-execute exponentially. Cache
+        // contract: the per-round label caches (|V| rows each) live
+        // until the caller's clearCache, like every Blocking cache.
+        labels = if (round < iters)
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else next
       }
       labels
     } finally {
