@@ -30,6 +30,51 @@ object TextFns {
     */
   def fingerprint(text: Column): Column = md5(normText(text))
 
+  // ---- Unicode canonicalization (round-13, the multilingual-corpus gap) —
+  // OFF by default everywhere so existing fingerprints/hashes are stable;
+  // callers opt in per operator (e.g. Dedup.exactDups(unicodeNorm=true)).
+
+  /** Unicode normalization to the given form (NFC|NFD|NFKC|NFKD) — a
+    * native codegen'd expression ([[expressions.UnicodeNormalize]]);
+    * DuckDB `nfc_normalize` is the oracle twin of the NFC path.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.UnicodeNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), form))
+
+  /** Zero-width / BOM character strip (ZWSP, ZWNJ, ZWJ, WORD JOINER,
+    * ZWNBSP) — invisible codepoints that split tokens and defeat
+    * fingerprinting. \x{...} escapes keep the pattern printable and are
+    * shared RE2/Java-regex syntax, so the oracle uses the same class.
+    */
+  def stripZeroWidth(text: Column): Column =
+    regexp_replace(text,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}]", "")
+
+  /** Accent folding: NFD, strip combining marks (\p{Mn}), recompose to
+    * NFC — café/café/cafe collapse. DuckDB twin: strip_accents(...)
+    * (both are the utf8proc-style mark-removal fold).
+    */
+  def foldAccents(text: Column): Column =
+    unicodeNormalize(
+      regexp_replace(unicodeNormalize(text, "NFD"), "\\p{Mn}", ""), "NFC")
+
+  /** Unicode-normalized fingerprint input: zero-width strip, then NFC
+    * (accentFold=false) or the full accent fold (accentFold=true), then
+    * the standard whitespace+lowercase normalization. The flagged twin
+    * of [[normText]] — visually-identical NFC/NFD docs collapse to one
+    * fingerprint class.
+    */
+  def normTextUnicode(text: Column, accentFold: Boolean = false): Column =
+    normText(
+      if (accentFold) foldAccents(stripZeroWidth(text))
+      else unicodeNormalize(stripZeroWidth(text), "NFC"))
+
+  /** md5 over [[normTextUnicode]] — the Unicode-aware fingerprint. */
+  def fingerprintUnicode(text: Column, accentFold: Boolean = false): Column =
+    md5(normTextUnicode(text, accentFold))
+
   /** Jaro–Winkler similarity — a native codegen'd expression
     * ([[graft.functions.expressions.JaroWinklerSim]]), fuzz-pinned
     * bit-for-bit to DuckDB's jaro_winkler_similarity so thresholds and

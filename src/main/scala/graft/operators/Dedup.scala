@@ -31,10 +31,18 @@ object Dedup {
 
   /** Exact dedup on normalized text: one representative (min doc_id) per
     * fingerprint. reference analogue: dropDuplicates(keys).
+    *
+    * unicodeNorm=true fingerprints through [[TextFns.normTextUnicode]]
+    * (zero-width strip + NFC, plus the accent fold when accentFold set)
+    * so visually-identical NFC/NFD twins collapse — OFF by default to
+    * keep existing fingerprints stable; multilingual corpora opt in.
     */
-  def exactDedup(docs: DataFrame): DataFrame =
+  def exactDedup(docs: DataFrame, unicodeNorm: Boolean = false,
+                 accentFold: Boolean = false): DataFrame =
     docs
-      .withColumn("fp", TextFns.fingerprint(col("text")))
+      .withColumn("fp",
+        if (unicodeNorm) TextFns.fingerprintUnicode(col("text"), accentFold)
+        else TextFns.fingerprint(col("text")))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
 

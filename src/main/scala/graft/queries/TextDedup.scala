@@ -38,6 +38,24 @@ object TextDedup {
 
   private[queries] def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
+  /** Mixed-Unicode-form fixture rows for unicode_fingerprint_collapse —
+    * one source of truth for the Spark side AND the oracle VALUES list:
+    * NFC (-1), its NFD twin (-2), a zero-width-ridden NFC twin (-3) and
+    * the pre-accent-folded twin (-4). Negative ids keep them out of the
+    * corpus id space.
+    */
+  private[queries] val UNICODE_FIXTURES = Seq(
+    (-1L, "Caf\u00e9 r\u00e9sum\u00e9 na\u00efve"),
+    (-2L, "Cafe\u0301 re\u0301sume\u0301 nai\u0308ve"),
+    (-3L, "Caf\u00e9\u200b r\u00e9sum\u00e9 na\u00efve\ufeff"),
+    (-4L, "Cafe resume naive"))
+
+  /** The zero-width/BOM character class, in the \x{...} escape syntax
+    * shared by Java regex and RE2 (so the same pattern string works in
+    * both engines).
+    */
+  private val ZW = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}]"
+
   // ---- shared DuckDB snippets (mirror TextFns/Dedup expressions) -------
   // Builders are parameterized on the source relation so the curation
   // pipeline (queries/Curation.scala) can run the same chain over a
@@ -162,6 +180,32 @@ object TextDedup {
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactDedup(documents(s, dir))
         .orderBy(col("fp"))
+    }),
+
+    // Unicode-normalization audit (round 13): fingerprint classes under
+    // raw / NFC+zero-width-strip / accent-fold normalization. The
+    // corpus is ASCII, so deterministic mixed-form fixture rows (NFC,
+    // NFD, zero-width-ridden and pre-folded twins at negative doc_ids —
+    // UNICODE_FIXTURES, shared verbatim with the oracle SQL) provide
+    // the non-vacuous signal: raw > nfc > folded class counts. DuckDB
+    // nfc_normalize/strip_accents are the oracle twins of the codegen'd
+    // UnicodeNormalize expression + \p{Mn} fold.
+    "unicode_fingerprint_collapse" -> ((s, dir) => {
+      val fixtures = s.createDataFrame(UNICODE_FIXTURES)
+        .toDF("doc_id", "text")
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(fixtures)
+      corpus.agg(
+          countDistinct(TextFns.fingerprint(col("text"))).as("raw"),
+          countDistinct(md5(TextFns.normTextUnicode(col("text"))))
+            .as("nfc"),
+          countDistinct(md5(TextFns.normTextUnicode(col("text"),
+            accentFold = true))).as("folded"),
+          count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          expr("stack(3, 'raw', raw, 'nfc', nfc, 'folded', folded)")
+            .as(Seq("mode", "distinct_fp")))
+        .orderBy(col("mode"))
     }),
 
     // MinHash (8 sigs) + LSH banding (4 bands x 2 rows) + exact verify,
@@ -862,6 +906,36 @@ object TextDedup {
         """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
           |  min(doc_id) AS rep_doc_id, count(*) AS n_dups
           |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+      // nfc_normalize / strip_accents are DuckDB's twins of the
+      // UnicodeNormalize expression and the NFD+\p{Mn} fold; the
+      // VALUES list is UNICODE_FIXTURES verbatim (same escapes).
+      "unicode_fingerprint_collapse" -> {
+        val values = UNICODE_FIXTURES
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT * FROM (VALUES $values) AS t(doc_id, text)),
+           |fp AS (
+           |  SELECT
+           |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_raw,
+           |    md5(trim(regexp_replace(lower(nfc_normalize(
+           |      regexp_replace(text, '$ZW', '', 'g'))), '\\s+', ' ', 'g'))) AS fp_nfc,
+           |    md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(
+           |      regexp_replace(text, '$ZW', '', 'g')))), '\\s+', ' ', 'g'))) AS fp_fold
+           |  FROM corpus)
+           |SELECT mode, distinct_fp, n_docs FROM (
+           |  SELECT 'raw' AS mode,
+           |    CAST(count(DISTINCT fp_raw) AS BIGINT) AS distinct_fp,
+           |    CAST(count(*) AS BIGINT) AS n_docs FROM fp
+           |  UNION ALL SELECT 'nfc',
+           |    CAST(count(DISTINCT fp_nfc) AS BIGINT),
+           |    CAST(count(*) AS BIGINT) FROM fp
+           |  UNION ALL SELECT 'folded',
+           |    CAST(count(DISTINCT fp_fold) AS BIGINT),
+           |    CAST(count(*) AS BIGINT) FROM fp)
+           |ORDER BY mode""".stripMargin
+      },
 
       "dedup_minhash_lsh" -> minhashSql,
 
