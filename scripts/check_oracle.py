@@ -15,6 +15,7 @@ import json
 import sys
 import glob
 import os
+import time
 
 import duckdb
 import pandas as pd
@@ -101,6 +102,15 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
     tls = threading.local()
 
     def check_one(name: str, sql: str):
+        # timing wrapper: the per-query oracle seconds go into the JSON
+        # artifact ("secs") so gate-wall-time dominators are measured
+        # facts, not estimates (round-13 oracle-budget work)
+        t0 = time.monotonic()
+        name_, st, line = check_one_inner(name, sql)
+        secs = round(time.monotonic() - t0, 2)
+        return name_, st, f"{line}  [{secs}s]", secs
+
+    def check_one_inner(name: str, sql: str):
         # connection setup lives INSIDE the try: a transient parquet/glob
         # failure must record one per-query FAIL, not crash the whole
         # gate out of pool.map with a traceback
@@ -157,18 +167,24 @@ def main(sf_dir: str, out_dir: str, json_out: str = None,
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(lambda kv: check_one(*kv), items))
     status = {}
+    secs = {}
     failures = 0
-    for name, st, line in sorted(results):
+    for name, st, line, s in sorted(results):
         print(line)
         status[name] = st
+        secs[name] = s
         if not st.startswith("pass"):
             failures += 1
     print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    top = sorted(secs.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest oracles: " +
+          ", ".join(f"{n}={s:.0f}s" for n, s in top))
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n": len(oracles),
                        "n_pass": len(oracles) - failures,
-                       "queries": status}, f, indent=1, sort_keys=True)
+                       "queries": status, "oracle_secs": secs},
+                      f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     return 1 if failures else 0
 

@@ -318,6 +318,91 @@ object Curation {
           min(when(col("cum") * 2 >= col("total"), col("qp"))).as("p50"),
           min(when(col("cum") * 10 >= col("total") * 9, col("qp"))).as("p90"))
         .orderBy(col("lang"))
+    }),
+
+    // Consolidated curation report (round 13): the ONE long-format
+    // (metric, value) artifact a pipeline run ships — corpus size,
+    // exact/near-dup rates, repetition, eval contamination, and BOTH
+    // near-dup detectors' measured quality, unioned from the same
+    // definitions the standalone audit queries use. Scale shape:
+    // full-corpus metrics are the linear passes (one fingerprint
+    // aggregate, one excerpt-fp window, one map-side gram projection);
+    // the quadratic-by-nature audits (exact-truth LSH recall, eval
+    // contamination) run on the deterministic constant-size sample
+    // doc_id % 1000000 < 1000 — the embed_lsh_recall idiom: per-pair
+    // detector behavior is content-intrinsic, so the sampled audit
+    // measures the same per-pair rates as a full run while its pair
+    // space stays constant at any corpus scale. Every value is BIGINT
+    // permille or a count; nullif guards empty denominators in both
+    // engines.
+    "curation_report" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      // corpus size + exact-dup rate: one fingerprint hash aggregate
+      val exact = docs
+        .agg(count(lit(1)).as("n"),
+          countDistinct(TextFns.fingerprint(col("text"))).as("nfp"))
+        .select(expr("stack(2, 'corpus_docs', n, " +
+          "'exact_dup_permille', (1000 * (n - nfp)) div n)")
+          .as(Seq("metric", "value")))
+      // worst per-source excerpt-dup rate (dup_rate_by_source's max)
+      val fp60 = md5(substring(
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 60))
+      val topSrc = docs.select(col("doc_id"), col("source"), fp60.as("fp"))
+        .withColumn("rep", min(col("doc_id")).over(
+          Window.partitionBy(col("fp"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") > col("rep"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .agg(max(expr("(1000 * n_dups) div n_docs")).as("v"))
+        .select(lit("top_source_dup_permille").as("metric"),
+          col("v").as("value"))
+      // corpus duplicate-3-gram share: map-side projection, one agg
+      val repet = docs.select(
+          (size(TextFns.tokens(col("text"))) - 2).cast("long").as("total"),
+          size(TextFns.shingleSet(col("text"), 3)).cast("long").as("nd"))
+        .filter(col("total") > 0)
+        .agg(expr("(1000 * sum(total - nd)) div sum(total)").as("v"))
+        .select(lit("repetition_dup_permille").as("metric"),
+          col("v").as("value"))
+      // text LSH detector quality on the constant-size sample
+      val sample = docs
+        .filter(col("doc_id") % 1000000L < 1000L)
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = Dedup.ngramJaccardPairs(sample, n = 3, threshold = 0.5,
+          maxDf = Some(TextDedup.MAX_DF)).select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.minhashLshPairs(sample, n = 3, bands = 4,
+          rowsPerBand = 2, threshold = 0.5, maxDf = Some(TextDedup.MAX_DF))
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(found.join(truth, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_matched")))
+        .select(expr("stack(2, " +
+          "'lsh_recall_permille', (1000 * n_matched) div nullif(n_truth, 0), " +
+          "'lsh_precision_permille', (1000 * n_matched) div nullif(n_found, 0))")
+          .as(Seq("metric", "value")))
+      // graded eval contamination on the sample (eval = doc_id % 50 = 0)
+      val contam = Dedup.contaminationScore(
+          train = sample.filter(col("doc_id") % 50 =!= 0),
+          evalSet = sample.filter(col("doc_id") % 50 === 0), n = 3)
+        .agg(count(lit(1)).as("n_tr"),
+          sum(when(col("n_shared") * 2 >= col("n_shingles"), 1L)
+            .otherwise(0L)).as("n_hot"))
+        .select(lit("contamination_docs_permille").as("metric"),
+          expr("(1000 * n_hot) div nullif(n_tr, 0)").as("value"))
+      // embedding LSH detector quality (already constant-size capped)
+      val embed = SimilarityQ.embedRecallSummary(s, dir)
+        .select(expr("stack(2, " +
+          "'embed_recall_permille', recall_permille, " +
+          "'embed_precision_permille', precision_permille)")
+          .as(Seq("metric", "value")))
+      exact.unionByName(topSrc).unionByName(repet).unionByName(lsh)
+        .unionByName(contam).unionByName(embed)
+        .orderBy(col("metric"))
     })
   )
 
@@ -544,7 +629,105 @@ object Curation {
            |  CAST(min(CASE WHEN c.cum * 10 >= t.total * 9 THEN c.qp END)
            |    AS BIGINT) AS p90
            |FROM cum c JOIN tot t USING (lang)
-           |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+           |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+
+      // Mirrors curation_report: full-corpus fingerprint/gram passes,
+      // the sampled LSH-recall chain (TextDedup's shared CTE builders
+      // over the doc_id % 1000000 < 1000 sample), sampled
+      // contamination, and the embed_lsh_recall oracle embedded as a
+      // derived table. Every value CAST to BIGINT (DuckDB SUM returns
+      // HUGEINT); floor-div thresholds are cross-multiplied so both
+      // engines compare integers.
+      "curation_report" ->
+        s"""WITH fpq AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+           |      '\\s+', ' ', 'g')))) AS BIGINT) AS nfp
+           |  FROM documents),
+           |fps AS (
+           |  SELECT doc_id, source,
+           |    md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+           |        1, 60)) AS fp
+           |  FROM documents),
+           |marked AS (
+           |  SELECT source, doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+           |  FROM fps),
+           |srcagg AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    SUM(CASE WHEN doc_id > rep THEN 1 ELSE 0 END) AS n_dups
+           |  FROM marked GROUP BY source),
+           |grams AS (
+           |  SELECT CAST(len(toks) - 2 AS BIGINT) AS total,
+           |    CAST(len(list_distinct(list_transform(range(1, len(toks)-1),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           |      AS BIGINT) AS nd
+           |  FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS toks
+           |        FROM documents)
+           |  WHERE len(toks) >= 3),
+           |${TextDedup.docsSqlFrom(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 1000000 < 1000)")},
+           |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
+           |${TextDedup.lshCandSql(8, 4)},
+           |found AS (
+           |  SELECT a, b FROM (
+           |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
+           |      len(da.sh) AS na, len(db.sh) AS nb
+           |    FROM cand c
+           |    JOIN shingled da ON da.doc_id = c.a
+           |    JOIN shingled db ON db.doc_id = c.b)
+           |  WHERE CAST(ninter AS DOUBLE) /
+           |        CAST(na + nb - ninter AS DOUBLE) >= 0.5),
+           |tcand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id),
+           |truthq AS (
+           |  SELECT a, b FROM (
+           |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
+           |      len(da.sh) AS na, len(db.sh) AS nb
+           |    FROM tcand c
+           |    JOIN shingled da ON da.doc_id = c.a
+           |    JOIN shingled db ON db.doc_id = c.b)
+           |  WHERE CAST(ninter AS DOUBLE) /
+           |        CAST(na + nb - ninter AS DOUBLE) >= 0.5),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+           |      FROM found f JOIN truthq t ON f.a = t.a AND f.b = t.b),
+           |cev AS (
+           |  SELECT DISTINCT s
+           |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs
+           |        WHERE doc_id % 50 = 0)),
+           |ctr AS (
+           |  SELECT doc_id, s
+           |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs
+           |        WHERE doc_id % 50 <> 0)),
+           |cagg AS (
+           |  SELECT tr.doc_id, count(*) AS ns,
+           |    SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS nh
+           |  FROM ctr tr LEFT JOIN cev ev USING (s)
+           |  GROUP BY tr.doc_id),
+           |emb AS (SELECT * FROM (${SimilarityQ.embedRecallOracleSql}) e)
+           |SELECT metric, value FROM (
+           |  SELECT 'corpus_docs' AS metric, n AS value FROM fpq
+           |  UNION ALL SELECT 'exact_dup_permille',
+           |    CAST((1000 * (n - nfp)) // n AS BIGINT) FROM fpq
+           |  UNION ALL SELECT 'top_source_dup_permille',
+           |    CAST(max((1000 * n_dups) // n_docs) AS BIGINT) FROM srcagg
+           |  UNION ALL SELECT 'repetition_dup_permille',
+           |    CAST((1000 * sum(total - nd)) // sum(total) AS BIGINT)
+           |    FROM grams
+           |  UNION ALL SELECT 'lsh_recall_permille',
+           |    CAST((1000 * (SELECT n_matched FROM m)) //
+           |      nullif((SELECT count(*) FROM truthq), 0) AS BIGINT)
+           |  UNION ALL SELECT 'lsh_precision_permille',
+           |    CAST((1000 * (SELECT n_matched FROM m)) //
+           |      nullif((SELECT count(*) FROM found), 0) AS BIGINT)
+           |  UNION ALL SELECT 'contamination_docs_permille',
+           |    CAST((1000 * SUM(CASE WHEN 2 * nh >= ns THEN 1 ELSE 0 END)) //
+           |      nullif(count(*), 0) AS BIGINT) FROM cagg
+           |  UNION ALL SELECT 'embed_recall_permille', recall_permille
+           |    FROM emb
+           |  UNION ALL SELECT 'embed_precision_permille', precision_permille
+           |    FROM emb)
+           |ORDER BY metric""".stripMargin
     )
   }
 }

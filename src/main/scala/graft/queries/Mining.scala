@@ -707,19 +707,31 @@ object Mining {
         |  CAST(floor(s * 1000) AS BIGINT) AS sim_permille
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // Containment C(a,b) = |A∩B|/|A| >= 4/5 with |A| >= 5. The two
+    // size predicates move BEFORE the pair aggregate via lemmas about
+    // the metric (not the implementation): n_inter <= sz_b always, so
+    // 5*n_inter >= 4*sz_a requires 5*sz_b >= 4*sz_a; and sz_a >= 5 is
+    // pair-constant. Both filter the joined shingle-match rows without
+    // changing which (a,b) groups can qualify — the post-aggregate
+    // threshold is re-applied unchanged. sz rides the GROUP BY key
+    // (constant per doc_id) so no join-back is needed.
     "dedup_containment" ->
       s"""WITH ${TextDedup.docsSqlFrom("documents")},
          |${TextDedup.dfShingledSqlCapExpr(
         s"greatest(${TextDedup.MAX_DF}, (SELECT count(*) FROM documents) // 500)")},
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
+         |invs AS (
+         |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM inv),
          |inter AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
-         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id <> y.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT i.a, i.b,
-         |  (1000 * i.n_inter) // sa.sz AS containment_permille
-         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
-         |WHERE sa.sz >= 5 AND 5 * i.n_inter >= 4 * sa.sz
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sz_a,
+         |    count(*) AS n_inter
+         |  FROM invs x JOIN invs y ON x.s = y.s AND x.doc_id <> y.doc_id
+         |  WHERE x.sz >= 5 AND 5 * y.sz >= 4 * x.sz
+         |  GROUP BY 1, 2, 3)
+         |SELECT a, b,
+         |  (1000 * n_inter) // sz_a AS containment_permille
+         |FROM inter
+         |WHERE 5 * n_inter >= 4 * sz_a
          |ORDER BY a, b""".stripMargin,
 
     "session_trigrams" ->

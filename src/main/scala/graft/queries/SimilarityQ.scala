@@ -54,6 +54,46 @@ object SimilarityQ {
 
   // ----------------------------------------------------------------------
 
+  /** The embed_lsh_recall one-row summary (n_truth, n_found, n_matched,
+    * recall_permille, precision_permille) — factored out so Curation's
+    * consolidated curation_report reuses the identical detector audit.
+    */
+  private[queries] def embedRecallSummary(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
+      .filter(col("vec_id") % 1000000L < RECALL_CAP)
+    val q = corpus
+      .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFns.normQ(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = q.select(col("vec_id").as("a"), col("q").as("qa"),
+        col("nrm").as("na"))
+      .join(q.select(col("vec_id").as("b"), col("q").as("qb"),
+        col("nrm").as("nb")), col("a") < col("b"))
+      .filter(VectorFns.dotQ(col("qa"), col("qb")) /
+        (col("na") * col("nb")) >= ND_THRESHOLD)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val found = Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD,
+        dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nF = found.agg(count(lit(1)).as("n_found"))
+    val nM = found.join(truth, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    nT.crossJoin(nF).crossJoin(nM)
+      .select(col("n_truth"), col("n_found"), col("n_matched"),
+        expr("(1000 * n_matched) div n_truth").as("recall_permille"),
+        expr("(1000 * n_matched) div n_found").as("precision_permille"))
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Brute-force exact top-5 cosine neighbors for 8 broadcast query
@@ -231,40 +271,9 @@ object SimilarityQ {
     // the full run has. found ⊆ truth (same cosine expression, same
     // threshold, LSH candidates ⊆ all pairs) makes precision_permille =
     // 1000 an invariant the oracle re-proves; the bounded crossJoin is
-    // the sample's by design (≤ 1.2·RECALL_CAP rows a side).
-    "embed_lsh_recall" -> ((s, dir) => {
-      val base = embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val corpus = base.unionByName(
-        base.filter(col("vec_id") % 5 === 0)
-          .withColumn("vec_id", col("vec_id") + lit(1000000L))
-          .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
-        .filter(col("vec_id") % 1000000L < RECALL_CAP)
-      val q = corpus
-        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-        .withColumn("nrm", VectorFns.normQ(col("q")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val truth = q.select(col("vec_id").as("a"), col("q").as("qa"),
-          col("nrm").as("na"))
-        .join(q.select(col("vec_id").as("b"), col("q").as("qb"),
-          col("nrm").as("nb")), col("a") < col("b"))
-        .filter(VectorFns.dotQ(col("qa"), col("qb")) /
-          (col("na") * col("nb")) >= ND_THRESHOLD)
-        .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val found = Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD,
-          dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS)
-        .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nT = truth.agg(count(lit(1)).as("n_truth"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
-      val nM = found.join(truth, Seq("a", "b"), "left_semi")
-        .agg(count(lit(1)).as("n_matched"))
-      nT.crossJoin(nF).crossJoin(nM)
-        .select(col("n_truth"), col("n_found"), col("n_matched"),
-          expr("(1000 * n_matched) div n_truth").as("recall_permille"),
-          expr("(1000 * n_matched) div n_found").as("precision_permille"))
-    }),
+    // the sample's by design (≤ 1.2·RECALL_CAP rows a side). The
+    // builder is shared with Curation's consolidated curation_report.
+    "embed_lsh_recall" -> ((s, dir) => embedRecallSummary(s, dir)),
 
     // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     // at web-scale through semantic deduplication"): cluster the
@@ -996,4 +1005,11 @@ object SimilarityQ {
          |  min(sqn) AS min_sqn, max(sqn) AS max_sqn
          |FROM banded GROUP BY band ORDER BY band""".stripMargin
   )
+
+  /** DuckDB twin of [[embedRecallSummary]] — exposed so the
+    * curation_report oracle embeds it as a derived table (DuckDB
+    * accepts a WITH inside a parenthesized subquery).
+    */
+  private[queries] lazy val embedRecallOracleSql: String =
+    oracles("embed_lsh_recall")
 }

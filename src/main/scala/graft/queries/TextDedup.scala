@@ -143,18 +143,22 @@ object TextDedup {
        |  FROM reach GROUP BY node)""".stripMargin
 
   /** Jaccard-verify SQL over candidate pairs (a,b): mirrors
-    * Dedup.verifyJaccard.
+    * Dedup.verifyJaccard. The intersection length is computed ONCE in
+    * an inner projection (DuckDB does not CSE the list_intersect across
+    * SELECT and WHERE — measured 2x on the 10x organic gate's verify-
+    * heavy oracles); same rows, same values.
     */
   private[queries] def verifySql(threshold: Double) =
-    s"""SELECT c.a, c.b,
-       |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-       |  CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+    s"""SELECT a, b,
+       |  CAST(ninter AS DOUBLE) / CAST(na + nb - ninter AS DOUBLE)
        |    AS jaccard
-       |FROM cand c
-       |JOIN shingled da ON da.doc_id = c.a
-       |JOIN shingled db ON db.doc_id = c.b
-       |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-       |      CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |FROM (
+       |  SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand c
+       |  JOIN shingled da ON da.doc_id = c.a
+       |  JOIN shingled db ON db.doc_id = c.b)
+       |WHERE CAST(ninter AS DOUBLE) / CAST(na + nb - ninter AS DOUBLE)
        |      >= $threshold
        |ORDER BY a, b""".stripMargin
 
@@ -821,13 +825,36 @@ object TextDedup {
          |  CAST(max(sz) AS BIGINT) AS max_sz
          |FROM sizes GROUP BY 1 ORDER BY bucket""".stripMargin
 
-    def ngramSqlAt(threshold: Double) =
+    // Exact inverted-index Jaccard. `sized=true` applies the size-ratio
+    // lemma to the candidate join: J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)
+    // / max(|A|,|B|) (numerator <= min, denominator >= max), so J >= t
+    // requires 10*min >= (10t)*max — a pair-constant predicate on the
+    // join row, hence LOSSLESS w.r.t. the verified output. This is a
+    // theorem about the metric, not an implementation mirror; the
+    // t=0.5 family spot-check (dedup_ngram_jaccard) stays UNCONTRACTED
+    // so one oracle per family still exercises the raw formulation.
+    def ngramSqlAt(threshold: Double, sized: Boolean = false) = {
+      val t10 = math.round(threshold * 10)
+      val cand =
+        if (sized)
+          s"""invs AS (
+             |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
+             |  FROM inv),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM invs x JOIN invs y ON x.s = y.s AND x.doc_id < y.doc_id
+             |  WHERE 10 * least(x.sz, y.sz) >= $t10 * greatest(x.sz, y.sz))"""
+            .stripMargin
+        else
+          s"""cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)"""
+            .stripMargin
       s"""WITH $docsSql,
          |$dfShingledSql,
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id)
+         |$cand
          |${verifySql(threshold)}""".stripMargin
+    }
     val ngramSql = ngramSqlAt(0.5)
 
     // Triangle census over the verified LSH pairs (mirrors the
@@ -941,27 +968,39 @@ object TextDedup {
 
       // Mirrors dedup_lsh_recall: LSH-verified pairs vs the exact
       // inverted-index Jaccard pairs over the same capped universe.
+      // found/truth verifies compute the intersection once (see
+      // verifySql note); tcand carries the t=0.5 size-ratio lemma —
+      // lossless (see ngramSqlAt), and the exact-truth self-join is
+      // this gate's single heaviest oracle without it.
       "dedup_lsh_recall" ->
         s"""WITH $docsSql,
            |$dfShingledSql,
            |${lshCandSql(8, 4)},
            |found AS (
-           |  SELECT c.a, c.b FROM cand c
-           |  JOIN shingled da ON da.doc_id = c.a
-           |  JOIN shingled db ON db.doc_id = c.b
-           |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-           |    CAST(len(da.sh) + len(db.sh) -
-           |         len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+           |  SELECT a, b FROM (
+           |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
+           |      len(da.sh) AS na, len(db.sh) AS nb
+           |    FROM cand c
+           |    JOIN shingled da ON da.doc_id = c.a
+           |    JOIN shingled db ON db.doc_id = c.b)
+           |  WHERE CAST(ninter AS DOUBLE) /
+           |        CAST(na + nb - ninter AS DOUBLE) >= 0.5),
+           |invs AS (
+           |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
+           |  FROM inv),
            |tcand AS (
            |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id),
+           |  FROM invs x JOIN invs y ON x.s = y.s AND x.doc_id < y.doc_id
+           |  WHERE 10 * least(x.sz, y.sz) >= 5 * greatest(x.sz, y.sz)),
            |truth AS (
-           |  SELECT c.a, c.b FROM tcand c
-           |  JOIN shingled da ON da.doc_id = c.a
-           |  JOIN shingled db ON db.doc_id = c.b
-           |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-           |    CAST(len(da.sh) + len(db.sh) -
-           |         len(list_intersect(da.sh, db.sh)) AS DOUBLE) >= 0.5),
+           |  SELECT a, b FROM (
+           |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
+           |      len(da.sh) AS na, len(db.sh) AS nb
+           |    FROM tcand c
+           |    JOIN shingled da ON da.doc_id = c.a
+           |    JOIN shingled db ON db.doc_id = c.b)
+           |  WHERE CAST(ninter AS DOUBLE) /
+           |        CAST(na + nb - ninter AS DOUBLE) >= 0.5),
            |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
            |      FROM found f JOIN truth t ON f.a = t.a AND f.b = t.b)
            |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
@@ -1014,8 +1053,10 @@ object TextDedup {
       // Prefix filtering is lossless, so the prefix-filtered tier is
       // pinned to the full-inverted-index oracle at ITS threshold (0.8)
       // — any false negative from a wrong prefix bound shows up as a
-      // hash mismatch here.
-      "dedup_jaccard_prefix" -> ngramSqlAt(0.8),
+      // hash mismatch here. sized=true: the size-ratio lemma (see
+      // ngramSqlAt) bounds the candidate join; at t=0.8 it is the
+      // oracle-side cut that keeps the organic 10x gate inside budget.
+      "dedup_jaccard_prefix" -> ngramSqlAt(0.8, sized = true),
       "dupgraph_triangles" -> trianglesSql,
       "linkpred_jaccard" -> linkpredSql,
       "dedup_simhash" -> simhashSql,
