@@ -65,6 +65,48 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Fully-qualified RocksDB state store provider class name. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Runs `start` — which must START the stateful streaming query —
+    * with the RocksDB state store provider and changelog checkpointing
+    * enabled, restoring the session's previous conf afterwards. The
+    * provider is captured per-query at start time, so scoping the
+    * session conf around the start call pins it to exactly that query
+    * without disturbing concurrently-defined ones.
+    *
+    * This is the 100 TB posture for the heavy stateful sinks (MG heavy
+    * hitters, stateful dedup, session windows): the default HDFS-backed
+    * provider keeps every state key on the executor HEAP and snapshots
+    * the full store into the checkpoint each batch — state is bounded
+    * by memory, and per-batch checkpoint cost by TOTAL state size.
+    * RocksDB keeps state on executor-local disk with block-cache reads
+    * (heap stays bounded at any key cardinality), and changelog
+    * checkpointing uploads only each batch's delta — per-batch
+    * checkpoint cost proportional to the CHANGE RATE — while full
+    * snapshots are maintained asynchronously in the background. A
+    * restarted query replays the changelog on top of the last snapshot;
+    * recovery for each migrated sink is pinned by
+    * RocksDbStateRecoveryTest. A checkpoint written under one provider
+    * must be restarted under the same provider (the on-disk state
+    * formats differ), so restarts wrap their start() in this scope too.
+    */
+  def withRocksDbState[T](spark: org.apache.spark.sql.SparkSession)
+                         (start: => T): T = {
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try start
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** One enrollment-status transition (the stream form of J6's diff). */
   final case class StatusEvent(key: String, status: String, ts: java.sql.Timestamp)
   final case class Transition(key: String, from: String, to: String,
