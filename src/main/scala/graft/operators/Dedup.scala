@@ -999,6 +999,7 @@ object Dedup {
     val edges = save(sym
       .unionByName(sym.select(col("u"), col("u").as("v")).distinct())
       .repartition(col("v")))
+    Ckpt.release(p0) // superseded: every later plan reads `edges` only
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var converged = false
@@ -1056,7 +1057,11 @@ object Dedup {
       // ~7x — a diameter-d chain converges in ~log7(d) rounds).
       val tRound = System.nanoTime()
       val once = unit(labels, labels)
+      val prevLabels = labels
       labels = save(unit(once, labels)) // cut the growing lineage
+      // the new eager checkpoint is self-contained; round N-1's blocks
+      // are dead now (round 1's `prevLabels` is lazy — release no-ops)
+      Ckpt.release(prevLabels)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"CC round $iter: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       val newSum = labels
@@ -1071,6 +1076,7 @@ object Dedup {
       throw new IllegalStateException(
         s"componentsFromPairs did not converge after $maxIters rounds; " +
           "a partial labeling would be wrong — raise maxIters")
+    Ckpt.release(edges) // returned plan reads only the final labels
     labels.select(col("node").as("doc_id"), col("lbl").as("rep_doc_id"))
     } finally {
       // every checkpoint is eager, so restoring the dir here is safe —
@@ -1119,6 +1125,7 @@ object Dedup {
     val comp = componentsFromPairs(p0, checkpointDir = checkpointDir)
     var visited = save(comp.filter(col("doc_id") === col("rep_doc_id"))
       .select(col("doc_id").as("node"), lit(0L).as("layer")))
+    Ckpt.release(p0) // superseded: edges + the initial visited are saved
     var frontier = visited
     var layer = 1
     var done = false
@@ -1128,17 +1135,28 @@ object Dedup {
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("layer", lit(layer.toLong)))
-      if (next.isEmpty) done = true
-      else {
+      val prevFrontier = frontier
+      if (next.isEmpty) {
+        Ckpt.release(next) // empty terminal frontier: nothing reads it
+        done = true
+      } else {
+        val prevVisited = visited
         visited = save(visited.unionByName(next))
+        Ckpt.release(prevVisited) // new visited checkpoint supersedes it
         frontier = next
         layer += 1
       }
+      // the previous frontier fed only this round's join; idempotent if
+      // it was also the just-released visited (round 1), and must stay
+      // when it IS the live visited (first-round-empty graph edge case)
+      if (!(prevFrontier eq visited)) Ckpt.release(prevFrontier)
     }
     if (!done)
       throw new IllegalStateException(
         s"bfsLayers frontier still live after $maxIters rounds; " +
           "a partial layering would be wrong — raise maxIters")
+    Ckpt.release(edges) // returned plan reads only the final visited
+    if (!(frontier eq visited)) Ckpt.release(frontier)
     visited.select(col("node").as("doc_id"), col("layer"))
     } finally {
       // every checkpoint is eager, so restoring the dir here is safe

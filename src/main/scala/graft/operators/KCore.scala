@@ -48,6 +48,7 @@ object KCore {
       var edges = save(
         p0.select(col("a").as("u"), col("b").as("v"))
           .unionByName(p0.select(col("b").as("u"), col("a").as("v"))))
+      Ckpt.release(p0) // superseded: all later plans read `edges`
       // Surviving nodes are tracked SEPARATELY from the edge list: a
       // node whose neighbors all peel in one batch loses every edge row
       // in that same round, and a degree aggregate over edges alone
@@ -73,9 +74,16 @@ object KCore {
           val below = save(degs.filter(col("deg") < k)
             .select(col("node").as("peeled")))
           if (below.isEmpty) {
+            Ckpt.release(below) // empty peel set: nothing reads it
             stable = true
           } else {
-            // Peeled at level k -> survived the (k-1)-core only.
+            // Peeled at level k -> survived the (k-1)-core only. Each
+            // replacement checkpoint is eager, so its predecessor's
+            // blocks are dead the moment save returns — released
+            // explicitly (a 400-round peel would otherwise hold every
+            // superseded frontier until a driver GC).
+            val (prevAssigned, prevNodes, prevEdges) =
+              (assigned, nodes, edges)
             assigned = save(assigned.unionByName(
               below.select(col("peeled").as("node"),
                 lit(k - 1).cast("long").as("coreness"))))
@@ -84,6 +92,10 @@ object KCore {
             edges = save(edges
               .join(below, edges("u") === below("peeled"), "left_anti")
               .join(below, edges("v") === below("peeled"), "left_anti"))
+            Ckpt.release(prevAssigned) // no-op on the initial lazy frame
+            Ckpt.release(prevNodes)
+            Ckpt.release(prevEdges)
+            Ckpt.release(below)
             empty = nodes.isEmpty
           }
         }
@@ -102,6 +114,7 @@ object KCore {
             s"surviving nodes are labeled coreness ${k - 1} (lower bound, " +
             "not converged)")
       }
+      Ckpt.release(edges) // returned plan reads only assigned + nodes
       val survivors = nodes
         .withColumn("coreness", lit(k - 1).cast("long"))
       assigned.unionByName(survivors)

@@ -59,6 +59,7 @@ object LabelProp {
       // Labels start as node ids, so round 1's self-votes are the node
       // set itself — the only place the nodes-distinct is still needed.
       val nodes = save(sym.select(col("u")).distinct())
+      Ckpt.release(p0) // superseded: later plans read edges/nodes only
       // Packed argmax guard: when every node id fits in [0, 2^31) the
       // per-(u,lbl) count n (<= |V|+1 <= 2^31) and the label pack into
       // ONE non-negative long, (n << 31) + (2^31 - 1 - lbl), whose max

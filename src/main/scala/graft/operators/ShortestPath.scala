@@ -42,10 +42,13 @@ object ShortestPath {
         .join(e, dist("node") === e("src"))
         .select(e("dst").as("node"),
           (dist("min_cost") + e("cost")).as("min_cost"))
+      val prevDist = dist
       dist = save(dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("min_cost")).as("min_cost")))
+      Ckpt.release(prevDist) // new eager checkpoint supersedes it
       hop += 1
     }
+    Ckpt.release(e) // returned plan is the final dist checkpoint alone
     dist
   }
 }

@@ -678,16 +678,16 @@ object Advanced {
            |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
       "communities_lpa" ->
-        s"""WITH p0 AS (
+        s"""WITH p0 AS MATERIALIZED (
            |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
            |  FROM lineitem),
-           |sym AS (SELECT a AS u, b AS v FROM p0
+           |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM p0
            |        UNION ALL SELECT b AS u, a AS v FROM p0),
-           |e AS (SELECT u, v FROM sym
+           |e AS MATERIALIZED (SELECT u, v FROM sym
            |      UNION ALL SELECT DISTINCT u, u AS v FROM sym),
-           |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
-           |l1 AS (${lpaStep("l0")}),
-           |l2 AS (${lpaStep("l1")}),
+           |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e),
+           |l1 AS MATERIALIZED (${lpaStep("l0")}),
+           |l2 AS MATERIALIZED (${lpaStep("l1")}),
            |l3 AS (${lpaStep("l2")}),
            |c AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY lbl)
            |SELECT CAST(community_size AS BIGINT) AS community_size,

@@ -40,10 +40,10 @@ object Extended {
     */
   private val erCompSql: String =
     """cc AS (SELECT c_custkey, c_name FROM customer),
-      |grp AS (SELECT c_name, CAST(MIN(c_custkey) AS BIGINT) AS rep,
+      |grp AS MATERIALIZED (SELECT c_name, CAST(MIN(c_custkey) AS BIGINT) AS rep,
       |          COUNT(*) AS gn
       |        FROM cc GROUP BY c_name),
-      |c AS (SELECT rep AS c_custkey, c_name FROM grp),
+      |c AS MATERIALIZED (SELECT rep AS c_custkey, c_name FROM grp),
       |bp AS (
       |  SELECT x.c_custkey AS a, x.c_name AS na,
       |         y.c_custkey AS b, y.c_name AS nb
@@ -65,18 +65,18 @@ object Extended {
       |  FROM snm0),
       |cand AS (SELECT DISTINCT a, na, b, nb FROM
       |  (SELECT * FROM bp UNION ALL SELECT * FROM snm)),
-      |pairsq AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
-      |edges AS (SELECT a AS u, b AS v FROM pairsq
+      |pairsq AS MATERIALIZED (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
+      |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairsq
       |          UNION ALL SELECT b AS u, a AS v FROM pairsq),
       |nodes AS (SELECT DISTINCT u AS node FROM edges),
       |reach(node, root) AS (
       |  SELECT node, node FROM nodes
       |  UNION
       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
-      |comp AS (
+      |comp AS MATERIALIZED (
       |  SELECT node, CAST(MIN(root) AS BIGINT) AS root
       |  FROM reach GROUP BY node),
-      |labels AS (
+      |labels AS MATERIALIZED (
       |  SELECT m.c_custkey,
       |    CAST(COALESCE(comp.root, g.rep) AS BIGINT) AS rep_custkey
       |  FROM cc m JOIN grp g USING (c_name)
@@ -709,7 +709,7 @@ object Extended {
            |ORDER BY f.rep_custkey""".stripMargin,
 
       "sorted_neighborhood_pairs" ->
-        """WITH s AS (
+        """WITH s AS MATERIALIZED (
           |  SELECT p_partkey, p_name,
           |    row_number() OVER (ORDER BY p_name, p_partkey) AS idx
           |  FROM part)

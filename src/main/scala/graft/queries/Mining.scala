@@ -639,8 +639,8 @@ object Mining {
     s"""WITH ${TextDedup.docsSqlFrom("documents")},
        |${TextDedup.dfShingledSqlCap(TextDedup.MAX_DF)},
        |${TextDedup.lshCandSql(8, 4)},
-       |pairsq AS (${TextDedup.verifySql(0.5)}),
-       |e AS (SELECT a AS u, b AS v FROM pairsq
+       |pairsq AS MATERIALIZED (${TextDedup.verifySql(0.5)}),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM pairsq
        |      UNION ALL SELECT b AS u, a AS v FROM pairsq),
        |h0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS val
        |       FROM e GROUP BY u),
@@ -719,7 +719,7 @@ object Mining {
       s"""WITH ${TextDedup.docsSqlFrom("documents")},
          |${TextDedup.dfShingledSqlCapExpr(
         s"greatest(${TextDedup.MAX_DF}, (SELECT count(*) FROM documents) // 500)")},
-         |invs AS (
+         |invs AS MATERIALIZED (
          |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
          |  FROM inv),
          |inter AS (
@@ -986,7 +986,7 @@ object Mining {
         |    row_number() OVER (PARTITION BY src
         |      ORDER BY 1000000000000000 // revq, dst) AS rn
         |  FROM rev),
-        |edges AS (SELECT src, dst, cost FROM ranked WHERE rn <= 3),
+        |edges AS MATERIALIZED (SELECT src, dst, cost FROM ranked WHERE rn <= 3),
         |walk(node, cost, d) AS (
         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS d
         |  UNION

@@ -498,7 +498,7 @@ object SimilarityQ {
          |  UNION ALL
          |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
-         |n AS (
+         |n AS MATERIALIZED (
          |  SELECT vec_id AS id, q,
          |    sqrt(CAST(${dotSql("q", "q")} AS DOUBLE)) AS nrm
          |  FROM (SELECT vec_id,
@@ -513,7 +513,7 @@ object SimilarityQ {
          |        / (n.nrm * c.cnrm) DESC, c.cid) AS rn
          |    FROM n CROSS JOIN cents c)
          |  WHERE rn = 1),
-         |mem AS (SELECT asg.id, asg.cid, n.q, n.nrm
+         |mem AS MATERIALIZED (SELECT asg.id, asg.cid, n.q, n.nrm
          |        FROM asg JOIN n USING (id)),
          |pruned AS (
          |  SELECT DISTINCT y.id
@@ -545,7 +545,7 @@ object SimilarityQ {
         s"(abs(a.y$j - b.y$j) // 32) * (abs(a.y$j - b.y$j) // 32)")
         .mkString("\n         |      + ")
       s"""WITH e AS (SELECT vec_id AS id, $qSql AS q FROM embeddings),
-         |p AS (SELECT id, q,
+         |p AS MATERIALIZED (SELECT id, q,
          |    $yCols
          |  FROM e),
          |pairs AS (
@@ -897,18 +897,18 @@ object SimilarityQ {
          |FROM dims ORDER BY doc_id""".stripMargin,
 
     "embed_near_dup" ->
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |corpus AS (
          |  SELECT vec_id, emb FROM base
          |  UNION ALL
          |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
-         |q AS (
+         |q AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
          |  FROM corpus),
-         |bk AS (
+         |bk AS MATERIALIZED (
          |  SELECT vec_id, q,
          |    ${bucketSql("q", ND_BITS, 0)} AS b0,
          |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
@@ -925,7 +925,7 @@ object SimilarityQ {
          |ORDER BY a, b""".stripMargin,
 
     "embed_lsh_recall" ->
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |corpus AS (
          |  SELECT vec_id, emb FROM base
@@ -933,20 +933,20 @@ object SimilarityQ {
          |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
          |samp AS (SELECT * FROM corpus WHERE vec_id % 1000000 < $RECALL_CAP),
-         |q AS (
+         |q AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
          |  FROM samp),
-         |truth AS (
+         |truth AS MATERIALIZED (
          |  SELECT x.vec_id AS a, y.vec_id AS b
          |  FROM q x JOIN q y ON x.vec_id < y.vec_id
          |  WHERE ${cosSql("x.q", "y.q")} >= $ND_THRESHOLD),
-         |bk AS (
+         |bk AS MATERIALIZED (
          |  SELECT vec_id, q,
          |    ${bucketSql("q", ND_BITS, 0)} AS b0,
          |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
          |  FROM q),
-         |found AS (
+         |found AS MATERIALIZED (
          |  SELECT c.a, c.b FROM (
          |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |    FROM bk x JOIN bk y

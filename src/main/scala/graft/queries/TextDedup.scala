@@ -63,7 +63,7 @@ object TextDedup {
 
   /** toks + distinct 3-gram shingle set, mirroring TextFns.shingleSet. */
   private[queries] def docsSqlFrom(src: String) =
-    s"""docs AS (
+    s"""docs AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(
        |    CASE WHEN len(toks) >= 3
        |      THEN list_transform(range(1, len(toks)-1),
@@ -76,7 +76,7 @@ object TextDedup {
   private val docsSql = docsSqlFrom("documents")
 
   private val shingledSql =
-    s"""shingled AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)"""
+    s"""shingled AS MATERIALIZED (SELECT doc_id, sh FROM docs WHERE len(sh) > 0)"""
 
   /** df-ceiling variant (mirrors Dedup.dfCeiling): the inverted index
     * drops shingles with df > maxDf, then the per-doc shingle lists are
@@ -92,11 +92,11 @@ object TextDedup {
     * empty the inverted index.
     */
   private[queries] def dfShingledSqlCapExpr(maxDfExpr: String) =
-    s"""inv AS (
+    s"""inv AS MATERIALIZED (
        |  SELECT doc_id, s
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)
        |  QUALIFY count(*) OVER (PARTITION BY s) <= ($maxDfExpr)),
-       |shingled AS (SELECT doc_id, list(s) AS sh FROM inv GROUP BY doc_id)""".stripMargin
+       |shingled AS MATERIALIZED (SELECT doc_id, list(s) AS sh FROM inv GROUP BY doc_id)""".stripMargin
 
   private val dfShingledSql = dfShingledSqlCap(MAX_DF)
 
@@ -110,13 +110,13 @@ object TextDedup {
     val bandRows = (0 until bands)
       .map(b => s"SELECT doc_id, $b AS band_idx, md5(sig${2 * b} || sig${2 * b + 1}) AS band_hash FROM sigs")
       .mkString("\n  UNION ALL\n  ")
-    s"""sigs AS (
+    s"""sigs AS MATERIALIZED (
        |  SELECT doc_id,
        |    $sigCols
        |  FROM shingled),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandRows),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
@@ -129,8 +129,8 @@ object TextDedup {
     * at the statement head.
     */
   private[queries] def clusterTailSql(threshold: Double): String =
-    s"""pairsq AS (${verifySql(threshold)}),
-       |edges AS (SELECT a AS u, b AS v FROM pairsq
+    s"""pairsq AS MATERIALIZED (${verifySql(threshold)}),
+       |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairsq
        |          UNION ALL
        |          SELECT b AS u, a AS v FROM pairsq),
        |nodes AS (SELECT DISTINCT u AS node FROM edges),
@@ -138,7 +138,7 @@ object TextDedup {
        |  SELECT node, node FROM nodes
        |  UNION
        |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
-       |comp AS (
+       |comp AS MATERIALIZED (
        |  SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS rep_doc_id
        |  FROM reach GROUP BY node)""".stripMargin
 
@@ -837,10 +837,10 @@ object TextDedup {
       val t10 = math.round(threshold * 10)
       val cand =
         if (sized)
-          s"""invs AS (
+          s"""invs AS MATERIALIZED (
              |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
              |  FROM inv),
-             |cand AS (
+             |cand AS MATERIALIZED (
              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
              |  FROM invs x JOIN invs y ON x.s = y.s AND x.doc_id < y.doc_id
              |  WHERE 10 * least(x.sz, y.sz) >= $t10 * greatest(x.sz, y.sz))"""
@@ -976,7 +976,7 @@ object TextDedup {
         s"""WITH $docsSql,
            |$dfShingledSql,
            |${lshCandSql(8, 4)},
-           |found AS (
+           |found AS MATERIALIZED (
            |  SELECT a, b FROM (
            |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
            |      len(da.sh) AS na, len(db.sh) AS nb
@@ -985,14 +985,14 @@ object TextDedup {
            |    JOIN shingled db ON db.doc_id = c.b)
            |  WHERE CAST(ninter AS DOUBLE) /
            |        CAST(na + nb - ninter AS DOUBLE) >= 0.5),
-           |invs AS (
+           |invs AS MATERIALIZED (
            |  SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) AS sz
            |  FROM inv),
-           |tcand AS (
+           |tcand AS MATERIALIZED (
            |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            |  FROM invs x JOIN invs y ON x.s = y.s AND x.doc_id < y.doc_id
            |  WHERE 10 * least(x.sz, y.sz) >= 5 * greatest(x.sz, y.sz)),
-           |truth AS (
+           |truth AS MATERIALIZED (
            |  SELECT a, b FROM (
            |    SELECT c.a, c.b, len(list_intersect(da.sh, db.sh)) AS ninter,
            |      len(da.sh) AS na, len(db.sh) AS nb
