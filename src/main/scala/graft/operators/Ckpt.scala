@@ -3,38 +3,75 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** Deterministic release of SUPERSEDED local checkpoints in the
-  * iterative graph operators (CC, LPA, BFS, k-core, shortest path).
+/** Lifecycle management for the local checkpoints the iterative graph
+  * operators create (CC, LPA, BFS, k-core, shortest path).
   *
   * Each round's `localCheckpoint(eager = true)` materializes into its
   * own cached blocks and truncates lineage, so once a LATER eager
   * checkpoint (or the operator's return value) no longer reads those
-  * blocks they are dead weight on the executors — reclaimed only when
-  * the driver's ContextCleaner notices the RDD object is unreachable,
-  * i.e. at some future GC. At scale that laziness is real memory: a
-  * 400-round k-core peel holds every superseded frontier until the
-  * driver happens to GC. Operators therefore release superseded
-  * checkpoints explicitly the moment their successor is materialized.
+  * blocks they are dead weight on the executors. Spark reclaims them
+  * only when the driver's ContextCleaner notices the RDD object is
+  * unreachable — at some future GC. At scale that laziness is real
+  * memory: a 400-round k-core peel would hold every superseded
+  * frontier until the driver happens to GC. Two deterministic paths
+  * replace that:
   *
-  * Safety: ONLY call on a checkpoint no later plan reads. An eager
-  * localCheckpoint's blocks are self-contained (lineage truncated), so
-  * releasing a predecessor cannot invalidate a successor; releasing a
-  * frame a live plan still reads would lose data (local checkpoints
-  * cannot recompute). The FINAL checkpoint backing an operator's
-  * return value is the caller's and is never released here — it drains
-  * via the ContextCleaner when the caller drops the plan
-  * (CacheAccountingAuditTest pins both paths).
+  *  - operators [[release]] each SUPERSEDED checkpoint the moment its
+  *    eager successor is materialized;
+  *  - the FINAL checkpoint backing an operator's return value belongs
+  *    to the caller — `spark.catalog.clearCache()` cannot see it (it
+  *    is not a CacheManager entry), so [[releaseAll]] is the
+  *    clearCache analog: call it once you have consumed every graft
+  *    graph-operator result to drop their checkpoint blocks
+  *    immediately instead of waiting for a GC. Results must not be
+  *    re-read afterwards (a local checkpoint cannot recompute).
+  *
+  * Safety of [[release]]: an eager localCheckpoint's blocks are
+  * self-contained (lineage truncated), so releasing a predecessor
+  * cannot invalidate a successor; releasing a frame a live plan still
+  * reads would lose data. CacheAccountingAuditTest pins both paths
+  * over every declared query.
   */
-private[graft] object Ckpt {
+object Ckpt {
+
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+
+  /** Register `df`'s checkpoint RDD (weakly — the ContextCleaner GC
+    * path stays usable) so [[releaseAll]] can drop it deterministically.
+    * No-op unless the analyzed plan IS a bare LogicalRDD. Returns `df`.
+    */
+  private[graft] def track(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        tracked.add(new java.lang.ref.WeakReference(lr.rdd))
+      case _ => ()
+    }
+    df
+  }
+
   /** No-op unless `df`'s analyzed plan IS a bare LogicalRDD — i.e. the
     * frame returned by checkpoint/localCheckpoint itself. Matching the
     * ROOT (not searching leaves) is the safety interlock: a derived
     * lazy frame's plan CONTAINS its inputs' LogicalRDD leaves, and
     * releasing those would free blocks a live plan still reads.
     */
-  def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Unpersist every graft-created local checkpoint still alive — the
+    * `clearCache()` analog for checkpoint blocks. Call only when every
+    * graph-operator result has been fully consumed.
+    */
+  def releaseAll(): Unit = {
+    var ref = tracked.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+      ref = tracked.poll()
+    }
+  }
 }

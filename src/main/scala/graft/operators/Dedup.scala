@@ -899,8 +899,9 @@ object Dedup {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
     // Materialize the edge list once: the iteration below references it
     // every round (neighbor join + convergence check), and without the
@@ -1115,8 +1116,9 @@ object Dedup {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
     val p0 = save(pairs.select(col("a"), col("b")))
     val edges = save(p0.select(col("a").as("u"), col("b").as("v"))

@@ -40,8 +40,9 @@ object KCore {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
       val p0 = save(pairs.select(col("a"), col("b")))
       // Symmetric directed edge list: degree(u) = count of rows keyed u.
@@ -151,11 +152,13 @@ object KCore {
     // fixpoint peel there are NO per-round driver actions here — the
     // fixed `rounds` unroll into one declarative plan and a single
     // action executes it, so rounds cost plan depth, not jobs.
-    val p0 = pairs.select(col("a"), col("b")).localCheckpoint(eager = true)
-    val edges = p0.select(col("a").as("u"), col("b").as("v"))
+    val p0 = Ckpt.track(
+      pairs.select(col("a"), col("b")).localCheckpoint(eager = true))
+    val edges = Ckpt.track(p0.select(col("a").as("u"), col("b").as("v"))
       .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("v"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
+    Ckpt.release(p0) // superseded: every round reads only `edges`
     var h = edges.groupBy(col("u")).agg(count(lit(1)).as("val"))
       .select(col("u").as("node"), col("val").cast("long").as("val"))
     for (_ <- 1 to rounds) {

@@ -40,8 +40,9 @@ object LabelProp {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
       // Materialize the caller's pair pipeline once, then the symmetric
       // + self-loop edge table pre-partitioned on the per-round join

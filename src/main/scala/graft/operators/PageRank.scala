@@ -56,8 +56,9 @@ object PageRank {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Persist the degree-annotated edge list: iteration i's lineage
@@ -78,6 +79,7 @@ object PageRank {
     val nodes = deg.select(col("src").as("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.withColumn("rank", lit(scale))
+    var lastCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
@@ -88,8 +90,14 @@ object PageRank {
           expr(s"(15 * cast($scale as bigint) + 85 * coalesce(s, 0)) div 100")
             .as("rank"))
       // Cut the growing lineage; the LAST iteration stays lazy so the
-      // caller's downstream plan composes with it as usual.
-      if (i % checkpointEvery == 0 && i < iters) ranks = save(ranks)
+      // caller's downstream plan composes with it as usual. Each new
+      // eager periodic checkpoint supersedes the previous one.
+      if (i % checkpointEvery == 0 && i < iters) {
+        val prevCkpt = lastCkpt
+        ranks = save(ranks)
+        lastCkpt = ranks
+        if (prevCkpt != null) Ckpt.release(prevCkpt)
+      }
     }
     ranks
     } finally {
@@ -128,8 +136,9 @@ object PageRank {
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      Ckpt.track(
+        if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     try {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val ed = edges.join(deg, Seq("src"))
@@ -144,6 +153,7 @@ object PageRank {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = nodes.select(col("node"),
         (col("is_seed") * scale).as("rank"))
+      var lastCkpt: DataFrame = null
       for (i <- 1 to iters) {
         val contrib = ed.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("rank div deg").as("c"))
@@ -153,7 +163,13 @@ object PageRank {
           .select(col("node"),
             expr(s"(15 * cast($scale as bigint) * is_seed " +
               "+ 85 * coalesce(s, 0)) div 100").as("rank"))
-        if (i % checkpointEvery == 0 && i < iters) ranks = save(ranks)
+        // each new eager periodic checkpoint supersedes the previous
+        if (i % checkpointEvery == 0 && i < iters) {
+          val prevCkpt = lastCkpt
+          ranks = save(ranks)
+          lastCkpt = ranks
+          if (prevCkpt != null) Ckpt.release(prevCkpt)
+        }
       }
       ranks
     } finally {

@@ -30,7 +30,8 @@ object ShortestPath {
     */
   def boundedCheapestPaths(edges: DataFrame, source: Long,
                            maxHops: Int): DataFrame = {
-    def save(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def save(df: DataFrame): DataFrame =
+      Ckpt.track(df.localCheckpoint(eager = true))
     val e = save(edges.select(col("src"), col("dst"),
       col("cost").cast("long").as("cost")))
     var dist = save(e.sparkSession.range(1)

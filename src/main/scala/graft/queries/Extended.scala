@@ -56,7 +56,10 @@ object Extended {
       |snm0 AS (
       |  SELECT x.c_custkey AS ka, x.c_name AS kna,
       |         y.c_custkey AS kb, y.c_name AS knb
-      |  FROM s x JOIN s y ON y.idx - x.idx BETWEEN 1 AND 2),
+      |  FROM s x JOIN s y ON y.idx = x.idx + 1
+      |  UNION ALL
+      |  SELECT x.c_custkey, x.c_name, y.c_custkey, y.c_name
+      |  FROM s x JOIN s y ON y.idx = x.idx + 2),
       |snm AS (
       |  SELECT CASE WHEN ka < kb THEN ka ELSE kb END AS a,
       |         CASE WHEN ka < kb THEN kna ELSE knb END AS na,
@@ -65,7 +68,10 @@ object Extended {
       |  FROM snm0),
       |cand AS (SELECT DISTINCT a, na, b, nb FROM
       |  (SELECT * FROM bp UNION ALL SELECT * FROM snm)),
-      |pairsq AS MATERIALIZED (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 2),
+      |pairsq AS MATERIALIZED (
+      |  SELECT a, b FROM (SELECT * FROM cand
+      |                    WHERE abs(length(na) - length(nb)) <= 2)
+      |  WHERE levenshtein(na, nb) <= 2),
       |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairsq
       |          UNION ALL SELECT b AS u, a AS v FROM pairsq),
       |nodes AS (SELECT DISTINCT u AS node FROM edges),
@@ -713,10 +719,15 @@ object Extended {
           |  SELECT p_partkey, p_name,
           |    row_number() OVER (ORDER BY p_name, p_partkey) AS idx
           |  FROM part)
-          |SELECT a.p_partkey AS a, b.p_partkey AS b,
-          |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
-          |FROM s a JOIN s b ON b.idx - a.idx BETWEEN 1 AND 2
-          |WHERE levenshtein(a.p_name, b.p_name) <= 10
+          |SELECT a, b, lev FROM (
+          |  SELECT a.p_partkey AS a, b.p_partkey AS b,
+          |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+          |  FROM s a JOIN s b ON b.idx = a.idx + 1
+          |  UNION ALL
+          |  SELECT a.p_partkey, b.p_partkey,
+          |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+          |  FROM s a JOIN s b ON b.idx = a.idx + 2)
+          |WHERE lev <= 10
           |ORDER BY a, b""".stripMargin,
 
       "rolling_hash_docs" ->

@@ -914,9 +914,12 @@ object SimilarityQ {
          |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
          |  FROM q),
          |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM bk x JOIN bk y
-         |    ON x.vec_id < y.vec_id AND (x.b0 = y.b0 OR x.b1 = y.b1)),
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT x.vec_id AS a, y.vec_id AS b
+         |    FROM bk x JOIN bk y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+         |    UNION ALL
+         |    SELECT x.vec_id AS a, y.vec_id AS b
+         |    FROM bk x JOIN bk y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)),
          |scored AS (
          |  SELECT c.a, c.b, ${cosSql("qa.q", "qb.q")} AS cos
          |  FROM cand c JOIN q qa ON c.a = qa.vec_id
@@ -948,9 +951,12 @@ object SimilarityQ {
          |  FROM q),
          |found AS MATERIALIZED (
          |  SELECT c.a, c.b FROM (
-         |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |    FROM bk x JOIN bk y
-         |      ON x.vec_id < y.vec_id AND (x.b0 = y.b0 OR x.b1 = y.b1)) c
+         |    SELECT DISTINCT a, b FROM (
+         |      SELECT x.vec_id AS a, y.vec_id AS b
+         |      FROM bk x JOIN bk y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+         |      UNION ALL
+         |      SELECT x.vec_id AS a, y.vec_id AS b
+         |      FROM bk x JOIN bk y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)) c
          |  JOIN q qa ON c.a = qa.vec_id JOIN q qb ON c.b = qb.vec_id
          |  WHERE ${cosSql("qa.q", "qb.q")} >= $ND_THRESHOLD),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched

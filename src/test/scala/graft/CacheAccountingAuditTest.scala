@@ -12,9 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *    documented contract ("the entry must live until the caller's
   *    clearCache");
   *  - localCheckpoint entries (the iterative graph family: KCore's
-  *    per-round frontiers etc.): not CacheManager-backed, released by
-  *    the ContextCleaner once the plan is unreachable — the audit
-  *    drops its references and GC-nudges until they drain.
+  *    per-round frontiers etc.): not CacheManager-backed. Superseded
+  *    rounds are released by the operators themselves; the FINAL
+  *    returned checkpoints are released deterministically by the
+  *    caller-facing Ckpt.releaseAll() (clearCache's analog for
+  *    checkpoint blocks), with the ContextCleaner GC path as backstop.
   *
   * Cache-touching queries are run TWICE before the release check, so
   * unbounded per-invocation growth (a persist whose canonical form
@@ -60,7 +62,8 @@ class CacheAccountingAuditTest extends AnyFunSuite {
       def runOnce(): Unit = q(spark, SF).count()
       runOnce()
       if ((ids -- base).nonEmpty) runOnce() // cache-touching: growth probe
-      spark.catalog.clearCache()
+      spark.catalog.clearCache() // CacheManager persists
+      graft.operators.Ckpt.releaseAll() // graph-operator checkpoints
       val leftover = awaitRelease(base, timeoutMs = 5000)
       if (leftover.nonEmpty) suspects += ((name, leftover))
     }
