@@ -337,12 +337,21 @@ object Curation {
     // engines.
     "curation_report" -> ((s, dir) => {
       val docs = documents(s, dir)
-      // corpus size + exact-dup rate: one fingerprint hash aggregate
+      // corpus size + exact-dup rate + repetition share fused into ONE
+      // corpus scan (all three are global aggregates over map-side
+      // projections of text — ScanAudit flagged the separate passes)
       val exact = docs
+        .select(TextFns.fingerprint(col("text")).as("fp"),
+          (size(TextFns.tokens(col("text"))) - 2).cast("long").as("total"),
+          size(TextFns.shingleSet(col("text"), 3)).cast("long").as("nd"))
         .agg(count(lit(1)).as("n"),
-          countDistinct(TextFns.fingerprint(col("text"))).as("nfp"))
-        .select(expr("stack(2, 'corpus_docs', n, " +
-          "'exact_dup_permille', (1000 * (n - nfp)) div n)")
+          countDistinct(col("fp")).as("nfp"),
+          sum(when(col("total") > 0, col("total"))).as("stot"),
+          sum(when(col("total") > 0, col("total") - col("nd")))
+            .as("sdup"))
+        .select(expr("stack(3, 'corpus_docs', n, " +
+          "'exact_dup_permille', (1000 * (n - nfp)) div n, " +
+          "'repetition_dup_permille', (1000 * sdup) div stot)")
           .as(Seq("metric", "value")))
       // worst per-source excerpt-dup rate (dup_rate_by_source's max)
       val fp60 = md5(substring(
@@ -356,14 +365,6 @@ object Curation {
             .as("n_dups"))
         .agg(max(expr("(1000 * n_dups) div n_docs")).as("v"))
         .select(lit("top_source_dup_permille").as("metric"),
-          col("v").as("value"))
-      // corpus duplicate-3-gram share: map-side projection, one agg
-      val repet = docs.select(
-          (size(TextFns.tokens(col("text"))) - 2).cast("long").as("total"),
-          size(TextFns.shingleSet(col("text"), 3)).cast("long").as("nd"))
-        .filter(col("total") > 0)
-        .agg(expr("(1000 * sum(total - nd)) div sum(total)").as("v"))
-        .select(lit("repetition_dup_permille").as("metric"),
           col("v").as("value"))
       // text LSH detector quality on the constant-size sample
       val sample = docs
@@ -400,7 +401,7 @@ object Curation {
           "'embed_recall_permille', recall_permille, " +
           "'embed_precision_permille', precision_permille)")
           .as(Seq("metric", "value")))
-      exact.unionByName(topSrc).unionByName(repet).unionByName(lsh)
+      exact.unionByName(topSrc).unionByName(lsh)
         .unionByName(contam).unionByName(embed)
         .orderBy(col("metric"))
     })
