@@ -70,7 +70,17 @@ object Bench {
     // the round-6+ semantics: timed runs reuse their own warmup's
     // frames, symmetric across scales so ratios stay comparable.
     val coldTimed = sys.env.get("SPARK_GRAFT_COLD_TIMED").contains("1")
+    // Guard decisions per query: operators with data-dependent physical
+    // plans (containment tier/verify, LPA argmax packing, embed vector
+    // fetch, prefix-Jaccard index) register which regime actually ran
+    // via operators.Guard; the warmup pass exercises the same decisions
+    // as the timed runs, so snapshot after the unit and ship the map in
+    // the artifact — the committed BENCH then records WHICH plan was
+    // priced, not just how long it took.
+    val guardsByQuery =
+      scala.collection.mutable.Map[String, Map[String, String]]()
     def timeOne(name: String, nTimed: Int = 2): Seq[Double] = {
+      graft.operators.Guard.clear()
       try run(name) catch { case _: Throwable => () } // warm: cache + codegen
       if (coldTimed) { spark.catalog.clearCache(); System.gc() }
       try {
@@ -90,7 +100,11 @@ object Bench {
               None
           }
         }
-      } finally { spark.catalog.clearCache(); System.gc() }
+      } finally {
+        val g = graft.operators.Guard.snapshot()
+        if (g.nonEmpty) guardsByQuery(name) = g
+        spark.catalog.clearCache(); System.gc()
+      }
     }
     // Streaming surface: end-to-end curation ingest → truncate-reload
     // mirror under Trigger.AvailableNow, timed as one BENCH entry so
@@ -211,6 +225,75 @@ object Bench {
       (colds, warms)
     }
 
+    // State-store pricing (round 14): the same high-cardinality stateful
+    // workload under the default HDFS-backed provider vs RocksDB +
+    // changelog checkpointing, so the "RocksDB bounds heap at any key
+    // cardinality" claim is a committed number, not an argument. The
+    // workload is synthetic ON PURPOSE — the bench corpus's key spaces
+    // (≤ tens of thousands) never stress state at all: 2M distinct keys
+    // streamed as 4 file micro-batches through
+    // dropDuplicatesWithinWatermark (state = one entry per key, the
+    // canonical unbounded-cardinality sink), then 2 MORE batches
+    // restarted from the same checkpoint — the restart entry prices
+    // recovery (HDFS: load full snapshot; RocksDB: snapshot + changelog
+    // replay) plus one incremental wave against 2M resident keys.
+    // Four entries ship: streaming_state_{hdfs,rocksdb}{,_restart}.
+    // Input-row counts are asserted so a mislisted source dir fails the
+    // entry loudly instead of timing a zero-row stream.
+    def timeStateStore(): Seq[(String, Option[Double])] = {
+      import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+      val nPerFile = 500000L
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("ts", "timestamp")
+      Seq("hdfs", "rocksdb").flatMap { prov =>
+        def scoped[T](f: => T): T =
+          if (prov == "rocksdb")
+            graft.streaming.StreamingOps.withRocksDbState(spark)(f)
+          else f
+        try {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_state_$prov").toString
+          val in = s"$root/in"
+          def addFiles(from: Int, n: Int): Unit =
+            (from until from + n).foreach { i =>
+              spark.range(i * nPerFile, (i + 1) * nPerFile)
+                .select(col("id").as("k"),
+                  timestamp_seconds(lit(1700000000L) + col("id") % 3600)
+                    .as("ts"))
+                .coalesce(1).write.mode("append").parquet(in)
+            }
+          def runOnce(expectRows: Long): Double = {
+            val t0 = System.nanoTime()
+            val q = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(in)
+              .withWatermark("ts", "24 hours")
+              .dropDuplicatesWithinWatermark("k")
+              .writeStream.format("noop")
+              .option("checkpointLocation", s"$root/ckpt")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val seen = q.recentProgress.map(_.numInputRows).sum
+            require(seen == expectRows,
+              s"state bench $prov saw $seen input rows, expected $expectRows")
+            (System.nanoTime() - t0) / 1e9
+          }
+          addFiles(0, 4)
+          val build = scoped(runOnce(4 * nPerFile))
+          addFiles(4, 2)
+          val restart = scoped(runOnce(2 * nPerFile))
+          Seq(s"streaming_state_$prov" -> Some(build),
+            s"streaming_state_${prov}_restart" -> Some(restart))
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAIL streaming_state_$prov: " +
+              s"${t.getClass.getName}: ${t.getMessage}")
+            Seq(s"streaming_state_$prov" -> None,
+              s"streaming_state_${prov}_restart" -> None)
+        }
+      }
+    }
+
     val p1 = names.map(n => n -> timeOne(n)).toMap
     val okTimes = p1.values.flatten.toSeq.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
@@ -222,12 +305,20 @@ object Bench {
       p1(n).isEmpty || p1(n).min > math.max(1.5, 3 * median))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
     val (streamColds, streamEntries) = timeStreaming()
+    // Dev-subset runs (SPARK_GRAFT_ONLY) skip the state bench unless
+    // explicitly asked for — an A/B of one query must not pay the 2M-key
+    // state workload's wall time per arm. Production (unfiltered) runs
+    // always include it.
+    val stateEntries =
+      if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("streaming_state")))
+        timeStateStore()
+      else Nil
     val samples: Map[String, Seq[Double]] =
       names.map(n => n -> (p1(n) ++ p2.getOrElse(n, Nil))).toMap
     val results = names.map { n =>
       val runs = samples(n)
       n -> (if (runs.isEmpty) None else Some(runs.min))
-    } ++ streamEntries
+    } ++ streamEntries ++ stateEntries
     // 3-decimal seconds (1 ms granularity — an order below the shared
     // host's jitter) keep the one-line JSON as short as possible; full
     // 17-digit doubles overflowed the driver's log-tail capture in
@@ -249,7 +340,15 @@ object Bench {
     val samplesJson = names.map { n =>
       "\"" + n + "\":[" + samples(n).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"streaming_cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Guard decisions (only queries that recorded any): the physical
+    // regime each entry actually exercised, committed with its timing.
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val guardsJson = guardsByQuery.toSeq.sortBy(_._1).map { case (q, g) =>
+      jstr(q) + ":" + g.toSeq.sorted.map { case (k, v) =>
+        jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samplesJson,"guards":$guardsJson,"streaming_cold":$coldJson,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above has outgrown the driver's 2000-char log-tail
     // window (90+ queries x ~27 chars), which cuts its leading
     // "metric"/"value" fields — so ALSO emit a compact summary line,

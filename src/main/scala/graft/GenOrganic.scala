@@ -38,7 +38,10 @@ object GenOrganic {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.1"
-    val copies = 10
+    // args(1): copy count (default 10 = the sf1-equivalent corpus; the
+    // round-14 scaling probe generates 30 to read the 10x→30x exponent
+    // and drive the fan-out guards past their regime boundaries).
+    val copies = if (args.length > 1) args(1).toInt else 10
 
     // deterministic pseudo-noise in [0, m): hash of the id columns + copy
     def h(m: Int, cols: Column*): Column =

@@ -36,15 +36,26 @@ object Ckpt {
 
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+  private val sincePrune = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Register `df`'s checkpoint RDD (weakly — the ContextCleaner GC
     * path stays usable) so [[releaseAll]] can drop it deterministically.
     * No-op unless the analyzed plan IS a bare LogicalRDD. Returns `df`.
+    *
+    * The registry self-prunes: every 64 adds, entries whose referent
+    * the GC already cleared are dropped, so a long-lived driver that
+    * relies solely on the ContextCleaner path (never calls
+    * [[releaseAll]]) holds a bounded queue, not one node per
+    * checkpoint ever created.
     */
   private[graft] def track(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         tracked.add(new java.lang.ref.WeakReference(lr.rdd))
+        if (sincePrune.incrementAndGet() >= 64) {
+          sincePrune.set(0)
+          tracked.removeIf(_.get == null)
+        }
       case _ => ()
     }
     df
@@ -65,6 +76,14 @@ object Ckpt {
   /** Unpersist every graft-created local checkpoint still alive — the
     * `clearCache()` analog for checkpoint blocks. Call only when every
     * graph-operator result has been fully consumed.
+    *
+    * The registry is PROCESS-GLOBAL: this also drops the intermediate
+    * checkpoints of any graft graph operator currently mid-flight on
+    * another thread or session, and a local checkpoint cannot
+    * recompute — the concurrent job would fail. Call releaseAll only
+    * from a point where no graft graph operator is running anywhere in
+    * the process (the Bench/Verify harnesses satisfy this by
+    * construction: one query at a time).
     */
   def releaseAll(): Unit = {
     var ref = tracked.poll()

@@ -403,8 +403,8 @@ object Dedup {
     }
     val preF = fanout(pre); val invF = fanout(inv)
     val usePrefix = preF * 2 <= invF
-    System.err.println(
-      s"graft.guard prefixJaccard tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF")
+    Guard.record("prefixJaccard",
+      s"tier=${if (usePrefix) "prefix" else "plain"} preFanout=$preF invFanout=$invF")
     // The guard already materialized `pre` (its fan-out aggregate); if
     // the plain tier wins, that cache is DEAD — nothing downstream
     // reads it — so release it here instead of leaving it resident
@@ -508,8 +508,20 @@ object Dedup {
         s"GRAFT_CONTAIN_TIER must be 'prefix' or 'plain', got '$other'")
       case None           => None
     }
+    // GRAFT_CONTAIN_VERIFY=arrays|shuffle force-overrides the verify
+    // stage the same way (A/B pricing of the nRep > ARRAY_VERIFY_MAX_DOCS
+    // big-corpus fallback on corpora that would otherwise broadcast):
+    // 'arrays' lifts the broadcast ceiling, 'shuffle' zeroes it. Both
+    // verifies are exact, so only the physical plan moves.
+    val cap = sys.env.get("GRAFT_CONTAIN_VERIFY") match {
+      case Some("arrays")  => Int.MaxValue
+      case Some("shuffle") => 0
+      case Some(other)     => sys.error(
+        s"GRAFT_CONTAIN_VERIFY must be 'arrays' or 'shuffle', got '$other'")
+      case None            => ARRAY_VERIFY_MAX_DOCS
+    }
     containmentPairsTier(docs, n, thresholdNum, thresholdDen, minSize,
-      maxDf, forced, ARRAY_VERIFY_MAX_DOCS)
+      maxDf, forced, cap)
   }
 
   /** [[containmentPairs]] with explicit tier control for tests and
@@ -673,8 +685,7 @@ object Dedup {
     val nRep = weights.count()
     val interSz =
       if (forceCandidate.contains(false)) {
-        System.err.println(
-          s"graft.guard containment tier=plain forced nRep=$nRep")
+        Guard.record("containment", s"tier=plain forced nRep=$nRep")
         plainInter
       } else if (forceCandidate.contains(true) || nRep <= bcastDocsCap) {
         // Candidate tier is unconditional when the arrays broadcast:
@@ -683,8 +694,8 @@ object Dedup {
         // 2.4 s vs the plain aggregate's 8.5-10 s at organic 10x, same
         // 5,928 qualifying pairs, and a tie at the replica's rep scale.
         val arrays = nRep <= bcastDocsCap
-        System.err.println(
-          s"graft.guard containment tier=candidate verify=" +
+        Guard.record("containment",
+          s"tier=candidate verify=" +
             s"${if (arrays) "arrays" else "shuffle"} nRep=$nRep" +
             (if (forceCandidate.contains(true)) " forced" else ""))
         candidateInter(arrays)
@@ -711,9 +722,8 @@ object Dedup {
           inv)
         val invF = fanout(inv, inv)
         val usePrefix = preF * (1 + avgSz) <= invF
-        System.err.println(
-          s"graft.guard containment tier=" +
-            s"${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
+        Guard.record("containment",
+          s"tier=${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
             s"preFanout=$preF invFanout=$invF avgSz=$avgSz nRep=$nRep")
         if (usePrefix) candidateInter(verifyByArrays = false) else plainInter
       }
@@ -1289,8 +1299,8 @@ object Dedup {
     val nReps = q.count()
     val (vaJ, vbJ) =
       if (nReps <= 100000L) (broadcast(va), broadcast(vb)) else (va, vb)
-    System.err.println(
-      s"graft.guard embedNearDup fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} nReps=$nReps")
+    Guard.record("embedNearDup",
+      s"fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} nReps=$nReps")
     val repPairs = cand.join(vaJ, Seq("a")).join(vbJ, Seq("b"))
       .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

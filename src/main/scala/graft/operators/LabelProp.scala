@@ -71,7 +71,7 @@ object LabelProp {
       val idBounds = nodes.agg(min(col("u")), max(col("u"))).first()
       val packable = !idBounds.isNullAt(0) && idBounds.getLong(0) >= 0L &&
         idBounds.getLong(1) < (1L << 31)
-      System.err.println(s"graft.guard lpa argmax=" +
+      Guard.record("lpa", s"argmax=" +
         s"${if (packable) "packed-long" else "struct"} " +
         s"minId=${if (idBounds.isNullAt(0)) "-" else idBounds.getLong(0)} " +
         s"maxId=${if (idBounds.isNullAt(1)) "-" else idBounds.getLong(1)}")

@@ -373,15 +373,22 @@ object Curation {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val truth = Dedup.ngramJaccardPairs(sample, n = 3, threshold = 0.5,
           maxDf = Some(TextDedup.MAX_DF)).select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val found = Dedup.minhashLshPairs(sample, n = 3, bands = 4,
           rowsPerBand = 2, threshold = 0.5, maxDf = Some(TextDedup.MAX_DF))
         .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lsh = truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
-        .crossJoin(found.join(truth, Seq("a", "b"), "left_semi")
-          .agg(count(lit(1)).as("n_matched")))
+      // One tagged-union aggregate instead of three one-row aggregates
+      // + a semi-join (round 14 stage cut): tag each pair with its
+      // detector, collapse per pair, then count truth / found /
+      // intersection in a single global aggregate. Same three values
+      // (|truth|, |found|, |found ∩ truth|), two job waves fewer; each
+      // detector frame now has exactly one consumer, so the persists
+      // the old double-readers needed are gone too.
+      val lsh = truth.withColumn("t", lit(1L)).withColumn("f", lit(0L))
+        .unionByName(found.withColumn("t", lit(0L)).withColumn("f", lit(1L)))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("t")).as("t"), max(col("f")).as("f"))
+        .agg(sum(col("t")).as("n_truth"), sum(col("f")).as("n_found"),
+          sum(col("t") * col("f")).as("n_matched"))
         .select(expr("stack(2, " +
           "'lsh_recall_permille', (1000 * n_matched) div nullif(n_truth, 0), " +
           "'lsh_precision_permille', (1000 * n_matched) div nullif(n_found, 0))")

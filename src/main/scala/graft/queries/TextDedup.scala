@@ -212,6 +212,21 @@ object TextDedup {
         .orderBy(col("mode"))
     }),
 
+    // Unicode-normalized exact dedup (round 14): the same hash-groupBy
+    // dedup as dedup_exact but through the NFC + zero-width-strip +
+    // accent-fold fingerprint, with the mixed-form fixture rows planted
+    // so normalization is proven INSIDE an actual dedup (all four
+    // fixture spellings must land in one group with rep = min id),
+    // not just profiled as class counts.
+    "dedup_exact_unicode" -> ((s, dir) => {
+      val fixtures = s.createDataFrame(UNICODE_FIXTURES)
+        .toDF("doc_id", "text")
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(fixtures)
+      Dedup.exactDedup(corpus, unicodeNorm = true, accentFold = true)
+        .orderBy(col("fp"))
+    }),
+
     // MinHash (8 sigs) + LSH banding (4 bands x 2 rows) + exact verify,
     // full corpus, hot shingles capped by the df ceiling.
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -834,7 +849,12 @@ object TextDedup {
     // t=0.5 family spot-check (dedup_ngram_jaccard) stays UNCONTRACTED
     // so one oracle per family still exercises the raw formulation.
     def ngramSqlAt(threshold: Double, sized: Boolean = false) = {
-      val t10 = math.round(threshold * 10)
+      // floor, not round: the lemma licenses 10*min >= (10t)*max only
+      // for a cut at or BELOW 10t — a threshold whose *10 rounds UP
+      // (e.g. 0.85 -> 9) would cut candidates the J <= min/max bound
+      // still admits, silently dropping true pairs. Flooring keeps the
+      // predicate conservative (lossless) at every threshold.
+      val t10 = math.floor(threshold * 10).toLong
       val cand =
         if (sized)
           s"""invs AS MATERIALIZED (
@@ -962,6 +982,21 @@ object TextDedup {
            |    CAST(count(DISTINCT fp_fold) AS BIGINT),
            |    CAST(count(*) AS BIGINT) FROM fp)
            |ORDER BY mode""".stripMargin
+      },
+
+      // Same fixture VALUES as unicode_fingerprint_collapse; fp is the
+      // fp_fold chain (zero-width strip -> NFC -> accent fold -> the
+      // standard whitespace/lower fingerprint).
+      "dedup_exact_unicode" -> {
+        val values = UNICODE_FIXTURES
+          .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT * FROM (VALUES $values) AS t(doc_id, text))
+           |SELECT md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(
+           |    regexp_replace(text, '$ZW', '', 'g')))), '\\s+', ' ', 'g'))) AS fp,
+           |  min(doc_id) AS rep_doc_id, count(*) AS n_dups
+           |FROM corpus GROUP BY fp ORDER BY fp""".stripMargin
       },
 
       "dedup_minhash_lsh" -> minhashSql,

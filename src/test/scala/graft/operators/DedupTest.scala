@@ -25,6 +25,18 @@ class DedupTest extends AnyFunSuite {
     assert(dupRow.toSeq == Seq(0L))
   }
 
+  test("dedup_exact_unicode query collapses all fixture spellings into one group") {
+    // The declared query plants the four mixed-Unicode-form fixture rows
+    // (NFC, NFD twin, zero-width-ridden, pre-folded — negative ids) into
+    // the corpus and dedups through the NFC+fold fingerprint: exactly
+    // one group must carry all four, with rep = the minimum id (-4).
+    val out = graft.SparkEntry.queries("dedup_exact_unicode")(
+      spark, "/root/testdata/sf0.001")
+    val fix = out.filter(col("rep_doc_id") < 0)
+      .select(col("rep_doc_id"), col("n_dups")).as[(Long, Long)].collect()
+    assert(fix.toSeq == Seq((-4L, 4L)))
+  }
+
   test("ngramJaccardPairs finds exactly the planted near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect()
