@@ -304,7 +304,13 @@ object Bench {
     val suspects = names.filter(n =>
       p1(n).isEmpty || p1(n).min > math.max(1.5, 3 * median))
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
-    val (streamColds, streamEntries) = timeStreaming()
+    // Same dev-subset rule as the state bench below: a filtered run
+    // (per-query A/B, scaling probe) skips the streaming surface unless
+    // it asked for it; unfiltered production runs time everything.
+    val (streamColds, streamEntries) =
+      if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("streaming")))
+        timeStreaming()
+      else (Nil, Nil)
     // Dev-subset runs (SPARK_GRAFT_ONLY) skip the state bench unless
     // explicitly asked for — an A/B of one query must not pay the 2M-key
     // state workload's wall time per arm. Production (unfiltered) runs

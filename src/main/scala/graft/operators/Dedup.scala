@@ -623,7 +623,10 @@ object Dedup {
     //     - else: interCounts (expand by a's shingles, semi-join b) —
     //       the shuffle path for corpora whose doc arrays don't fit a
     //       broadcast.
-    def candidateInter(verifyByArrays: Boolean): DataFrame = {
+    // Candidate pairs (a, b, sz_a) shared by both verify paths AND the
+    // big-corpus guard (lazy: the plain-forced path never builds the
+    // rank index).
+    lazy val candPairs: DataFrame = {
       val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       // persisted: the candidate join reads invR on BOTH sides (a's
       // prefix rows and the full index), and AQE stage reuse does not
@@ -637,7 +640,7 @@ object Dedup {
           s"(${thresholdNum}L * sz + ${thresholdDen - 1}L) div ${thresholdDen}L"))
         .select(col("s"), col("doc_id"), col("sz"), col("rnk"), col("ta")))
       val preR = invR.filter(col("rnk") <= col("sz") - col("ta") + 1)
-      val cand = preR
+      preR
         .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"),
           col("ta"))
         .join(invR.select(col("s"), col("doc_id").as("b"),
@@ -649,12 +652,16 @@ object Dedup {
           first(col("ta")).as("tA"))
         .filter(col("kpre") +
           least(col("tA") - 1, col("szb") - col("pbmax")) >= col("tA"))
+        .select(col("a"), col("b"), col("sz_a"))
+    }
+    def candidateInter(verifyByArrays: Boolean,
+                       cand: DataFrame): DataFrame = {
       if (verifyByArrays) {
         // persisted for the same reason: two broadcast builds (a-side
         // and b-side) each materialize the whole aggregate otherwise.
         val docsArr = materialized(inv.groupBy(col("doc_id"))
           .agg(collect_list(col("s")).as("arr")))
-        cand.select(col("a"), col("b"), col("sz_a"))
+        cand
           .join(broadcast(docsArr
             .select(col("doc_id").as("a"), col("arr").as("arr_a"))), "a")
           .join(broadcast(docsArr
@@ -698,13 +705,24 @@ object Dedup {
           s"tier=candidate verify=" +
             s"${if (arrays) "arrays" else "shuffle"} nRep=$nRep" +
             (if (forceCandidate.contains(true)) " forced" else ""))
-        candidateInter(arrays)
+        candidateInter(arrays, candPairs)
       } else {
-        // Big-corpus regime (arrays exceed the broadcast budget): the
-        // shuffle verify prices each candidate at ~avg-doc-size
-        // interCounts rows, so keep the round-9 measured guard — the
-        // candidate tier must beat the plain self-join by (1+avgSz)x
-        // on the prefix fan-out (preF bounds the candidate count).
+        // Big-corpus regime (arrays exceed the broadcast budget). The
+        // candidate JOIN is never priced worse than the plain tier's
+        // (prefix rows ⊂ index rows, candidate keys ⊂ plain pair keys),
+        // so build the candidates, COUNT them, and decide only the
+        // VERIFY stage on the measured count: shuffle-verify expands
+        // each candidate by a's postings (nCand·avgSz rows) vs the
+        // plain tier's Σ df² pair-aggregate rows. Round 14 replaced
+        // the old preF·(1+avgSz) ≤ invF inequality — preF (the prefix
+        // join fan-out) over-bounds the post-positional-bound
+        // candidate count by orders of magnitude, and the committed
+        // organic-10x A/B showed the guard choosing plain at 15-18 s
+        // when the candidate+shuffle shape runs 7.9-9.2 s. Counting
+        // the real candidates costs one preF-bounded join whose result
+        // is REUSED (persisted) when the candidate side wins — and
+        // when plain wins, that join was bounded by the plain join it
+        // falls back to, so the detour never exceeds ~2x one stage.
         def fanout(left: DataFrame, right: DataFrame): Long = {
           val lf = left.groupBy(col("s")).agg(count(lit(1)).as("lf"))
           val rf = right.groupBy(col("s")).agg(count(lit(1)).as("rf"))
@@ -716,16 +734,15 @@ object Dedup {
           val r = sizes.agg(avg(col("sz"))).first()
           if (r.isNullAt(0)) 1L else math.max(1L, r.getDouble(0).toLong)
         }
-        // pre is consumed exactly once (the fanout aggregate) — no
-        // persist, so there is no dead cache to scope.
-        val preF = fanout(prefixRowsExact(inv, thresholdNum, thresholdDen),
-          inv)
         val invF = fanout(inv, inv)
-        val usePrefix = preF * (1 + avgSz) <= invF
+        val candP = materialized(candPairs)
+        val nCand = candP.count()
+        val usePrefix = nCand * (1 + avgSz) <= invF
         Guard.record("containment",
           s"tier=${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
-            s"preFanout=$preF invFanout=$invF avgSz=$avgSz nRep=$nRep")
-        if (usePrefix) candidateInter(verifyByArrays = false) else plainInter
+            s"nCand=$nCand invFanout=$invF avgSz=$avgSz nRep=$nRep")
+        if (usePrefix) candidateInter(verifyByArrays = false, candP)
+        else { candP.unpersist(); plainInter }
       }
     val repPairs = interSz
       .filter(col("sz_a") >= minSize)
