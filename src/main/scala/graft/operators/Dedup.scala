@@ -1266,7 +1266,55 @@ object Dedup {
     */
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double, dims: Int,
                           nTables: Int = 2, nBits: Int = 8,
-                          probe: Boolean = false): DataFrame = {
+                          probe: Boolean = false): DataFrame =
+    embeddingNearDupLshAt(embs, threshold, dims, nTables, nBits,
+      tblOff = nBits, probe = probe)
+
+  /** floor(log2(max(1, n / ref))) extra bits over `base`, capped at
+    * `maxBits` — the corpus-adaptive bucket width. Integer-exact
+    * (highestOneBit position), so the DuckDB twin
+    * `least(base + length(bin(greatest(n // ref, 1))) - 1, maxBits)`
+    * computes the identical value and the banding stays mirrored.
+    */
+  def adaptiveBits(base: Int, n: Long, ref: Long, maxBits: Int): Int = {
+    val extra = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / ref))
+    math.min(base + extra, maxBits)
+  }
+
+  /** Corpus-adaptive [[embeddingNearDupLshAt]]: bucket width grows as
+    * floor(log2(nReps / refReps)) extra bits over `nBits` (capped at
+    * `maxBits`), holding per-bucket occupancy ≈ refReps/2^nBits FLAT at
+    * any corpus scale — the round-14 30x probe measured the fixed-width
+    * detector at scaling exponent 1.74 (bucket occupancy grows linearly,
+    * in-bucket pairs quadratically); with the width tracking log(n) the
+    * pair space stays ~linear. The rep count that sizes the width is the
+    * SAME count the replica contraction already needs, so the decision
+    * costs nothing extra; it is recorded via [[Guard]] (`bits=`).
+    * Boundary-recall tradeoff is explicit: pairs AT the cosine threshold
+    * lose per-table collision probability with every added bit (the
+    * embed_lsh_recall audit measures recall at the width the full corpus
+    * actually uses), while exactly-parallel duplicates collide at any
+    * width. Holding boundary recall flat instead would mean raising
+    * nTables alongside — a cost knob callers own, not a default.
+    */
+  def embeddingNearDupLshAdaptive(embs: DataFrame, threshold: Double,
+                                  dims: Int, nTables: Int, nBits: Int,
+                                  refReps: Long, maxBits: Int): DataFrame =
+    embeddingNearDupLshAt(embs, threshold, dims, nTables, nBits,
+      tblOff = maxBits, probe = false, adaptRef = Some(refReps),
+      maxBits = maxBits)
+
+  /** Core of the banded-LSH near-dup detector; `tblOff` spaces each
+    * table's projection block (pass maxBits when the effective width is
+    * corpus-adaptive so the projection set per table is stable across
+    * widths, nBits for the fixed-width legacy layout).
+    */
+  private[graft] def embeddingNearDupLshAt(
+      embs: DataFrame, threshold: Double, dims: Int,
+      nTables: Int, nBits: Int, tblOff: Int,
+      probe: Boolean = false, adaptRef: Option[Long] = None,
+      maxBits: Int = 16): DataFrame = {
     // REPLICA PRE-COLLAPSE (round 11): vectors with identical QUANTIZED
     // arrays are indistinguishable to every downstream term — bucket
     // ids, dot products, norms all read q only — so a k-replica group
@@ -1288,15 +1336,24 @@ object Dedup {
     val q = materialized(base.filter(col("rep") === col("vec_id"))
       .select(col("vec_id"), col("q"))
       .withColumn("nrm", VectorFns.normQ(col("q"))))
+    // Rep count first: it sizes the adaptive bucket width AND decides
+    // the vector-fetch strategy below (q is persisted, so the count is
+    // one cheap pass that every later stage reuses).
+    val nReps = q.count()
+    val nBitsEff = adaptRef match {
+      case Some(ref) => adaptiveBits(nBits, nReps, ref, maxBits)
+      case None      => nBits
+    }
     val tables = (0 until nTables).map { t =>
       q.select(col("vec_id"), lit(t).as("tbl"),
-        VectorFns.lshBucket(col("q"), nBits, dims, offset = t * nBits).as("bkt"))
+        VectorFns.lshBucket(col("q"), nBitsEff, dims,
+          offset = t * tblOff).as("bkt"))
     }.reduce(_ unionByName _)
     val right = tables.select(col("tbl"), col("bkt"), col("vec_id").as("b"))
     val left =
       if (!probe) tables.select(col("tbl"), col("bkt"), col("vec_id").as("a"))
       else tables.select(col("vec_id").as("a"), col("tbl"),
-        explode(array(col("bkt") +: (0 until nBits).map(k =>
+        explode(array(col("bkt") +: (0 until nBitsEff).map(k =>
           col("bkt").bitwiseXOR(lit(1L << k))): _*)).as("bkt"))
     val cand = left.join(right, Seq("tbl", "bkt"))
       .filter(col("a") < col("b"))
@@ -1313,11 +1370,11 @@ object Dedup {
     // corpus scales beyond that the shuffle join IS the plan (a
     // billion-vector rep table broadcasts nowhere) and candidates
     // should instead be bounded by raising nBits with log(n).
-    val nReps = q.count()
     val (vaJ, vbJ) =
       if (nReps <= 100000L) (broadcast(va), broadcast(vb)) else (va, vb)
     Guard.record("embedNearDup",
-      s"fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} nReps=$nReps")
+      s"fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} " +
+        s"nReps=$nReps bits=$nBitsEff")
     val repPairs = cand.join(vaJ, Seq("a")).join(vbJ, Seq("b"))
       .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

@@ -19,6 +19,12 @@ object SimilarityQ {
   private val LSH_BITS = 4
   private val ND_TABLES = 2  // embed_near_dup: banded LSH tables
   private val ND_BITS = 8    //   ... of 8 sign-projection bits each
+  // Corpus-adaptive width (round 14): + floor(log2(nReps/ND_REF)) bits,
+  // capped at ND_MAX_BITS — per-bucket occupancy stays ≈ ND_REF/2^ND_BITS
+  // (= 8 vectors) at any scale; the 30x probe measured the fixed width
+  // at exponent 1.74 (in-bucket pairs quadratic in corpus size).
+  private val ND_REF = 2048L
+  private val ND_MAX_BITS = 16
   private val ND_THRESHOLD = 0.95
   private val RECALL_CAP = 1000L // embed_lsh_recall audit sample bound
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
@@ -63,11 +69,20 @@ object SimilarityQ {
       dir: String): org.apache.spark.sql.DataFrame = {
     val base = embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val corpus = base.unionByName(
+    val full = base.unionByName(
       base.filter(col("vec_id") % 5 === 0)
         .withColumn("vec_id", col("vec_id") + lit(1000000L))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
-      .filter(col("vec_id") % 1000000L < RECALL_CAP)
+    // The audit measures recall AT THE WIDTH THE FULL CORPUS USES: the
+    // adaptive detector's bucket width is a function of the full rep
+    // count, so the sample is banded at that same width (per-pair
+    // collision probability at a given width is vector-intrinsic; the
+    // published recall is scale-dependent exactly because the width is).
+    val nRepsFull = full
+      .select(VectorFns.quantize(col("embedding")).as("q"))
+      .distinct().count()
+    val fullBits = Dedup.adaptiveBits(ND_BITS, nRepsFull, ND_REF, ND_MAX_BITS)
+    val corpus = full.filter(col("vec_id") % 1000000L < RECALL_CAP)
     val q = corpus
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
       .withColumn("nrm", VectorFns.normQ(col("q")))
@@ -80,8 +95,9 @@ object SimilarityQ {
         (col("na") * col("nb")) >= ND_THRESHOLD)
       .select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val found = Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD,
-        dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS)
+    val found = Dedup.embeddingNearDupLshAt(corpus, threshold = ND_THRESHOLD,
+        dims = DIMS, nTables = ND_TABLES, nBits = fullBits,
+        tblOff = ND_MAX_BITS)
       .select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
@@ -253,8 +269,9 @@ object SimilarityQ {
         base.filter(col("vec_id") % 5 === 0)
           .withColumn("vec_id", col("vec_id") + lit(1000000L))
           .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
-      Dedup.embeddingNearDupLsh(corpus, threshold = ND_THRESHOLD, dims = DIMS,
-          nTables = ND_TABLES, nBits = ND_BITS)
+      Dedup.embeddingNearDupLshAdaptive(corpus, threshold = ND_THRESHOLD,
+          dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS,
+          refReps = ND_REF, maxBits = ND_MAX_BITS)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -896,6 +913,11 @@ object SimilarityQ {
          |    ELSE CAST($RESIZE_BOX AS BIGINT) END AS new_h
          |FROM dims ORDER BY doc_id""".stripMargin,
 
+    // Bucket width mirrors Dedup.adaptiveBits: base + floor(log2(
+    // max(1, nDistinctQ // ND_REF))) bits, capped — length(bin(x)) - 1
+    // IS floor(log2(x)) for x >= 1, integer-exact in both engines. The
+    // 16-bit bucket is masked down to the effective width (low bits =
+    // the first width projections of each table's 16-projection block).
     "embed_near_dup" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -908,10 +930,17 @@ object SimilarityQ {
          |  SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
          |  FROM corpus),
+         |nb AS MATERIALIZED (
+         |  SELECT CAST(least($ND_BITS +
+         |      length(bin(greatest(count(DISTINCT q) // $ND_REF, 1))) - 1,
+         |      $ND_MAX_BITS) AS BIGINT) AS nbits
+         |  FROM q),
          |bk AS MATERIALIZED (
          |  SELECT vec_id, q,
-         |    ${bucketSql("q", ND_BITS, 0)} AS b0,
-         |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
+         |    (${bucketSql("q", ND_MAX_BITS, 0)})
+         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b0,
+         |    (${bucketSql("q", ND_MAX_BITS, ND_MAX_BITS)})
+         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b1
          |  FROM q),
          |cand AS (
          |  SELECT DISTINCT a, b FROM (
@@ -927,6 +956,9 @@ object SimilarityQ {
          |SELECT a, b, cos FROM scored WHERE cos >= $ND_THRESHOLD
          |ORDER BY a, b""".stripMargin,
 
+    // nb is computed over the FULL corpus (count of distinct quantized
+    // vectors), then the SAMPLE is banded at that width — the audit
+    // measures recall at the width the full-corpus detector uses.
     "embed_lsh_recall" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -935,6 +967,13 @@ object SimilarityQ {
          |  UNION ALL
          |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
+         |nb AS MATERIALIZED (
+         |  SELECT CAST(least($ND_BITS +
+         |      length(bin(greatest(count(DISTINCT
+         |        list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)))
+         |        // $ND_REF, 1))) - 1,
+         |      $ND_MAX_BITS) AS BIGINT) AS nbits
+         |  FROM corpus),
          |samp AS (SELECT * FROM corpus WHERE vec_id % 1000000 < $RECALL_CAP),
          |q AS MATERIALIZED (
          |  SELECT vec_id,
@@ -946,8 +985,10 @@ object SimilarityQ {
          |  WHERE ${cosSql("x.q", "y.q")} >= $ND_THRESHOLD),
          |bk AS MATERIALIZED (
          |  SELECT vec_id, q,
-         |    ${bucketSql("q", ND_BITS, 0)} AS b0,
-         |    ${bucketSql("q", ND_BITS, ND_BITS)} AS b1
+         |    (${bucketSql("q", ND_MAX_BITS, 0)})
+         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b0,
+         |    (${bucketSql("q", ND_MAX_BITS, ND_MAX_BITS)})
+         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b1
          |  FROM q),
          |found AS MATERIALIZED (
          |  SELECT c.a, c.b FROM (
