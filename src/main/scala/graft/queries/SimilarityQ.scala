@@ -48,6 +48,52 @@ object SimilarityQ {
     s"""CAST(${dotSql(a, b)} AS DOUBLE) /
        |    (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE)))""".stripMargin
 
+  /** Per-projection weight lists `(proj, [w...]::BIGINT[])` for the
+    * RELATIONAL bucket build (round 14): the lambda form — 32
+    * list_transform+list_sum evaluations per vector — measured ~370 s
+    * of the embed_near_dup oracle's 402 s at the 10x organic gate
+    * (DuckDB 1.0 evaluates list lambdas row-at-a-time); the same
+    * arithmetic as an unnest ⋈ weights join + hash aggregate runs in
+    * seconds. Same weights, same integer dot products, same bits.
+    */
+  private def weightListsSql(nProj: Int): String =
+    (0 until nProj).map { pj =>
+      val ws = (0 until DIMS).map(i =>
+        VectorFns.projWeight(pj, i, DIMS)).mkString(", ")
+      s"($pj, [$ws]::BIGINT[])"
+    }.mkString(", ")
+
+  /** The relational twin of two masked 16-bit lshBucket calls (offsets
+    * 0 and ND_MAX_BITS), producing `bk(vec_id, b0, b1)` from a `q` CTE
+    * and the `nb(nbits)` width CTE: unnest vector positions once, join
+    * the weights rows, one hash aggregate per (vec_id, proj), then fold
+    * sign bits below the effective width into the two bucket ids.
+    * Bit-identical to the lambda form by construction (integer sums,
+    * same s > 0 sign rule, same shifts).
+    */
+  private def bkRelationalSql: String =
+    s"""unq AS MATERIALIZED (
+       |  SELECT vec_id, t.i, q[t.i] AS x
+       |  FROM q, generate_series(1, $DIMS) AS t(i)),
+       |wt(proj, w) AS (VALUES ${weightListsSql(2 * ND_MAX_BITS)}),
+       |wrows AS MATERIALIZED (
+       |  SELECT proj, t.i, w[t.i] AS wv
+       |  FROM wt, generate_series(1, $DIMS) AS t(i)),
+       |sums AS MATERIALIZED (
+       |  SELECT u.vec_id, w.proj, sum(u.x * w.wv) AS s
+       |  FROM unq u JOIN wrows w USING (i)
+       |  GROUP BY 1, 2),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(COALESCE(SUM(CASE WHEN proj < (SELECT nbits FROM nb)
+       |        AND s > 0 THEN 1::BIGINT << proj ELSE 0 END), 0)
+       |      AS BIGINT) AS b0,
+       |    CAST(COALESCE(SUM(CASE WHEN proj >= $ND_MAX_BITS
+       |        AND proj - $ND_MAX_BITS < (SELECT nbits FROM nb)
+       |        AND s > 0 THEN 1::BIGINT << (proj - $ND_MAX_BITS)
+       |        ELSE 0 END), 0) AS BIGINT) AS b1
+       |  FROM sums GROUP BY vec_id)""".stripMargin
+
   /** LSH bucket SQL (mirrors VectorFns.lshBucket; `offset` selects the
     * projection family, i.e. the banded hash table).
     */
@@ -935,13 +981,7 @@ object SimilarityQ {
          |      length(bin(greatest(count(DISTINCT q) // $ND_REF, 1))) - 1,
          |      $ND_MAX_BITS) AS BIGINT) AS nbits
          |  FROM q),
-         |bk AS MATERIALIZED (
-         |  SELECT vec_id, q,
-         |    (${bucketSql("q", ND_MAX_BITS, 0)})
-         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b0,
-         |    (${bucketSql("q", ND_MAX_BITS, ND_MAX_BITS)})
-         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b1
-         |  FROM q),
+         |$bkRelationalSql,
          |cand AS (
          |  SELECT DISTINCT a, b FROM (
          |    SELECT x.vec_id AS a, y.vec_id AS b
@@ -983,13 +1023,7 @@ object SimilarityQ {
          |  SELECT x.vec_id AS a, y.vec_id AS b
          |  FROM q x JOIN q y ON x.vec_id < y.vec_id
          |  WHERE ${cosSql("x.q", "y.q")} >= $ND_THRESHOLD),
-         |bk AS MATERIALIZED (
-         |  SELECT vec_id, q,
-         |    (${bucketSql("q", ND_MAX_BITS, 0)})
-         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b0,
-         |    (${bucketSql("q", ND_MAX_BITS, ND_MAX_BITS)})
-         |      % (1::BIGINT << (SELECT nbits FROM nb)) AS b1
-         |  FROM q),
+         |$bkRelationalSql,
          |found AS MATERIALIZED (
          |  SELECT c.a, c.b FROM (
          |    SELECT DISTINCT a, b FROM (
