@@ -9,10 +9,11 @@
 # here — the organic corpora are generator-defined (see GenOrganic).
 #
 # usage: scripts/probe_30x.sh [out_json]  (default PROBE_30x.json)
+# PROBE_QUERIES overrides the query list (comma-separated).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-PROBE_30x.json}
-QUERIES=dedup_containment,embed_near_dup,er_clusters,communities_lpa
+QUERIES=${PROBE_QUERIES:-dedup_containment,embed_near_dup,er_clusters,communities_lpa}
 JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
 
 run_scale() { # $1 = sf dir
