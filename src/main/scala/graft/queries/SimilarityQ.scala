@@ -34,6 +34,11 @@ object SimilarityQ {
   private val FRAME_STRIDE = 3
   private val RESIZE_BOX = 64
   private val SEM_THRESHOLD = 0.95 // semdedup within-cluster cosine
+  // semdedup adaptive cluster count (round 14): k = KMEANS_K <<
+  // floor(log2(nDistinct/SEM_REF)) — the paper's own cost model (k
+  // grows with the corpus so cluster sizes stay bounded); the 30x probe
+  // measured fixed k=8 at exponent 1.93. k stays 8 through sf0.1.
+  private val SEM_REF = 2048L
 
   // ---- shared DuckDB snippets ------------------------------------------
 
@@ -387,7 +392,17 @@ object SimilarityQ {
       val members = grouped.select(col("rep"), col("id"))
       val reps = grouped.filter(col("rep") === col("id"))
         .select(col("id"), col("qv"), col("nrm"))
-      val cents = grouped.filter(col("id") < KMEANS_K)
+      // Adaptive k (the paper's "k grows with the corpus"): per-cluster
+      // occupancy stays ~SEM_REF/1 flat, so the within-cluster pair
+      // space is ~linear in corpus size instead of quadratic (30x probe:
+      // exponent 1.93 at fixed k). Centroid seeds stay the lowest ids;
+      // the count that sizes k is the DISTINCT-vector count the
+      // contraction already materializes, mirrored in the oracle as
+      // count(DISTINCT q).
+      val nDistinct = grouped.filter(col("rep") === col("id")).count()
+      val kEff = KMEANS_K.toLong <<
+        graft.operators.Dedup.adaptiveBits(0, nDistinct, SEM_REF, 30)
+      val cents = grouped.filter(col("id") < kEff)
         .select(col("id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
       // argmax-cosine assignment: centroids broadcast, ties -> lowest
       // cid ((-cos, cid) struct min; integer dot = 0 always yields
@@ -567,8 +582,13 @@ object SimilarityQ {
          |  FROM (SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))
          |      AS q FROM corpus)),
+         |kk AS MATERIALIZED (
+         |  SELECT CAST($KMEANS_K AS BIGINT) * (1::BIGINT <<
+         |    (length(bin(greatest(count(DISTINCT q) // $SEM_REF, 1))) - 1))
+         |    AS k
+         |  FROM n),
          |cents AS (SELECT id AS cid, q AS cq, nrm AS cnrm FROM n
-         |          WHERE id < $KMEANS_K),
+         |          WHERE id < (SELECT k FROM kk)),
          |asg AS (
          |  SELECT id, cid FROM (
          |    SELECT n.id, c.cid, row_number() OVER (PARTITION BY n.id
