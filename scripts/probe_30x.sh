@@ -19,7 +19,7 @@ JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
 run_scale() { # $1 = sf dir
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_CPUS=32 \
     java -Xmx48g -cp "$JAR:/opt/spark/jars/*" graft.Bench 2>/dev/null \
-    | grep '"metric"' | head -1
+    | grep -m1 '"metric"'
 }
 
 echo "probe: 10x (tmp_sf1_organic) ..." >&2

@@ -306,9 +306,21 @@ object Bench {
     val p2 = suspects.map(n => n -> timeOne(n)).toMap
     // Same dev-subset rule as the state bench below: a filtered run
     // (per-query A/B, scaling probe) skips the streaming surface unless
-    // it asked for it; unfiltered production runs time everything.
+    // it asked for it BY NAME; unfiltered production runs time
+    // everything. Names are matched exactly against the split filter set
+    // (as `names` is) — substring-matching the raw env string made a
+    // state-only run (SPARK_GRAFT_ONLY=streaming_state_hdfs) pay the
+    // full streaming-surface wall per arm (round-15 advisory).
+    val onlyFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val streamingNames = Set("streaming_curate_mirror", "streaming_scd2_dim",
+      "streaming_coverage_mirror", "streaming_priority_sample",
+      "streaming_drift_counts", "streaming_target_encode")
+    val stateNames = Seq("hdfs", "rocksdb")
+      .flatMap(p => Seq(s"streaming_state_$p", s"streaming_state_${p}_restart"))
+      .toSet
     val (streamColds, streamEntries) =
-      if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("streaming")))
+      if (onlyFilter.forall(f => (f & streamingNames).nonEmpty))
         timeStreaming()
       else (Nil, Nil)
     // Dev-subset runs (SPARK_GRAFT_ONLY) skip the state bench unless
@@ -316,7 +328,7 @@ object Bench {
     // state workload's wall time per arm. Production (unfiltered) runs
     // always include it.
     val stateEntries =
-      if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("streaming_state")))
+      if (onlyFilter.forall(f => (f & stateNames).nonEmpty))
         timeStateStore()
       else Nil
     val samples: Map[String, Seq[Double]] =

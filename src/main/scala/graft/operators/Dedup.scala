@@ -625,8 +625,12 @@ object Dedup {
     //       broadcast.
     // Candidate pairs (a, b, sz_a) shared by both verify paths AND the
     // big-corpus guard (lazy: the plain-forced path never builds the
-    // rank index).
-    lazy val candPairs: DataFrame = {
+    // rank index). The persisted rank index is returned alongside the
+    // pairs so the big-corpus guard can release BOTH caches when the
+    // plain tier wins — invR is typically much larger than the
+    // candidate aggregate and must not stay resident under plainInter's
+    // heavy self-join (round-15 advisory).
+    lazy val (candPairs: DataFrame, candIdx: DataFrame) = {
       val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       // persisted: the candidate join reads invR on BOTH sides (a's
       // prefix rows and the full index), and AQE stage reuse does not
@@ -640,7 +644,7 @@ object Dedup {
           s"(${thresholdNum}L * sz + ${thresholdDen - 1}L) div ${thresholdDen}L"))
         .select(col("s"), col("doc_id"), col("sz"), col("rnk"), col("ta")))
       val preR = invR.filter(col("rnk") <= col("sz") - col("ta") + 1)
-      preR
+      val pairs = preR
         .select(col("s"), col("doc_id").as("a"), col("sz").as("_sza"),
           col("ta"))
         .join(invR.select(col("s"), col("doc_id").as("b"),
@@ -653,6 +657,7 @@ object Dedup {
         .filter(col("kpre") +
           least(col("tA") - 1, col("szb") - col("pbmax")) >= col("tA"))
         .select(col("a"), col("b"), col("sz_a"))
+      (pairs, invR)
     }
     def candidateInter(verifyByArrays: Boolean,
                        cand: DataFrame): DataFrame = {
@@ -742,7 +747,7 @@ object Dedup {
           s"tier=${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
             s"nCand=$nCand invFanout=$invF avgSz=$avgSz nRep=$nRep")
         if (usePrefix) candidateInter(verifyByArrays = false, candP)
-        else { candP.unpersist(); plainInter }
+        else { candP.unpersist(); candIdx.unpersist(); plainInter }
       }
     val repPairs = interSz
       .filter(col("sz_a") >= minSize)
@@ -921,7 +926,7 @@ object Dedup {
     * every doc that appears in at least one pair.
     */
   def componentsFromPairs(pairs: DataFrame, maxIters: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     val spark = pairs.sparkSession
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -1138,7 +1143,7 @@ object Dedup {
     * [[componentsFromPairs]]; set it on a real cluster.
     */
   def bfsLayers(pairs: DataFrame, maxIters: Int = 20,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     val spark = pairs.sparkSession
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
