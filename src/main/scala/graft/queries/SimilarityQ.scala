@@ -566,8 +566,14 @@ object SimilarityQ {
   def oracles: Map[String, String] = Map(
 
     // Mirrors semdedup_prune: same planted corpus, argmax-cosine
-    // assignment to the 8 seed centroids (row_number DESC, cid), same
-    // within-cluster pair threshold, per-cluster rollup.
+    // assignment to the adaptive-k seed centroids (row_number DESC,
+    // cid), same within-cluster pair threshold, per-cluster rollup.
+    // RELATIONAL (round 15): the n×k assignment dots and the
+    // within-cluster pair dots ran as list lambdas; at the 30x gate's
+    // k=256 the assignment stage alone is ~18M lambda dots and would
+    // re-dominate the oracle — both stages now run as unnest ⋈ unnest
+    // hash aggregates (the embed_near_dup treatment), identical
+    // integer sums and double casts.
     "semdedup_prune" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -584,25 +590,43 @@ object SimilarityQ {
          |      AS q FROM corpus)),
          |kk AS MATERIALIZED (
          |  SELECT CAST($KMEANS_K AS BIGINT) * (1::BIGINT <<
-         |    (length(bin(greatest(count(DISTINCT q) // $SEM_REF, 1))) - 1))
-         |    AS k
+         |    least(length(bin(greatest(count(DISTINCT q) // $SEM_REF, 1))) - 1,
+         |          30)) AS k
          |  FROM n),
-         |cents AS (SELECT id AS cid, q AS cq, nrm AS cnrm FROM n
+         |cents AS (SELECT id AS cid, nrm AS cnrm FROM n
          |          WHERE id < (SELECT k FROM kk)),
+         |un AS MATERIALIZED (
+         |  SELECT id, t.i, q[t.i] AS x
+         |  FROM n, generate_series(1, $DIMS) AS t(i)),
+         |ucs AS MATERIALIZED (
+         |  SELECT id AS cid, i, x AS cx FROM un
+         |  WHERE id < (SELECT k FROM kk)),
+         |dots AS MATERIALIZED (
+         |  SELECT u.id, c.cid, CAST(sum(u.x * c.cx) AS DOUBLE) AS dp
+         |  FROM un u JOIN ucs c USING (i)
+         |  GROUP BY 1, 2),
          |asg AS (
          |  SELECT id, cid FROM (
-         |    SELECT n.id, c.cid, row_number() OVER (PARTITION BY n.id
-         |      ORDER BY CAST(${dotSql("n.q", "c.cq")} AS DOUBLE)
-         |        / (n.nrm * c.cnrm) DESC, c.cid) AS rn
-         |    FROM n CROSS JOIN cents c)
+         |    SELECT d.id, d.cid, row_number() OVER (PARTITION BY d.id
+         |      ORDER BY d.dp / (n.nrm * c.cnrm) DESC, d.cid) AS rn
+         |    FROM dots d JOIN n ON d.id = n.id JOIN cents c ON d.cid = c.cid)
          |  WHERE rn = 1),
-         |mem AS MATERIALIZED (SELECT asg.id, asg.cid, n.q, n.nrm
+         |mem AS MATERIALIZED (SELECT asg.id, asg.cid, n.nrm
          |        FROM asg JOIN n USING (id)),
+         |memu AS MATERIALIZED (
+         |  SELECT m.cid, m.id, u.i, u.x
+         |  FROM mem m JOIN un u ON m.id = u.id),
+         |pdots AS MATERIALIZED (
+         |  SELECT x.id AS xid, y.id AS yid,
+         |    CAST(sum(x.x * y.x) AS DOUBLE) AS dp
+         |  FROM memu x JOIN memu y
+         |    ON x.cid = y.cid AND x.i = y.i AND x.id < y.id
+         |  GROUP BY 1, 2),
          |pruned AS (
-         |  SELECT DISTINCT y.id
-         |  FROM mem x JOIN mem y ON x.cid = y.cid AND x.id < y.id
-         |  WHERE CAST(${dotSql("x.q", "y.q")} AS DOUBLE) / (x.nrm * y.nrm)
-         |    >= $SEM_THRESHOLD),
+         |  SELECT DISTINCT p.yid AS id
+         |  FROM pdots p JOIN mem mx ON p.xid = mx.id
+         |              JOIN mem my ON p.yid = my.id
+         |  WHERE p.dp / (mx.nrm * my.nrm) >= $SEM_THRESHOLD),
          |agg AS (
          |  SELECT mem.cid, CAST(count(*) AS BIGINT) AS n_vecs,
          |    CAST(SUM(CASE WHEN pruned.id IS NOT NULL THEN 1 ELSE 0 END)
@@ -615,36 +639,43 @@ object SimilarityQ {
 
     // Mirrors jl_projection_audit: same LCG weight family, abs-scaled
     // projected diffs, consecutive-id pairs, log2 ratio buckets.
-    "jl_projection_audit" -> {
-      def projSql(q: String, j: Int) = {
-        val weights = (0 until DIMS).map(i =>
-          VectorFns.projWeight(j, i, DIMS)).mkString(", ")
-        s"list_sum(list_transform(range(1, ${DIMS + 1}), " +
-          s"i -> $q[i] * ([$weights]::BIGINT[])[i]))"
-      }
-      val yCols = (0 until 16).map(j =>
-        s"CAST(${projSql("q", j)} AS BIGINT) AS y$j").mkString(",\n         |    ")
-      val d2p = (0 until 16).map(j =>
-        s"(abs(a.y$j - b.y$j) // 32) * (abs(a.y$j - b.y$j) // 32)")
-        .mkString("\n         |      + ")
+    // RELATIONAL (round 15): the 16 per-vector projections and the
+    // consecutive-pair distances ran as list lambdas (row-at-a-time in
+    // DuckDB 1.0, ~25 s at the 10x gates); the same integer arithmetic
+    // as an unnest ⋈ weights join + two hash aggregates runs in
+    // seconds. Same sums, same // 32 scaling, same buckets.
+    "jl_projection_audit" ->
       s"""WITH e AS (SELECT vec_id AS id, $qSql AS q FROM embeddings),
-         |p AS MATERIALIZED (SELECT id, q,
-         |    $yCols
-         |  FROM e),
-         |pairs AS (
-         |  SELECT CAST(list_sum(list_transform(range(1, ${DIMS + 1}),
-         |      i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT)
-         |      AS d2_orig,
-         |    CAST($d2p AS BIGINT) AS d2_proj
-         |  FROM p a JOIN p b ON b.id = a.id + 1)
+         |unq AS MATERIALIZED (
+         |  SELECT id, t.i, q[t.i] AS x
+         |  FROM e, generate_series(1, $DIMS) AS t(i)),
+         |wt(proj, w) AS (VALUES ${weightListsSql(16)}),
+         |wrows AS MATERIALIZED (
+         |  SELECT proj, t.i, w[t.i] AS wv
+         |  FROM wt, generate_series(1, $DIMS) AS t(i)),
+         |ysum AS MATERIALIZED (
+         |  SELECT u.id, w.proj, CAST(sum(u.x * w.wv) AS BIGINT) AS y
+         |  FROM unq u JOIN wrows w USING (i)
+         |  GROUP BY 1, 2),
+         |d2p AS (
+         |  SELECT a.id,
+         |    CAST(sum((abs(a.y - b.y) // 32) * (abs(a.y - b.y) // 32))
+         |      AS BIGINT) AS d2_proj
+         |  FROM ysum a JOIN ysum b ON b.id = a.id + 1 AND a.proj = b.proj
+         |  GROUP BY a.id),
+         |d2o AS (
+         |  SELECT a.id,
+         |    CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+         |  FROM unq a JOIN unq b ON b.id = a.id + 1 AND a.i = b.i
+         |  GROUP BY a.id),
+         |pairs AS (SELECT d2_orig, d2_proj FROM d2o JOIN d2p USING (id))
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
          |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
          |FROM (SELECT d2_proj // d2_orig AS ratio,
          |        CAST(length(bin(greatest(d2_proj // d2_orig, 1))) - 1
          |          AS BIGINT) AS bucket
          |      FROM pairs WHERE d2_orig > 0)
-         |GROUP BY bucket ORDER BY bucket""".stripMargin
-    },
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "ann_bruteforce_top5" ->
       s"""WITH e AS (SELECT vec_id, $qSql AS q FROM embeddings),
@@ -1019,6 +1050,11 @@ object SimilarityQ {
     // nb is computed over the FULL corpus (count of distinct quantized
     // vectors), then the SAMPLE is banded at that width — the audit
     // measures recall at the width the full-corpus detector uses.
+    // RELATIONAL truth stage (round 15): the all-pairs cosine over the
+    // capped sample ran as list lambdas (~20 s at the 10x gates); one
+    // unnest ⋈ unnest pair-dot aggregate feeds BOTH truth and the
+    // candidate scoring — identical integer sums, casts, and sqrt
+    // grouping, so the published recall is bit-unchanged.
     "embed_lsh_recall" ->
       s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1039,11 +1075,22 @@ object SimilarityQ {
          |  SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
          |  FROM samp),
-         |truth AS MATERIALIZED (
-         |  SELECT x.vec_id AS a, y.vec_id AS b
-         |  FROM q x JOIN q y ON x.vec_id < y.vec_id
-         |  WHERE ${cosSql("x.q", "y.q")} >= $ND_THRESHOLD),
          |$bkRelationalSql,
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(CAST(sum(x * x) AS DOUBLE)) AS nrm
+         |  FROM unq GROUP BY 1),
+         |pdot AS MATERIALIZED (
+         |  SELECT ua.vec_id AS a, ub.vec_id AS b,
+         |    CAST(sum(ua.x * ub.x) AS DOUBLE) AS dp
+         |  FROM unq ua JOIN unq ub
+         |    ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+         |  GROUP BY 1, 2),
+         |cosv AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.dp / (na.nrm * nb.nrm) AS cos
+         |  FROM pdot p JOIN nrm na ON p.a = na.vec_id
+         |              JOIN nrm nb ON p.b = nb.vec_id),
+         |truth AS MATERIALIZED (
+         |  SELECT a, b FROM cosv WHERE cos >= $ND_THRESHOLD),
          |found AS MATERIALIZED (
          |  SELECT c.a, c.b FROM (
          |    SELECT DISTINCT a, b FROM (
@@ -1052,8 +1099,8 @@ object SimilarityQ {
          |      UNION ALL
          |      SELECT x.vec_id AS a, y.vec_id AS b
          |      FROM bk x JOIN bk y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)) c
-         |  JOIN q qa ON c.a = qa.vec_id JOIN q qb ON c.b = qb.vec_id
-         |  WHERE ${cosSql("qa.q", "qb.q")} >= $ND_THRESHOLD),
+         |  JOIN cosv v ON c.a = v.a AND c.b = v.b
+         |  WHERE v.cos >= $ND_THRESHOLD),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
          |      FROM found f JOIN truth t ON f.a = t.a AND f.b = t.b)
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
