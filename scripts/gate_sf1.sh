@@ -24,6 +24,11 @@ rm -rf "$OUT"
 java -cp "target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
   graft.DumpOracles /tmp/oracle_all.json
 python3 scripts/lint_oracle_types.py /root/testdata/sf0.01 /tmp/oracle_all.json
+# Completeness: SAMPLE ∪ gate_exclusions.txt must exactly partition the
+# declared oracle universe — a new query breaks the gate until it's
+# either gated here or excluded with a written reason.
+python3 scripts/assert_gate_coverage.py /tmp/oracle_all.json "$SAMPLE" \
+  scripts/gate_exclusions.txt
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_ONLY="$SAMPLE" \
   java -cp "target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
   graft.Verify "$SF_DIR" "$OUT"
