@@ -31,12 +31,66 @@ import org.apache.spark.sql.execution.LogicalRDD
   * cannot invalidate a successor; releasing a frame a live plan still
   * reads would lose data. CacheAccountingAuditTest pins both paths
   * over every declared query.
+  *
+  * CONCURRENCY (round 15): every graph operator runs its body inside
+  * [[scoped]], which registers its checkpoints under a thread-local
+  * operator scope. Entries owned by a still-open scope are INVISIBLE
+  * to [[releaseAll]] — so a concurrent embedder thread calling
+  * releaseAll() mid-flight of another operator can no longer free
+  * that operator's live intermediates (the old process-global
+  * contract). When a scope closes, its surviving entries transfer to
+  * the enclosing scope if one is open on the same thread (an operator
+  * composed inside another operator stays protected for the outer
+  * run), else become releasable — exactly the "result now belongs to
+  * the caller" hand-off the contract describes. CkptConcurrencyTest
+  * pins the mid-flight-protection path.
   */
 object Ckpt {
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[
-    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+  /** One operator invocation's ownership token. Open from [[scoped]]
+    * entry to exit; `releaseAll` skips entries owned by an open scope.
+    */
+  private final class Scope { @volatile var open = true }
+
+  private final class Entry(
+      val ref: java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]],
+      @volatile var owner: Scope)
+
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
   private val sincePrune = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val scopes = new ThreadLocal[List[Scope]] {
+    override def initialValue: List[Scope] = Nil
+  }
+
+  /** Run `body` under a fresh operator scope: checkpoints [[track]]ed
+    * inside are exempt from [[releaseAll]] until the scope exits. On
+    * exit the entries re-home to the enclosing scope (if any) or become
+    * releasable. Re-entrant; scope state is per-thread.
+    *
+    * PUBLIC for embedders: every graft graph operator already runs its
+    * own body scoped (mid-flight intermediates are always safe), but an
+    * operator's RESULT becomes releasable the moment the operator
+    * returns — so an embedder that composes an operator and consumes
+    * its result later, concurrent with other threads calling
+    * [[releaseAll]], wraps the compose-and-consume span in its own
+    * `Ckpt.scoped { ... }`: the result re-homes to that scope on the
+    * operator's exit and stays protected until the span ends.
+    */
+  def scoped[A](body: => A): A = {
+    val s = new Scope
+    scopes.set(s :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      val parent = scopes.get() match {
+        case p :: _ => p
+        case Nil    => null
+      }
+      tracked.forEach(e => if (e.owner eq s) e.owner = parent)
+      s.open = false
+    }
+  }
 
   /** Register `df`'s checkpoint RDD (weakly — the ContextCleaner GC
     * path stays usable) so [[releaseAll]] can drop it deterministically.
@@ -51,10 +105,14 @@ object Ckpt {
   private[graft] def track(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
-        tracked.add(new java.lang.ref.WeakReference(lr.rdd))
+        val owner = scopes.get() match {
+          case s :: _ => s
+          case Nil    => null
+        }
+        tracked.add(new Entry(new java.lang.ref.WeakReference(lr.rdd), owner))
         if (sincePrune.incrementAndGet() >= 64) {
           sincePrune.set(0)
-          tracked.removeIf(_.get == null)
+          tracked.removeIf(_.ref.get == null)
         }
       case _ => ()
     }
@@ -73,24 +131,23 @@ object Ckpt {
       case _ => ()
     }
 
-  /** Unpersist every graft-created local checkpoint still alive — the
-    * `clearCache()` analog for checkpoint blocks. Call only when every
-    * graph-operator result has been fully consumed.
-    *
-    * The registry is PROCESS-GLOBAL: this also drops the intermediate
-    * checkpoints of any graft graph operator currently mid-flight on
-    * another thread or session, and a local checkpoint cannot
-    * recompute — the concurrent job would fail. Call releaseAll only
-    * from a point where no graft graph operator is running anywhere in
-    * the process (the Bench/Verify harnesses satisfy this by
-    * construction: one query at a time).
+  /** Unpersist every graft-created local checkpoint whose operator has
+    * RETURNED — the `clearCache()` analog for checkpoint blocks. Call
+    * once you have consumed the graph-operator results you hold;
+    * results must not be re-read afterwards. Checkpoints belonging to
+    * an operator still mid-flight on any thread are left alone (their
+    * scope is open), so concurrent embedders are safe.
     */
   def releaseAll(): Unit = {
-    var ref = tracked.poll()
-    while (ref != null) {
-      val rdd = ref.get()
-      if (rdd != null) rdd.unpersist(blocking = false)
-      ref = tracked.poll()
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val owner = e.owner
+      if (owner == null || !owner.open) {
+        val rdd = e.ref.get()
+        if (rdd != null) rdd.unpersist(blocking = false)
+        it.remove()
+      }
     }
   }
 }

@@ -35,7 +35,7 @@ object KCore {
     */
   def coreness(pairs: DataFrame, maxK: Int = 64,
                maxRounds: Int = 400,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     val spark = pairs.sparkSession
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -143,7 +143,7 @@ object KCore {
     * list, bounded by max degree). No all-pairs structure; rounds are a
     * constant chosen at call site.
     */
-  def corenessHIndex(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+  def corenessHIndex(pairs: DataFrame, rounds: Int = 6): DataFrame = Ckpt.scoped {
     import org.apache.spark.sql.expressions.Window
     // Checkpoint the caller's pair pipeline ONCE before the symmetric
     // union references it twice (else the upstream candidate generation

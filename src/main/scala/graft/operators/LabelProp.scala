@@ -34,7 +34,7 @@ object LabelProp {
     * undirected pair list (columns a, b).
     */
   def communities(pairs: DataFrame, iters: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = pairs.sparkSession
     val prevCheckpointDir = spark.sparkContext.getCheckpointDir

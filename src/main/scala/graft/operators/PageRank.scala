@@ -49,7 +49,7 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000L,
             checkpointEvery: Int = 8,
-            checkpointDir: Option[String] = None): DataFrame = {
+            checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     require(iters >= 1, "PageRank needs at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = edges.sparkSession
@@ -129,7 +129,7 @@ object PageRank {
     */
   def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
                         scale: Long = 1000000L, checkpointEvery: Int = 8,
-                        checkpointDir: Option[String] = None): DataFrame = {
+                        checkpointDir: Option[String] = None): DataFrame = Ckpt.scoped {
     require(iters >= 1, "personalizedRanks needs at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = edges.sparkSession

@@ -29,7 +29,7 @@ object ShortestPath {
     * long). Output: (node, min_cost), including the source at cost 0.
     */
   def boundedCheapestPaths(edges: DataFrame, source: Long,
-                           maxHops: Int): DataFrame = {
+                           maxHops: Int): DataFrame = Ckpt.scoped {
     def save(df: DataFrame): DataFrame =
       Ckpt.track(df.localCheckpoint(eager = true))
     val e = save(edges.select(col("src"), col("dst"),
