@@ -41,7 +41,7 @@ object Verify {
     // happily compare old Spark output against fresh oracle SQL and mask
     // a regression in a dev re-run.
     if (only.isDefined) {
-      val keep = selected.keySet + "oracle_sql.json"
+      val keep = selected.keySet + "oracle_sql.json" + "guards.json"
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filterNot(f => keep.contains(f.getName))
         .foreach { f =>
@@ -52,18 +52,36 @@ object Verify {
           rm(f)
         }
     }
+    // Per-query physical-regime decisions (Guard registry), written as
+    // guards.json next to the dumps: a scale gate's artifact can then
+    // prove WHICH regime (adaptive LSH width, semdedup k, containment
+    // tier) the hash-verified run actually exercised — the round-15
+    // 30x gate's whole point is that those regimes differ from sf0.01.
+    val guards = scala.collection.mutable.Map[String, Map[String, String]]()
+    operators.Guard.clear()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val g = operators.Guard.snapshot()
+        if (g.nonEmpty) guards(name) = g
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
+        operators.Guard.clear()
         // Query-local persists are scoped to one query: without this, a
         // full 232-query dump accumulates every query's caches and ends
         // up relying on LRU eviction + disk spill at larger SFs.
         spark.catalog.clearCache()
       }
     }
+    Files.writeString(Paths.get(s"$outDir/guards.json"),
+      guards.toSeq.sortBy(_._1).map { case (q, m) =>
+        s"${jsonStr(q)}: " + m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}"))
     // Restrict the oracle list to the selected subset too, so a dev
     // subset run never asks the checker to compare queries it didn't dump.
     val json = SparkEntry.oracleSql
