@@ -27,6 +27,16 @@ object SimilarityQ {
   private val ND_MAX_BITS = 16
   private val ND_THRESHOLD = 0.95
   private val RECALL_CAP = 1000L // embed_lsh_recall audit sample bound
+  // Planted-copy id offset for the synthetic near-dup corpora. Must sit
+  // ABOVE any real vec_id at any corpus scale: the 30x organic gate
+  // caught the old +1,000,000 offset colliding with real ids (organic
+  // vec_ids are sparse and reach 2.9M at 30x), which silently aliased a
+  // planted copy of vec k with the real vector at k+1e6 — the pair join
+  // then fanned out per duplicated id on BOTH engines, differently.
+  // 2^40 is beyond any plausible corpus id and exact in a DOUBLE, and
+  // the recall sample's `% PLANT_OFF` fold still maps a copy back to
+  // its source id.
+  private val PLANT_OFF = 1L << 40
   private val IVF_NLIST = 16 // vec_id in [8, 24) are the IVF centroids
   private val KMEANS_K = 8   // Lloyd seed: the k lowest vec_ids
   private val PQ_M = 4       // PQ subspaces (64 dims -> 4 x 16)
@@ -122,7 +132,7 @@ object SimilarityQ {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val full = base.unionByName(
       base.filter(col("vec_id") % 5 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("vec_id", col("vec_id") + lit(PLANT_OFF))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
     // The audit measures recall AT THE WIDTH THE FULL CORPUS USES: the
     // adaptive detector's bucket width is a function of the full rep
@@ -133,7 +143,7 @@ object SimilarityQ {
       .select(VectorFns.quantize(col("embedding")).as("q"))
       .distinct().count()
     val fullBits = Dedup.adaptiveBits(ND_BITS, nRepsFull, ND_REF, ND_MAX_BITS)
-    val corpus = full.filter(col("vec_id") % 1000000L < RECALL_CAP)
+    val corpus = full.filter(col("vec_id") % PLANT_OFF % 1000000L < RECALL_CAP)
     val q = corpus
       .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
       .withColumn("nrm", VectorFns.normQ(col("q")))
@@ -318,7 +328,7 @@ object SimilarityQ {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val corpus = base.unionByName(
         base.filter(col("vec_id") % 5 === 0)
-          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("vec_id", col("vec_id") + lit(PLANT_OFF))
           .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
       Dedup.embeddingNearDupLshAdaptive(corpus, threshold = ND_THRESHOLD,
           dims = DIMS, nTables = ND_TABLES, nBits = ND_BITS,
@@ -332,7 +342,7 @@ object SimilarityQ {
     // truth on a capped sample — the second of the two 100 TB near-dup
     // detectors now publishes its miss rate. Sample = vectors whose
     // source id < RECALL_CAP (planted 0.9-scaled copies ride along via
-    // the % 1000000 fold), so the audit's pair space is CONSTANT-sized
+    // the % PLANT_OFF fold), so the audit's pair space is CONSTANT-sized
     // at any corpus scale, and per-pair collision probability is
     // vector-intrinsic (sign projections read only the two vectors), so
     // the sample-restricted detector measures the same per-pair recall
@@ -363,7 +373,7 @@ object SimilarityQ {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val corpus = base.unionByName(
         base.filter(col("vec_id") % 5 === 0)
-          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+          .withColumn("vec_id", col("vec_id") + lit(PLANT_OFF))
           .withColumn("embedding", transform(col("embedding"), x => x * lit(0.9))))
       // REPLICA CONTRACTION (round 11): identical QUANTIZED vectors are
       // indistinguishable to every term below — argmax-cosine
@@ -580,7 +590,7 @@ object SimilarityQ {
          |corpus AS (
          |  SELECT vec_id, emb FROM base
          |  UNION ALL
-         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  SELECT vec_id + $PLANT_OFF, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
          |n AS MATERIALIZED (
          |  SELECT vec_id AS id, q,
@@ -1021,7 +1031,7 @@ object SimilarityQ {
          |corpus AS (
          |  SELECT vec_id, emb FROM base
          |  UNION ALL
-         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  SELECT vec_id + $PLANT_OFF, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
          |q AS MATERIALIZED (
          |  SELECT vec_id,
@@ -1061,7 +1071,7 @@ object SimilarityQ {
          |corpus AS (
          |  SELECT vec_id, emb FROM base
          |  UNION ALL
-         |  SELECT vec_id + 1000000, list_transform(emb, x -> x * 0.9)
+         |  SELECT vec_id + $PLANT_OFF, list_transform(emb, x -> x * 0.9)
          |  FROM base WHERE vec_id % 5 = 0),
          |nb AS MATERIALIZED (
          |  SELECT CAST(least($ND_BITS +
@@ -1070,7 +1080,7 @@ object SimilarityQ {
          |        // $ND_REF, 1))) - 1,
          |      $ND_MAX_BITS) AS BIGINT) AS nbits
          |  FROM corpus),
-         |samp AS (SELECT * FROM corpus WHERE vec_id % 1000000 < $RECALL_CAP),
+         |samp AS (SELECT * FROM corpus WHERE vec_id % $PLANT_OFF % 1000000 < $RECALL_CAP),
          |q AS MATERIALIZED (
          |  SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
