@@ -412,6 +412,8 @@ object SimilarityQ {
       val nDistinct = grouped.filter(col("rep") === col("id")).count()
       val kEff = KMEANS_K.toLong <<
         graft.operators.Dedup.adaptiveBits(0, nDistinct, SEM_REF, 30)
+      graft.operators.Guard.record("semdedup",
+        s"k=$kEff nDistinct=$nDistinct")
       val cents = grouped.filter(col("id") < kEff)
         .select(col("id").as("cid"), col("qv").as("cv"), col("nrm").as("cnrm"))
       // argmax-cosine assignment: centroids broadcast, ties -> lowest
