@@ -29,7 +29,7 @@ run_arm() { # $1 = dir, $2 = label, $3 = round
   local out
   out=$(cd "$1" && SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_ONLY="$QUERY" \
     SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -1)
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep -m1 '"metric"')
   AB_OUT="$out" python3 - "$2" "$3" "$QUERY" <<'PY'
 import json, os, sys
 label, rnd, q = sys.argv[1], sys.argv[2], sys.argv[3]
