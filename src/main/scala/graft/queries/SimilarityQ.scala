@@ -586,6 +586,19 @@ object SimilarityQ {
     // re-dominate the oracle — both stages now run as unnest ⋈ unnest
     // hash aggregates (the embed_near_dup treatment), identical
     // integer sums and double casts.
+    // REPLICA CONTRACTION (round 15, second pass): the relational pair
+    // join over ALL members exploded on the REPLICATED 10x corpus
+    // (3000-member duplicate clusters → a 2.3G-row (cid,i) join, 1369 s
+    // vs the lambda form's 70 s) — so the oracle now mirrors the Spark
+    // side's qv-group contraction exactly (the reconstruction
+    // SemDedupContractionTest pins): identical-q members share every
+    // cosine, so assignment and pair dots run at REP level, and the
+    // per-member prune decision reconstructs as
+    //   pruned(m in G) ⟺ m > cut(G),
+    //   cut(G) = least(rep(G) if selfcos(G) ≥ t, min qualifying
+    //            foreign rep in G's cluster)
+    // (an earlier member of m's own group prunes m; "∃ x∈H, x<m" ⟺
+    // rep(H)<m since rep is H's min id). No-op on replica-free corpora.
     "semdedup_prune" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -600,51 +613,75 @@ object SimilarityQ {
          |  FROM (SELECT vec_id,
          |    list_transform(emb, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))
          |      AS q FROM corpus)),
+         |grp AS MATERIALIZED (
+         |  SELECT id, min(id) OVER (PARTITION BY q) AS rep FROM n),
+         |reps AS MATERIALIZED (
+         |  SELECT n.id, n.q, n.nrm FROM n JOIN grp USING (id)
+         |  WHERE grp.rep = n.id),
          |kk AS MATERIALIZED (
          |  SELECT CAST($KMEANS_K AS BIGINT) * (1::BIGINT <<
-         |    least(length(bin(greatest(count(DISTINCT q) // $SEM_REF, 1))) - 1,
+         |    least(length(bin(greatest(count(*) // $SEM_REF, 1))) - 1,
          |          30)) AS k
-         |  FROM n),
+         |  FROM reps),
          |cents AS (SELECT id AS cid, nrm AS cnrm FROM n
          |          WHERE id < (SELECT k FROM kk)),
-         |un AS MATERIALIZED (
+         |unr AS MATERIALIZED (
          |  SELECT id, t.i, q[t.i] AS x
-         |  FROM n, generate_series(1, $DIMS) AS t(i)),
-         |ucs AS MATERIALIZED (
-         |  SELECT id AS cid, i, x AS cx FROM un
+         |  FROM reps, generate_series(1, $DIMS) AS t(i)),
+         |uc AS MATERIALIZED (
+         |  SELECT id AS cid, t.i, q[t.i] AS cx
+         |  FROM n, generate_series(1, $DIMS) AS t(i)
          |  WHERE id < (SELECT k FROM kk)),
          |dots AS MATERIALIZED (
          |  SELECT u.id, c.cid, CAST(sum(u.x * c.cx) AS DOUBLE) AS dp
-         |  FROM un u JOIN ucs c USING (i)
+         |  FROM unr u JOIN uc c USING (i)
          |  GROUP BY 1, 2),
          |asg AS (
          |  SELECT id, cid FROM (
          |    SELECT d.id, d.cid, row_number() OVER (PARTITION BY d.id
-         |      ORDER BY d.dp / (n.nrm * c.cnrm) DESC, d.cid) AS rn
-         |    FROM dots d JOIN n ON d.id = n.id JOIN cents c ON d.cid = c.cid)
+         |      ORDER BY d.dp / (r.nrm * c.cnrm) DESC, d.cid) AS rn
+         |    FROM dots d JOIN reps r ON d.id = r.id
+         |                JOIN cents c ON d.cid = c.cid)
          |  WHERE rn = 1),
-         |mem AS MATERIALIZED (SELECT asg.id, asg.cid, n.nrm
-         |        FROM asg JOIN n USING (id)),
-         |memu AS MATERIALIZED (
+         |rmem AS MATERIALIZED (SELECT asg.id, asg.cid, reps.nrm
+         |        FROM asg JOIN reps USING (id)),
+         |ru AS MATERIALIZED (
          |  SELECT m.cid, m.id, u.i, u.x
-         |  FROM mem m JOIN un u ON m.id = u.id),
-         |pdots AS MATERIALIZED (
+         |  FROM rmem m JOIN unr u USING (id)),
+         |rpd AS MATERIALIZED (
          |  SELECT x.id AS xid, y.id AS yid,
          |    CAST(sum(x.x * y.x) AS DOUBLE) AS dp
-         |  FROM memu x JOIN memu y
+         |  FROM ru x JOIN ru y
          |    ON x.cid = y.cid AND x.i = y.i AND x.id < y.id
          |  GROUP BY 1, 2),
-         |pruned AS (
-         |  SELECT DISTINCT p.yid AS id
-         |  FROM pdots p JOIN mem mx ON p.xid = mx.id
-         |              JOIN mem my ON p.yid = my.id
+         |qpairs AS MATERIALIZED (
+         |  SELECT p.xid, p.yid FROM rpd p
+         |  JOIN rmem mx ON p.xid = mx.id JOIN rmem my ON p.yid = my.id
          |  WHERE p.dp / (mx.nrm * my.nrm) >= $SEM_THRESHOLD),
+         |minfor AS (
+         |  SELECT id, min(o) AS mf FROM (
+         |    SELECT xid AS id, yid AS o FROM qpairs
+         |    UNION ALL
+         |    SELECT yid AS id, xid AS o FROM qpairs)
+         |  GROUP BY id),
+         |selfd AS (
+         |  SELECT u.id, CAST(sum(u.x * u.x) AS DOUBLE) AS sd
+         |  FROM unr u GROUP BY u.id),
+         |cut AS (
+         |  SELECT r.id AS rep,
+         |    least(
+         |      coalesce(CASE WHEN s.sd / (r.nrm * r.nrm) >= $SEM_THRESHOLD
+         |               THEN r.id END, 9223372036854775807),
+         |      coalesce(mf.mf, 9223372036854775807)) AS cut
+         |  FROM reps r JOIN selfd s ON r.id = s.id
+         |  LEFT JOIN minfor mf ON r.id = mf.id),
          |agg AS (
-         |  SELECT mem.cid, CAST(count(*) AS BIGINT) AS n_vecs,
-         |    CAST(SUM(CASE WHEN pruned.id IS NOT NULL THEN 1 ELSE 0 END)
+         |  SELECT rm.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CASE WHEN g.id > c.cut THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_pruned
-         |  FROM mem LEFT JOIN pruned ON mem.id = pruned.id
-         |  GROUP BY mem.cid)
+         |  FROM grp g JOIN cut c ON g.rep = c.rep
+         |             JOIN rmem rm ON g.rep = rm.id
+         |  GROUP BY rm.cid)
          |SELECT cid, n_vecs, n_pruned,
          |  (1000 * (n_vecs - n_pruned)) // n_vecs AS keep_permille
          |FROM agg ORDER BY cid""".stripMargin,
