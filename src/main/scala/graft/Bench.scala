@@ -103,6 +103,15 @@ object Bench {
       } finally {
         val g = graft.operators.Guard.snapshot()
         if (g.nonEmpty) guardsByQuery(name) = g
+        // Deterministic inter-query reset: clearCache drops CacheManager
+        // entries, but the FINAL localCheckpoint backing a graph
+        // operator's result is not one — only Ckpt.releaseAll can drop
+        // those blocks now rather than at some future weak-ref GC. The
+        // 100x decade probe measured the asynchronous path directly:
+        // dedup_survivorship timed 84.7 s ninth in a shared JVM vs
+        // 13.2 s in isolation, purely from predecessors' lingering
+        // checkpoint blocks (storage pressure -> execution spills).
+        graft.operators.Ckpt.releaseAll()
         spark.catalog.clearCache(); System.gc()
       }
     }

@@ -72,7 +72,11 @@ object Verify {
         operators.Guard.clear()
         // Query-local persists are scoped to one query: without this, a
         // full 232-query dump accumulates every query's caches and ends
-        // up relying on LRU eviction + disk spill at larger SFs.
+        // up relying on LRU eviction + disk spill at larger SFs. The
+        // graph operators' result checkpoints are NOT CacheManager
+        // entries — releaseAll is their clearCache analog (each result
+        // is fully written out above, never re-read).
+        operators.Ckpt.releaseAll()
         spark.catalog.clearCache()
       }
     }

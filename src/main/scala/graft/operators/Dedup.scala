@@ -564,7 +564,33 @@ object Dedup {
       .agg(count(lit(1)).as("k"))
     val repDocs = docs.join(
       weights.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val invAll = shingleRows(repDocs, n)
+    // DICTIONARY-HASHED SHINGLE KEY (round 15, the 100x decade probe's
+    // #1 finding): every stage below shuffles, sorts or aggregates on
+    // the shingle key — the df-cap window, the dfreq aggregate, the
+    // global (df, s) prefix order, the candidate join, and both
+    // verifies — and the raw key is the n-gram TEXT (~25-35 bytes,
+    // growing with n) where 8 bytes of xxhash64 carry the same
+    // identity. Hashing is adopted only after injectivity on THIS
+    // corpus is PROVEN (count(distinct s) == count(distinct hash)): a
+    // collision would merge two shingles and corrupt df/intersection
+    // counts, so equality of the two distinct-counts — one extra
+    // aggregate over the persisted postings — is the exactness
+    // certificate, not a probability argument. On collision (expected
+    // near 2^32 distinct shingles per the birthday bound) the operator
+    // silently keeps the text key: same results, wider shuffles. The
+    // prefix-filter and positional-bound lemmas only require SOME
+    // global total order shared by all docs, so (df, hash) is as valid
+    // a canonical order as (df, text) — candidate sets differ, outputs
+    // cannot (DedupTest pins outputs under both key regimes).
+    val rawInv = materialized(shingleRows(repDocs, n))
+    val keyCounts = rawInv.agg(
+      countDistinct(col("s")).as("ns"),
+      countDistinct(xxhash64(col("s"))).as("nh")).first()
+    val hashKeys = keyCounts.getLong(0) == keyCounts.getLong(1)
+    val keyedInv =
+      if (hashKeys) rawInv.withColumn("s", xxhash64(col("s"))) else rawInv
+    val keysTag = s" keys=${if (hashKeys) "hashed64" else "text"}"
+    val invAll = keyedInv
       .join(weights.select(col("rep").as("doc_id"), col("k")), "doc_id")
     // The cached index carries each doc's post-cap set size: one window
     // at build time buys the SIZE-COMPLEMENTARY filter in both tiers
@@ -581,6 +607,11 @@ object Dedup {
       case None => invAll.drop("k")
     }).withColumn("sz",
       count(lit(1)).over(Window.partitionBy(col("doc_id")))))
+    // Force the post-cap index into its cache so the pre-cap postings
+    // cache (only needed for the injectivity check + this one build)
+    // can release NOW instead of riding through the pair joins.
+    inv.count()
+    rawInv.unpersist()
     val sizes = shingleSizes(inv)
     // Size-complementary filter, applied map-side in every tier right
     // after the shingle join and before anything shuffles on (a,b):
@@ -675,10 +706,39 @@ object Dedup {
             size(array_intersect(col("arr_a"), col("arr_b")))
               .cast("long").as("inter"),
             col("sz_a"))
-      } else
-        interCounts(cand.select(col("a"), col("b")), inv)
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")),
-            "a")
+      } else {
+        // ARRAYS-SHUFFLE verify (round 15, the 100x decade probe): the
+        // interCounts expansion priced nCand·avgSz rows through a join
+        // probe AND a (a,b)-keyed hash aggregate — 1.3 B rows at the
+        // 100x organic corpus (nCand 25.7 M, avgSz 50). Joining the
+        // candidates against the per-doc shingle ARRAYS instead moves
+        // the same information in nCand rows (wide ones — two
+        // avgSz-long arrays each — but with hashed 8-byte keys that is
+        // ~2·nCand·avgSz·8 bytes, the volume interCounts shipped as
+        // narrow rows anyway) and replaces the billion-row aggregate
+        // with a map-side array_intersect. Same exact counts: inv is
+        // distinct per (doc_id, s), so the intersect size IS |A∩B|.
+        // A/B at 100x organic: 170 s (interCounts) vs this shape —
+        // see SURVEY round-15 ledger; GRAFT_CONTAIN_BIGVERIFY=expand
+        // forces the old expansion for re-measurement.
+        if (sys.env.get("GRAFT_CONTAIN_BIGVERIFY").contains("expand"))
+          interCounts(cand.select(col("a"), col("b")), inv)
+            .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")),
+              "a")
+        else {
+          val docsArr = materialized(inv.groupBy(col("doc_id"))
+            .agg(collect_list(col("s")).as("arr")))
+          cand
+            .join(docsArr
+              .select(col("doc_id").as("a"), col("arr").as("arr_a")), "a")
+            .join(docsArr
+              .select(col("doc_id").as("b"), col("arr").as("arr_b")), "b")
+            .select(col("a"), col("b"),
+              size(array_intersect(col("arr_a"), col("arr_b")))
+                .cast("long").as("inter"),
+              col("sz_a"))
+        }
+      }
     }
     // PLAIN TIER: full-index self-join + pair aggregate. Kept for the
     // A/B override and for the big-corpus regime where the measured
@@ -697,7 +757,7 @@ object Dedup {
     val nRep = weights.count()
     val interSz =
       if (forceCandidate.contains(false)) {
-        Guard.record("containment", s"tier=plain forced nRep=$nRep")
+        Guard.record("containment", s"tier=plain forced nRep=$nRep$keysTag")
         plainInter
       } else if (forceCandidate.contains(true) || nRep <= bcastDocsCap) {
         // Candidate tier is unconditional when the arrays broadcast:
@@ -709,7 +769,7 @@ object Dedup {
         Guard.record("containment",
           s"tier=candidate verify=" +
             s"${if (arrays) "arrays" else "shuffle"} nRep=$nRep" +
-            (if (forceCandidate.contains(true)) " forced" else ""))
+            (if (forceCandidate.contains(true)) " forced" else "") + keysTag)
         candidateInter(arrays, candPairs)
       } else {
         // Big-corpus regime (arrays exceed the broadcast budget). The
@@ -743,9 +803,13 @@ object Dedup {
         val candP = materialized(candPairs)
         val nCand = candP.count()
         val usePrefix = nCand * (1 + avgSz) <= invF
+        val verifyTag =
+          if (sys.env.get("GRAFT_CONTAIN_BIGVERIFY").contains("expand"))
+            "expand" else "arrshuffle"
         Guard.record("containment",
-          s"tier=${if (usePrefix) "candidate" else "plain"} verify=shuffle " +
-            s"nCand=$nCand invFanout=$invF avgSz=$avgSz nRep=$nRep")
+          s"tier=${if (usePrefix) "candidate" else "plain"} " +
+            s"verify=$verifyTag " +
+            s"nCand=$nCand invFanout=$invF avgSz=$avgSz nRep=$nRep$keysTag")
         if (usePrefix) candidateInter(verifyByArrays = false, candP)
         else { candP.unpersist(); candIdx.unpersist(); plainInter }
       }
@@ -1360,30 +1424,45 @@ object Dedup {
       else tables.select(col("vec_id").as("a"), col("tbl"),
         explode(array(col("bkt") +: (0 until nBitsEff).map(k =>
           col("bkt").bitwiseXOR(lit(1L << k))): _*)).as("bkt"))
+    // POST-VERIFY DEDUP (round 15, the 100x decade probe): the old plan
+    // ran `.distinct()` over the RAW bucket-join pairs before the
+    // verify — at the 100x organic corpus that distinct shuffled 143 M
+    // rows to remove 14% cross-table duplicates and cost 60 s of the
+    // operator's 161 s. Deduping AFTER the cosine gate shuffles only
+    // the QUALIFYING pairs (15.8 M there), and the per-pair cosine is
+    // bit-identical across a pair's duplicate candidate rows (same q,
+    // same nrm), so distinct-on-(a,b,cos) collapses them exactly; the
+    // extra verify work on duplicate rows is map-side when the rep
+    // table broadcasts (the common regime below). Output set unchanged.
     val cand = left.join(right, Seq("tbl", "bkt"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
     val va = q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
     val vb = q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
     // Vector-fetch strategy, measured not guessed (the tier-guard
     // pattern): joining candidates against the rep-vector table drags a
     // dims-long array per matched row through BOTH pair-join shuffles —
     // candidate-volume × vector-width bytes (2+ GB at the 10x organic
-    // corpus), while the rep table itself is tiny. When the reps fit a
-    // sane broadcast (≤ 100k rows ≈ 50 MB at 64 dims), ship the table
-    // to the candidates instead of the arrays through the shuffle; at
-    // corpus scales beyond that the shuffle join IS the plan (a
-    // billion-vector rep table broadcasts nowhere) and candidates
-    // should instead be bounded by raising nBits with log(n).
+    // corpus), while the rep table itself is tiny. Budget the decision
+    // in BYTES, not rows (round 15 — the row cap at 100k left the 100x
+    // corpus's 240k-rep/73 MB table on the shuffle path, dragging
+    // 135 GB of arrays through the pair joins for an 83-159 s verify
+    // that the broadcast runs map-side): broadcast while the quantized
+    // rep table fits 128 MB; past that the shuffle join IS the plan (a
+    // billion-vector rep table broadcasts nowhere) and candidates are
+    // instead bounded by nBits growing with log(n).
+    val bcastBytes = nReps * (dims.toLong * 4 + 64)
+    val useBcast = bcastBytes <= (128L << 20)
     val (vaJ, vbJ) =
-      if (nReps <= 100000L) (broadcast(va), broadcast(vb)) else (va, vb)
+      if (useBcast) (broadcast(va), broadcast(vb)) else (va, vb)
     Guard.record("embedNearDup",
-      s"fetch=${if (nReps <= 100000L) "broadcast" else "shuffle"} " +
-        s"nReps=$nReps bits=$nBitsEff")
+      s"fetch=${if (useBcast) "broadcast" else "shuffle"} " +
+        s"nReps=$nReps bits=$nBitsEff bcastMB=${bcastBytes >> 20}")
     val repPairs = cand.join(vaJ, Seq("a")).join(vbJ, Seq("b"))
       .withColumn("cos", VectorFns.dotQ(col("qa"), col("qb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
+      .distinct()
     // Expansion. Cross-group member ids can interleave, so the canonical
     // (min, max) orientation is re-established per member pair; groups
     // are disjoint, so each unordered member pair arises from exactly
