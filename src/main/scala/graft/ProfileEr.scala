@@ -47,7 +47,7 @@ object ProfileEr {
       when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
         .otherwise(col("c_name_a")).as("nb"))
     t("snm-count")(snm.count())
-    val pairs = bp.unionByName(snm).distinct()
+    val pairs = bp.unionByName(snm)
       .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
       .select(col("a"), col("b"))
       .unionByName(chain)
@@ -55,8 +55,14 @@ object ProfileEr {
     println(s"pairs=$np")
     val cc = t("cc")(graft.operators.Dedup.componentsFromPairs(pairs))
     t("cc-count")(cc.count())
-    t("full-query")(SparkEntry.queries("er_clusters")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
+    graft.operators.Ckpt.releaseAll()
+    spark.catalog.clearCache(); System.gc()
+    (1 to 3).foreach { i =>
+      t(s"full-query-$i")(SparkEntry.queries("er_clusters")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+      graft.operators.Ckpt.releaseAll()
+      spark.catalog.clearCache(); System.gc()
+    }
     spark.stop()
   }
 }

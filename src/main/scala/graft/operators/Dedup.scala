@@ -1035,33 +1035,18 @@ object Dedup {
     def ufPass(df: DataFrame): DataFrame = {
       import spark.implicits._
       df.as[(Long, Long)].mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def root(x: Long): Long = {
-          var r = x
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x
-          while (parent.get(c) != c) {
-            val n = parent.get(c); parent.put(c, r); c = n
-          }
-          r
-        }
-        it.foreach { case (a, b) =>
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
-          val ra = root(a); val rb = root(b)
-          if (ra < rb) parent.put(rb, ra)
-          else if (rb < ra) parent.put(ra, rb)
-        }
-        // path compression inside root() only overwrites EXISTING
-        // keys — not a structural modification, so iterating the
-        // keySet while compressing is safe per HashMap's contract
-        val ks = parent.keySet().iterator()
-        new Iterator[(Long, Long)] {
-          def hasNext: Boolean = ks.hasNext
-          def next(): (Long, Long) = {
-            val k = ks.next(); (root(k), k)
-          }
-        }
+        // Primitive open-addressed union-find (round 15): the previous
+        // java.util.HashMap[Long, Long] autoboxed EVERY get/put, and on
+        // a dup-dense corpus this pass streams the full quadratic
+        // survivor set (87M edges at the 100x organic corpus) through
+        // ~6 boxed map operations each — allocation churn that showed
+        // up as multi-GB young-gen pressure and 3-7x run-to-run
+        // variance. The primitive map does the identical min-root
+        // union-find (same link rule, same path compression, same star
+        // output) with zero allocation per edge.
+        val uf = new LongUnionFind()
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.stars
       }.toDF("a", "b")
     }
     // THREE contraction passes (round 12): pass 1 runs over the

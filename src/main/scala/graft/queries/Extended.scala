@@ -153,12 +153,22 @@ object Extended {
       greatest(col("c_custkey_a"), col("c_custkey_b")).as("b"),
       when(col("c_custkey_a") < col("c_custkey_b"), col("c_name_b"))
         .otherwise(col("c_name_a")).as("nb"))
-    // lev BEFORE distinct: the filter is a cheap early-exit map-side
-    // scan, so the candidate-dedup shuffle carries only survivors
+    // NO distinct on the survivors (round 15): components of a
+    // multigraph equal components of its support, and the consumer's
+    // star-contraction prelude (componentsFromPairs pass 1) absorbs
+    // duplicate edges inside its per-partition union-find for free —
+    // while a distinct here is a full shuffle of the survivor set,
+    // which on a dup-dense corpus grows QUADRATICALLY in copy density
+    // (every copy-pair of the same base entity passes lev ≤ 2: 100x
+    // organic carries ~75M survivor edges vs 30x's ~6.6M). Dropping it
+    // also leaves the survivor stream on the bp join's block
+    // partitioning, so whole dup cliques are partition-local for pass 1
+    // and the quadratic edge set is contracted to ~node-count stars
+    // map-side, never shuffled or checkpointed. (The oracle's DISTINCT
+    // candidate CTE is unaffected — the emitted LABELS are identical.)
     val pairs = bp.unionByName(snm)
       .filter(levenshtein(col("na"), col("nb"), 2) =!= -1)
       .select(col("a"), col("b"))
-      .distinct()
       .unionByName(chain)
     val labels = graft.operators.Dedup.componentsFromPairs(pairs)
       .select(col("doc_id").as("c_custkey"),
