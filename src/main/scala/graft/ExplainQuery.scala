@@ -20,6 +20,12 @@ object ExplainQuery {
     df.collect()
     println("=====PLAN=====")
     println(df.queryExecution.executedPlan.toString)
+    // Post-execution formatted plan (AQE-final): operator list with
+    // PushedFilters / ReadSchema / join build sides — the round-15
+    // optimization deliverable's plan-evidence format.
+    println("=====FORMATTED=====")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
