@@ -13,6 +13,7 @@
 # GATE30_QUERIES / GATE30_SF_DIR / GATE30_OUT_JSON override defaults.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+. scripts/jdk_opens.sh
 
 QUERIES=${GATE30_QUERIES:-embed_near_dup,semdedup_prune,dedup_containment,communities_lpa,er_clusters,golden_record_merge}
 SF_DIR=${GATE30_SF_DIR:-tmp_sf3_organic}
@@ -22,7 +23,7 @@ JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
 
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_ONLY="$QUERIES" \
-  java -Xmx48g -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"
+  java -Xmx48g $JDK_OPENS -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"
 python3 scripts/check_oracle.py "$SF_DIR" "$OUT" "$OUT_JSON"
 # Fold the guard regimes into the committed artifact.
 python3 - "$OUT_JSON" "$OUT/guards.json" "$SF_DIR" <<'PY'

@@ -12,13 +12,14 @@
 # PROBE_QUERIES overrides the query list (comma-separated).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+. scripts/jdk_opens.sh
 OUT=${1:-PROBE_30x.json}
 QUERIES=${PROBE_QUERIES:-dedup_containment,embed_near_dup,er_clusters,communities_lpa}
 JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
 
 run_scale() { # $1 = sf dir
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_CPUS=32 \
-    java -Xmx48g -cp "$JAR:/opt/spark/jars/*" graft.Bench 2>/dev/null \
+    java -Xmx48g $JDK_OPENS -cp "$JAR:/opt/spark/jars/*" graft.Bench 2>/dev/null \
     | grep -m1 '"metric"'
 }
 

@@ -19,6 +19,7 @@
 # PROBE_QUERIES / PROBE_SCALES override the query and corpus lists.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+. scripts/jdk_opens.sh
 OUT=${1:-PROBE_100x.json}
 QUERIES=${PROBE_QUERIES:-dedup_containment,embed_near_dup,er_clusters,communities_lpa,semdedup_prune,golden_record_merge,bfs_layers,curate_corpus,dedup_survivorship,split_leakage_safe}
 SCALES=${PROBE_SCALES:-10:tmp_sf1_organic,30:tmp_sf3_organic,100:tmp_sf10_organic}
@@ -26,7 +27,7 @@ JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
 
 run_one() { # $1 = sf dir, $2 = single query name
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$2" SPARK_GRAFT_CPUS=32 \
-    java -Xmx48g -cp "$JAR:/opt/spark/jars/*" graft.Bench 2>/dev/null \
+    java -Xmx48g $JDK_OPENS -cp "$JAR:/opt/spark/jars/*" graft.Bench 2>/dev/null \
     | grep -m1 '"metric"'
 }
 

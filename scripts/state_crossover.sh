@@ -11,6 +11,7 @@
 # usage: scripts/state_crossover.sh [n_keys] [out_json]
 set -uo pipefail
 cd "$(dirname "$0")/.."
+. scripts/jdk_opens.sh
 NKEYS=${1:-24000000}
 OUT=${2:-STATE_CROSSOVER.json}
 JAR=target/scala-2.13/lms_erp_data_integrationspark_2.13-0.1.0.jar
@@ -20,7 +21,7 @@ TO=${CROSSOVER_TIMEOUT:-1800}
 run_arm() { # $1 = provider
   local prov=$1 out="/tmp/xover_$1.json"
   rm -f "$out"
-  timeout "$TO" java -Xmx"$HEAP" -XX:+ExitOnOutOfMemoryError \
+  timeout "$TO" java -Xmx"$HEAP" $JDK_OPENS -XX:+ExitOnOutOfMemoryError \
     -cp "$JAR:/opt/spark/jars/*" graft.StateCrossover \
     "$prov" "$NKEYS" "$out" >"/tmp/xover_$prov.log" 2>&1
   local rc=$?

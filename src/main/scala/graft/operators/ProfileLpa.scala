@@ -32,14 +32,19 @@ object ProfileLpa {
       val p0 = t("pairs distinct + checkpoint")(
         pairs.localCheckpoint(eager = true))
       println(s"  distinct pairs = ${p0.count()}")
+      // Mirrors LabelProp.communities' edge build (self-votes ride the
+      // labels union there, not the edge table).
       val sym = p0.select(col("a").as("u"), col("b").as("v"))
         .unionByName(p0.select(col("b").as("u"), col("a").as("v")))
-      val edges = t("sym + self-loops + repart + ckpt")(
-        sym.unionByName(sym.select(col("u"), col("u").as("v")).distinct())
-          .repartition(col("v")).localCheckpoint(eager = true))
+      val edges = t("sym + repart + ckpt")(
+        sym.repartition(col("v")).localCheckpoint(eager = true))
       println(s"  edge rows = ${edges.count()}")
+      // Release the attribution copies before timing the operator itself,
+      // or the doubled checkpoint footprint forces eviction at 100x.
+      edges.unpersist(blocking = true)
+      p0.unpersist(blocking = true)
       t("3 LPA rounds + histogram")(
-        LabelProp.communities(p0.select(col("a"), col("b")), 3)
+        LabelProp.communities(pairs, 3)
           .groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
           .groupBy(col("community_size"))
           .agg(count(lit(1)).as("n_communities"))
